@@ -1,0 +1,377 @@
+"""Pure-numpy page-image kernels + their Ray Data map_batches stages.
+
+These invert the degradation model the reference *applies* when rendering
+synthetic pages (datagen/augmentations/render_text.py:334-411):
+
+- global rotation (render_text.py:360-361)        → :func:`estimate_skew` + deskew
+- brightness/contrast/noise (render_text.py:362-367) → :func:`sauvola` local
+  binarization (window-local thresholds are invariant to global gain/offset)
+- line layout with jitter (render_text.py:158-254)  → :func:`segment_lines`
+- per-word/akshara layout (render_text.py:160-196)  → :func:`segment_glyphs`
+
+All kernels are vectorized numpy over zero-copy views of Arrow ``binary``
+pixel buffers; no PIL/cv2 (unavailable in this sandbox — SURVEY.md §7.0).
+
+Scale notes (100 TB): pixel payloads are the dominant bytes. The stage
+functions below (a) run as stateless ``map_batches`` tasks over small
+batches sized by pixel budget, (b) drop the raw ``pixels`` column as soon
+as the binarized bitmask exists (packed bits = 8× smaller), and (c) never
+let pixel bytes reach a shuffle — recognition reduces each page to a small
+string *before* the reassembly groupby (SURVEY.md §7.4 "wide media rows").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..glyphs import (
+    BIT_COLS,
+    BIT_ROWS,
+    CELL,
+    GLYPH_H,
+    GLYPH_W,
+    PITCH,
+    SHIRO_H,
+    bits_to_char,
+)
+
+# ---------------------------------------------------------------------------
+# kernels (single page, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def sauvola(img: np.ndarray, window: int = 31, k: float = 0.2, r: float = 128.0) -> np.ndarray:
+    """Sauvola local binarization → bool ink mask (True = ink).
+
+    t(x,y) = m(x,y) * (1 + k * (s(x,y)/R - 1)) over a ``window``-square
+    neighborhood, computed with integral images (O(1) per pixel).
+    """
+    h, w = img.shape
+    f = img.astype(np.float64)
+    pad = window // 2
+    fp = np.pad(f, pad + 1, mode="edge")
+    # integral images of x and x^2; ii[i, j] = sum of fp[:i, :j]
+    ii = fp.cumsum(0).cumsum(1)
+    ii2 = (fp * fp).cumsum(0).cumsum(1)
+
+    def box(iimg: np.ndarray) -> np.ndarray:
+        a = iimg[window : window + h, window : window + w]
+        b = iimg[window : window + h, :w]
+        c = iimg[:h, window : window + w]
+        d = iimg[:h, :w]
+        return a - b - c + d
+
+    n = float(window * window)
+    mean = box(ii) / n
+    var = np.maximum(box(ii2) / n - mean * mean, 0.0)
+    std = np.sqrt(var)
+    thresh = mean * (1.0 + k * (std / r - 1.0))
+    return f < thresh
+
+
+def despeckle(ink: np.ndarray) -> np.ndarray:
+    """Drop isolated ink pixels (≤1 ink neighbor in the 8-neighborhood)."""
+    p = np.pad(ink, 1).astype(np.uint8)
+    nbr = (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    )
+    return ink & (nbr >= 2)
+
+
+def estimate_skew(
+    ink: np.ndarray, max_deg: float = 5.0, step_deg: float = 0.2
+) -> float:
+    """Skew angle (degrees) maximizing row-projection sharpness.
+
+    Coarse-to-fine search over the ink-pixel point cloud: score(θ) = sum of
+    squared bin counts of the θ-rotated y coordinates (sharp line bands →
+    concentrated histogram → high score). Inverts render_text.py:360-361's
+    random page rotation.
+    """
+    ys, xs = np.nonzero(ink)
+    if ys.size < 32:
+        return 0.0
+    ys = ys.astype(np.float64)
+    xs = xs.astype(np.float64)
+    if ys.size > 8000:  # subsample for speed; bands remain sharp
+        idx = np.linspace(0, ys.size - 1, 8000).astype(np.int64)
+        ys, xs = ys[idx], xs[idx]
+
+    h = int(ys.max()) + 1
+    w = int(xs.max()) + 1
+    span = h + int(np.ceil(w * np.sin(np.deg2rad(max_deg + 1)))) * 2 + 2
+
+    def score(thetas: np.ndarray) -> np.ndarray:
+        out = np.empty(thetas.size)
+        for i, t in enumerate(thetas):
+            rad = np.deg2rad(t)
+            yr = ys * np.cos(rad) - xs * np.sin(rad)
+            yq = (yr - yr.min()).astype(np.int64)
+            counts = np.bincount(yq, minlength=span)
+            out[i] = float((counts.astype(np.float64) ** 2).sum())
+        return out
+
+    coarse = np.arange(-max_deg, max_deg + 1e-9, 0.4)
+    best = coarse[int(np.argmax(score(coarse)))]
+    mid = np.arange(best - 0.4, best + 0.4 + 1e-9, 0.1)
+    best = mid[int(np.argmax(score(mid)))]
+    fine = np.arange(best - 0.1, best + 0.1 + 1e-9, 0.025)
+    return float(fine[int(np.argmax(score(fine)))])
+
+
+def rotate_bool(ink: np.ndarray, deg: float) -> np.ndarray:
+    """Rotate a bool mask by ``deg`` about the image center (nearest neighbor)."""
+    if abs(deg) < 1e-6:
+        return ink
+    h, w = ink.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rad = np.deg2rad(deg)
+    cos, sin = np.cos(rad), np.sin(rad)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # inverse map: output (y,x) samples input rotated by -deg
+    ys = cos * (yy - cy) + sin * (xx - cx) + cy
+    xs = -sin * (yy - cy) + cos * (xx - cx) + cx
+    yi = np.round(ys).astype(np.int64)
+    xi = np.round(xs).astype(np.int64)
+    ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    out = np.zeros_like(ink)
+    out[ok] = ink[yi[ok], xi[ok]]
+    return out
+
+
+def rotate_gray(
+    img: np.ndarray, deg: float, fill: float | None = None, *, bilinear: bool = False
+) -> np.ndarray:
+    """Rotate a grayscale page about its center, background-filled.
+
+    Nearest-neighbor by default (the degradation model's flavor,
+    render_text.py:360-361); ``bilinear=True`` for the deskew path, where
+    interpolation quality preserves the 3×3 bit cells.
+    """
+    h, w = img.shape
+    if fill is None:
+        fill = float(np.median(img))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rad = np.deg2rad(deg)
+    cos, sin = np.cos(rad), np.sin(rad)
+    yy, xx = np.mgrid[0:h, 0:w]
+    ys = cos * (yy - cy) + sin * (xx - cx) + cy
+    xs = -sin * (yy - cy) + cos * (xx - cx) + cx
+    if not bilinear:
+        yi = np.round(ys).astype(np.int64)
+        xi = np.round(xs).astype(np.int64)
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        out = np.full_like(img, np.uint8(np.clip(fill, 0, 255)))
+        out[ok] = img[yi[ok], xi[ok]]
+        return out
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    fy = ys - y0
+    fx = xs - x0
+    fimg = img.astype(np.float64)
+
+    def sample(yi: np.ndarray, xi: np.ndarray) -> np.ndarray:
+        ok = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = np.full(yi.shape, fill, dtype=np.float64)
+        v[ok] = fimg[yi[ok], xi[ok]]
+        return v
+
+    top = sample(y0, x0) * (1 - fx) + sample(y0, x0 + 1) * fx
+    bot = sample(y0 + 1, x0) * (1 - fx) + sample(y0 + 1, x0 + 1) * fx
+    return np.clip(top * (1 - fy) + bot * fy, 0, 255).astype(np.uint8)
+
+
+def _runs(mask: np.ndarray, min_gap: int, min_len: int) -> list[tuple[int, int]]:
+    """Contiguous True runs of a 1-D mask, merging gaps < ``min_gap``,
+    dropping runs shorter than ``min_len``. Returns [start, end) pairs."""
+    idx = np.nonzero(mask)[0]
+    if idx.size == 0:
+        return []
+    breaks = np.nonzero(np.diff(idx) >= min_gap)[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [idx.size - 1]))
+    return [
+        (int(idx[s]), int(idx[e]) + 1)
+        for s, e in zip(starts, ends)
+        if idx[e] + 1 - idx[s] >= min_len
+    ]
+
+
+def segment_lines(ink: np.ndarray) -> list[tuple[int, int]]:
+    """Text-line bands as [y0, y1) pairs from the horizontal projection
+    profile (inverts render_text.py:192-254's top-to-bottom line layout)."""
+    rows = ink.sum(axis=1)
+    mask = rows >= 4
+    return [
+        (y0, y1)
+        for (y0, y1) in _runs(mask, min_gap=4, min_len=SHIRO_H)
+        if ink[y0:y1].sum() >= 16
+    ]
+
+
+def segment_glyphs(line_ink: np.ndarray) -> list[tuple[int, int]]:
+    """Glyph boxes [x0, x1) within one line band from the vertical projection
+    (akshara segmentation; shirorekha makes each glyph a solid column run)."""
+    cols = line_ink.sum(axis=0)
+    return _runs(cols >= 1, min_gap=2, min_len=3)
+
+
+def decode_page(ink: np.ndarray, codebook) -> str:
+    """Segment + decode one deskewed binary page → text.
+
+    Lines joined by a single space (greedy wrap consumed exactly one space
+    at each break — layout_words semantics); intra-line gaps wider than one
+    glyph pitch decode to spaces. Glyphs failing the parity check are
+    dropped (poison-glyph quarantine, never a crash — the per-row analogue
+    of SURVEY.md M11).
+    """
+    line_texts: list[str] = []
+    for y0, y1 in segment_lines(ink):
+        band = ink[y0 : y0 + GLYPH_H] if y1 - y0 < GLYPH_H else ink[y0:y1]
+        boxes = segment_glyphs(band)
+        if not boxes:
+            continue
+        chars: list[str] = []
+        prev_end: int | None = None
+        for x0, x1 in boxes:
+            if prev_end is not None and (x0 - prev_end) >= (PITCH - GLYPH_W) + PITCH // 2:
+                n_spaces = max(1, round((x0 - prev_end - (PITCH - GLYPH_W)) / PITCH))
+                chars.append(" " * n_spaces)
+            ch = _decode_glyph(band, x0, x1, codebook)
+            if ch is not None:
+                chars.append(ch)
+            prev_end = x1
+        text = "".join(chars).strip()
+        if text:
+            line_texts.append(text)
+    return " ".join(line_texts)
+
+
+_CELL_AREA = float(CELL * CELL)
+
+
+def _decode_glyph(band: np.ndarray, x0: int, x1: int, codebook) -> str | None:
+    """Decode one glyph box: find its shirorekha top, sample the 8 bit
+    cells (with ±1 px alignment search), majority-vote each cell.
+
+    Cell sums come from one small integral image per box (O(1) per cell);
+    the aligned case short-circuits after one clean read.
+    """
+    # keep 2 spare columns on the right so a +1-shifted glyph (stray pixel
+    # extended the column run leftwards) can still be read at dx=+1
+    box = band[:, x0 : x0 + GLYPH_W + 2]
+    row_ink = box[:, :GLYPH_W].sum(axis=1)
+    tops = np.nonzero(row_ink >= GLYPH_W // 2)[0]
+    top = int(tops[0]) if tops.size else int(np.argmax(row_ink > 0))
+
+    h, w = box.shape
+    ii = np.zeros((h + 1, w + 1), dtype=np.int32)
+    np.cumsum(np.cumsum(box, axis=0), axis=1, out=ii[1:, 1:])
+
+    def read(dy: int, dx: int) -> list[int] | None:
+        """8 bit-cell ink counts (0..9), or None if any cell is out of range."""
+        sums: list[int] = []
+        for i in range(8):
+            y = top + BIT_ROWS[i // 2] + dy
+            x = BIT_COLS[i % 2] + dx
+            if y < 0 or x < 0 or y + CELL > h or x + CELL > w:
+                return None
+            sums.append(
+                int(ii[y + CELL, x + CELL] - ii[y, x + CELL] - ii[y + CELL, x] + ii[y, x])
+            )
+        return sums
+
+    # integer margin: distance of a cell count from the 4.5 on/off boundary
+    # (|2s - 9|) — exact arithmetic, so alignment ties break by search order
+    # (centered read first), never by float ULPs.
+    def judge(sums: list[int]) -> tuple[str | None, int]:
+        bits = 0
+        margin = 9
+        for i, s in enumerate(sums):
+            if s > 4:
+                bits |= 1 << i
+            margin = min(margin, abs(2 * s - 9))
+        return bits_to_char(bits), margin
+
+    sums = read(0, 0)
+    if sums is not None:
+        ch, margin = judge(sums)
+        if ch is not None and margin >= 8:
+            return ch  # clean aligned read — the overwhelmingly common case
+
+    best_char: str | None = None
+    best_margin = -1
+    for dy in (0, -1, 1, -2, 2):
+        for dx in (0, -1, 1):
+            s = read(dy, dx)
+            if s is None:
+                continue
+            ch, margin = judge(s)
+            if ch is None:
+                continue
+            if margin > best_margin:
+                best_margin, best_char = margin, ch
+    return best_char
+
+
+def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
+    """decode → Sauvola binarize → despeckle → deskew, one page."""
+    img = np.frombuffer(pixels, dtype=np.uint8, count=width * height).reshape(
+        height, width
+    )
+    ink = despeckle(sauvola(img))
+    angle = estimate_skew(ink)
+    if abs(angle) > 0.05:
+        # estimate_skew's score peaks at the angle whose *application* (in
+        # rotate_gray's convention) re-aligns the line bands. Deskew by
+        # area-sampling the binary mask (bilinear + 0.5 threshold): crisper
+        # than NN∘NN (which erodes the 3×3 bit cells) and, unlike blurring
+        # the grayscale and re-thresholding, it cannot bridge the 2-px
+        # inter-glyph gaps.
+        fmask = rotate_gray(
+            (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
+        )
+        ink = despeckle(fmask >= 128)
+    return ink
+
+
+# ---------------------------------------------------------------------------
+# Ray Data map_batches stage functions (stateless tasks; Arrow in/out)
+# ---------------------------------------------------------------------------
+
+
+def binarize_deskew_batch(batch: pa.Table) -> pa.Table:
+    """(media_ref, width, height, pixels) → (media_ref, width, height, ink).
+
+    ``ink`` is the deskewed binary mask, bit-packed (8× smaller than raw
+    pixels); the raw ``pixels`` column is dropped here — project early so
+    downstream batches shrink (SURVEY.md §7.4).
+    """
+    refs = batch["media_ref"].to_pylist()
+    widths = batch["width"].to_numpy()
+    heights = batch["height"].to_numpy()
+    pixels = batch["pixels"].to_pylist()
+    packed: list[bytes] = []
+    for i in range(len(refs)):
+        ink = preprocess_page(pixels[i], int(widths[i]), int(heights[i]))
+        packed.append(np.packbits(ink).tobytes())
+    return pa.table(
+        {
+            "media_ref": batch["media_ref"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "ink": pa.array(packed, type=pa.binary()),
+        }
+    )
+
+
+def unpack_ink(ink_bytes: bytes, width: int, height: int) -> np.ndarray:
+    """Inverse of the bit-packing done in :func:`binarize_deskew_batch`."""
+    return (
+        np.unpackbits(np.frombuffer(ink_bytes, dtype=np.uint8), count=width * height)
+        .reshape(height, width)
+        .astype(bool)
+    )

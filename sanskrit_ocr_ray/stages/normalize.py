@@ -1,0 +1,88 @@
+"""Text-span normalization: the engine's core text transform.
+
+Reference semantics (datagen/h5_to_parquet.py:17-21): precompiled regex
+deletes every character outside ``[ऀ-ॿ ]`` (Devanagari block U+0900–U+097F
+plus ASCII space), then ``.strip()``; rows empty after cleaning are dropped
+(h5_to_parquet.py:41-43). The engine adds Unicode NFC (north-star
+"post-OCR sandhi-aware Devanagari normalization") — NFC never strips
+viramas (U+094D) or splits conjuncts; the keep-class already retains the
+whole block, so conjunct sequences survive intact.
+
+The keep-class is configurable (``DEVANAGARI`` is the default profile) so
+the same stage normalizes any corpus; the DuckDB oracle for the driver's
+correctness gate uses the equivalent ``regexp_replace + nfc_normalize +
+trim`` expression.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: keep-class regex bodies (characters to KEEP); everything else is deleted.
+DEVANAGARI = "ऀ-ॿ "
+ASCII_LOWER = "a-z "
+
+
+def make_normalizer(keep_class: str = DEVANAGARI, *, nfc: bool = True, lower: bool = False):
+    """Build a vectorized normalizer: numpy array of str → numpy array of str.
+
+    Order: [lowercase] → delete chars outside ``keep_class`` → NFC → strip.
+    (NFC after filtering matches composing the *kept* sequence; the filter
+    is per-codepoint so the order only matters for chars the class drops.)
+    """
+    pat = re.compile(f"[^{keep_class}]")
+
+    def normalize_many(texts: np.ndarray) -> np.ndarray:
+        out = np.empty(len(texts), dtype=object)
+        sub = pat.sub
+        norm = unicodedata.normalize
+        for i, t in enumerate(texts):
+            if t is None:
+                out[i] = ""
+                continue
+            if lower:
+                t = t.lower()
+            t = sub("", t)
+            if nfc:
+                t = norm("NFC", t)
+            out[i] = t.strip()
+        return out
+
+    return normalize_many
+
+
+# module-level default (compiled once per worker process import)
+normalize_devanagari = make_normalizer(DEVANAGARI)
+
+
+def normalize_column(
+    batch: pa.Table,
+    column: str = "text",
+    out: str | None = None,
+    keep_class: str = DEVANAGARI,
+    *,
+    nfc: bool = True,
+    lower: bool = False,
+    drop_empty: bool = False,
+) -> pa.Table:
+    """map_batches body: normalize ``column``; optionally drop empty rows (M2)."""
+    fn = (
+        normalize_devanagari
+        if (keep_class == DEVANAGARI and nfc and not lower)
+        else make_normalizer(keep_class, nfc=nfc, lower=lower)
+    )
+    texts = np.asarray(batch[column].to_pylist(), dtype=object)
+    cleaned = pa.array(fn(texts), type=pa.string())
+    out = out or column
+    if out in batch.column_names:
+        batch = batch.set_column(batch.schema.get_field_index(out), out, cleaned)
+    else:
+        batch = batch.append_column(out, cleaned)
+    if drop_empty:
+        batch = batch.filter(pc.not_equal(batch[out], ""))
+    return batch

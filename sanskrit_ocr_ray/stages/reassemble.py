@@ -1,0 +1,92 @@
+"""Reassembly: the engine's single mandatory shuffle (SURVEY.md §2.5 A4).
+
+``groupby('doc_id').map_groups(rebuild)`` over the union of
+
+- normalized text-span rows            (kind='text')
+- media-span placeholder rows          (kind='media', text='')
+- recognizer output pseudo-span rows   (kind='rec', offset=-1)
+
+Within each group: join rec→media on media_ref (group-local, no second
+shuffle — media_ref embeds doc_id, stages/recognize.py), sort real spans by
+``offset`` (order comes from the key, never from storage/arrival order —
+the list is stored shuffled for half the fixture docs), and emit one row
+per document. Per-doc in-group sort only; there is NO global sort (O3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import schema
+
+#: OUT_DOCS plus lineage metric columns consumed by the checkpoint manifest.
+OUT_WITH_METRICS = schema.OUT_DOCS.append(pa.field("n_spans", pa.int32())).append(
+    pa.field("n_pixels", pa.int64())
+)
+
+
+def rebuild_group(group: pa.Table) -> pa.Table:
+    """One document's rows → one OUT_WITH_METRICS row."""
+    kinds = group["kind"].to_pylist()
+    texts = group["text"].to_pylist()
+    refs = group["media_ref"].to_pylist()
+    offsets = group["offset"].to_pylist()
+    pixels = group["n_pixels"].to_pylist()
+
+    rec_text = {
+        refs[i]: texts[i] for i in range(len(kinds)) if kinds[i] == "rec"
+    }
+    n_pixels = sum(pixels[i] for i in range(len(kinds)) if kinds[i] == "rec")
+
+    spans = sorted(
+        (
+            (offsets[i], kinds[i], texts[i], refs[i])
+            for i in range(len(kinds))
+            if kinds[i] != "rec"
+        ),
+    )
+    seq = []
+    for _off, kind, text, ref in spans:
+        if kind == "media":
+            seq.append({"kind": "media", "text": rec_text.get(ref, ""), "media_ref": ref})
+        else:
+            seq.append({"kind": "text", "text": text, "media_ref": ""})
+
+    doc_id = group["doc_id"][0].as_py()
+    return pa.Table.from_pylist(
+        [
+            {
+                "doc_id": doc_id,
+                "seq": seq,
+                "n_spans": len(seq),
+                "n_pixels": n_pixels,
+            }
+        ],
+        schema=OUT_WITH_METRICS,
+    )
+
+
+def flatten_out(batch: pa.Table) -> pa.Table:
+    """OUT_DOCS(+metrics) → OUT_FLAT rows (hash/compare-friendly)."""
+    import pyarrow.compute as pc
+
+    seq = batch["seq"]
+    if isinstance(seq, pa.ChunkedArray):
+        seq = seq.combine_chunks()
+    parent = pc.list_parent_indices(seq)
+    doc_ids = batch["doc_id"].take(parent)
+    flat = pc.list_flatten(seq)
+    # position within each doc's seq
+    lengths = pc.list_value_length(seq).to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    pos = np.concatenate([np.arange(n, dtype=np.int32) for n in lengths]) if len(lengths) else np.array([], dtype=np.int32)
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "pos": pa.array(pos, type=pa.int32()),
+            "kind": flat.field("kind"),
+            "text": flat.field("text"),
+            "media_ref": flat.field("media_ref"),
+        }
+    )

@@ -1,0 +1,243 @@
+"""Deterministic fixture synthesizer: interleaved docs + media + golden.
+
+Reimplements the reference's generation flow (generate_dataset.py +
+render_text.py, SURVEY.md §3.3) as the engine's test/bench corpus factory:
+
+- corpus text: seeded per-doc Devanagari passages with danda-joined clauses
+  (`" । "` separators, `"।।"` terminator — generate_dataset.py:30 semantics);
+- pages: glyph-coded renders (glyphs.py) with the reference's degradation
+  classes (rotation, brightness, contrast, Gaussian noise —
+  render_text.py:360-390) sampled 1–3 per page at calibrated severities;
+- docs table: interleaved text+media spans, stored-order shuffled for half
+  the docs so reassembly order must come from ``offset``, not storage order;
+- golden table: expected extractor output, ground truth by construction.
+
+Everything derives from ``(seed, doc_id)`` via :func:`util.doc_rng`, so
+synthesis is reproducible row-for-row at any parallelism (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import schema
+from .glyphs import render_page
+from .stages.image import rotate_gray
+from .stages.normalize import normalize_devanagari
+from .util import doc_rng, stable_partition
+
+PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
+
+# degradation severity envelope (within the extractor's calibrated range,
+# FIXTURES.md §2): rotation ≤ ±3°, brightness/contrast ∈ [0.85, 1.2],
+# noise σ ≤ 10/255.
+DEGRADATIONS = ("rotate", "brightness", "contrast", "noise")
+
+# clause vocabulary: consonants + independent vowels + a few matras/signs,
+# giving varied bit patterns across the 7-bit code space.
+_CHAR_POOL = (
+    list(range(0x0905, 0x093A))  # vowels + consonants
+    + list(range(0x093E, 0x094D))  # matras
+    + [0x0901, 0x0902, 0x0950, 0x0966, 0x096F, 0x0915, 0x092E]
+)
+_NOISE_CHARS = list("abcXYZ019!?,.;:-_@#")
+
+
+def _gen_passage(rng: np.random.Generator, n_words: int) -> str:
+    """Danda-joined Devanagari passage (generate_dataset.py:30 semantics)."""
+    words = []
+    for _ in range(n_words):
+        ln = int(rng.integers(1, 8))
+        cps = rng.choice(_CHAR_POOL, size=ln)
+        words.append("".join(chr(int(c)) for c in cps))
+    # group words into clauses of ~5, join clauses with danda
+    clauses = [" ".join(words[i : i + 5]) for i in range(0, len(words), 5)]
+    return " । ".join(clauses) + " ।।"
+
+
+def _inject_noise(text: str, rng: np.random.Generator) -> str:
+    """Sprinkle out-of-class chars so the normalizer has work to do."""
+    chars = list(text)
+    for _ in range(int(rng.integers(1, 6))):
+        pos = int(rng.integers(0, len(chars) + 1))
+        chars.insert(pos, str(rng.choice(_NOISE_CHARS)))
+    return "".join(chars)
+
+
+def _degrade(page: np.ndarray, rng: np.random.Generator) -> tuple[np.ndarray, list[str]]:
+    """Apply 1–3 randomly chosen degradations (render_text.py:386-409)."""
+    n = int(rng.integers(1, 4))
+    which = list(rng.choice(len(DEGRADATIONS), size=n, replace=False))
+    applied = []
+    img = page.astype(np.float64)
+    for wi in which:
+        name = DEGRADATIONS[int(wi)]
+        applied.append(name)
+        if name == "rotate":
+            deg = float(rng.uniform(-3.0, 3.0))
+            img = rotate_gray(
+                np.clip(img, 0, 255).astype(np.uint8), deg
+            ).astype(np.float64)
+        elif name == "brightness":
+            img = img * float(rng.uniform(0.85, 1.2))
+        elif name == "contrast":
+            img = (img - 128.0) * float(rng.uniform(0.85, 1.2)) + 128.0
+        elif name == "noise":
+            img = img + rng.normal(0.0, float(rng.uniform(2.0, 10.0)), img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8), applied
+
+
+def synth_doc(doc_id: str, seed: int = 42) -> dict:
+    """Generate one document: spans + media pages + golden sequence.
+
+    Pure function of (seed, doc_id) — safe to fan out at any parallelism.
+    """
+    rng = doc_rng(seed, doc_id)
+    fat = rng.random() < 0.10
+    n_spans = int(rng.integers(8, 13)) if fat else int(rng.integers(1, 7))
+    n_media = (
+        max(6, int(round(n_spans * 0.5)))
+        if fat
+        else int(np.clip(rng.binomial(n_spans, 0.4), 0, n_spans))
+    )
+    kinds = np.array(["media"] * n_media + ["text"] * (n_spans - n_media))
+    rng.shuffle(kinds)
+
+    spans, media_rows, golden_seq = [], [], []
+    page_j = 0
+    for off, kind in enumerate(kinds):
+        if kind == "text":
+            raw = _gen_passage(rng, int(rng.integers(2, 12)))
+            if rng.random() < 0.4:
+                raw = _inject_noise(raw, rng)
+            if rng.random() < 0.05:
+                raw = str(rng.choice(_NOISE_CHARS))  # empty-after-clean case (M2)
+            spans.append(
+                {"kind": "text", "text": raw, "media_ref": "", "offset": off}
+            )
+            norm = normalize_devanagari(np.array([raw], dtype=object))[0]
+            if norm:
+                golden_seq.append({"kind": "text", "text": norm, "media_ref": ""})
+        else:
+            ref = f"{doc_id}/page-{page_j:04d}"
+            page_j += 1
+            truth = _gen_passage(rng, int(rng.integers(15, 40)))
+            page, rendered = render_page(truth, PAGE_W, PAGE_H, rng)
+            page, applied = _degrade(page, rng)
+            media_rows.append(
+                {
+                    "media_ref": ref,
+                    "width": PAGE_W,
+                    "height": PAGE_H,
+                    "pixels": page.tobytes(),
+                    "truth_text": rendered,
+                    "degradations": applied,
+                }
+            )
+            spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+            norm = normalize_devanagari(np.array([rendered], dtype=object))[0]
+            golden_seq.append({"kind": "media", "text": norm, "media_ref": ref})
+
+    # store the span list shuffled for half the docs: reassembly order must
+    # come from `offset` (FIXTURES.md §1)
+    if rng.random() < 0.5:
+        order = rng.permutation(len(spans))
+        spans = [spans[i] for i in order]
+
+    return {
+        "doc_id": doc_id,
+        "spans": spans,
+        "media": media_rows,
+        "golden": {"doc_id": doc_id, "seq": golden_seq},
+    }
+
+
+def _tables_from_docs(results: list[dict], n_partitions: int):
+    docs = pa.Table.from_pylist(
+        [{"doc_id": r["doc_id"], "spans": r["spans"]} for r in results],
+        schema=schema.DOCS,
+    )
+    part = pa.array(
+        [stable_partition(r["doc_id"], n_partitions) for r in results],
+        type=pa.int32(),
+    )
+    docs = docs.append_column("part", part)
+    media_rows = [m for r in results for m in r["media"]]
+    media = pa.Table.from_pylist(
+        [
+            {k: m[k] for k in ("media_ref", "width", "height", "pixels")}
+            for m in media_rows
+        ],
+        schema=schema.MEDIA,
+    )
+    truth = pa.Table.from_pylist(
+        [
+            {k: m[k] for k in ("media_ref", "truth_text", "degradations")}
+            for m in media_rows
+        ],
+        schema=schema.MEDIA_TRUTH,
+    )
+    # a document whose every span is dropped produces no output row at all
+    # (the per-row analogue of h5_to_parquet.py:41-43's empty filter)
+    golden = pa.Table.from_pylist(
+        [r["golden"] for r in results if r["golden"]["seq"]],
+        schema=schema.OUT_DOCS,
+    )
+    return docs, media, truth, golden
+
+
+def synth_tables(n_docs: int, seed: int = 42, n_partitions: int = 4):
+    """In-process synthesis (tests / small fixtures).
+
+    Returns (docs+part, media, media_truth, golden) Arrow tables.
+    """
+    results = [synth_doc(f"doc-{i:08d}", seed) for i in range(n_docs)]
+    return _tables_from_docs(results, n_partitions)
+
+
+def write_fixture_local(out_dir: str, n_docs: int, seed: int = 42, n_partitions: int = 4) -> str:
+    """Synthesize in-process and write the four parquet files to ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs, media, truth, golden = synth_tables(n_docs, seed, n_partitions)
+    pq.write_table(docs, os.path.join(out_dir, "docs.parquet"))
+    pq.write_table(media, os.path.join(out_dir, "media.parquet"))
+    pq.write_table(truth, os.path.join(out_dir, "media_truth.parquet"))
+    pq.write_table(golden, os.path.join(out_dir, "golden.parquet"))
+    return out_dir
+
+
+def write_fixture_ray(out_dir: str, n_docs: int, seed: int = 42, n_partitions: int = 8) -> str:
+    """Distributed synthesis via Ray Data (bench-scale fixtures).
+
+    Four streaming passes, one per output table — each is
+    ``range(n_docs) → map_batches(project) → write_parquet(dir)``; no
+    driver-side materialization. Re-rendering pages per pass is the price of
+    keeping every pass a pure streaming pipeline, and generation is a pure
+    function of (seed, doc_id) so all passes agree exactly.
+    Does NOT call ray.init (driver/bench owns the session).
+    """
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def make_pass(key: str):
+        def project(batch: pa.Table) -> pa.Table:
+            results = [
+                synth_doc(f"doc-{int(i):08d}", seed) for i in batch["id"].to_pylist()
+            ]
+            docs, media, truth, golden = _tables_from_docs(results, n_partitions)
+            return {"docs": docs, "media": media, "media_truth": truth, "golden": golden}[key]
+
+        return project
+
+    for key in ("docs", "media", "media_truth", "golden"):
+        (
+            rd.range(n_docs)
+            .map_batches(make_pass(key), batch_format="pyarrow", batch_size=64)
+            .write_parquet(os.path.join(out_dir, key))
+        )
+    return out_dir
