@@ -10,6 +10,13 @@ CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
+Exact-match discipline (why the queries look the way they do):
+- numeric outputs are int64 (counts, ``floor(x*100+0.5)`` cents, scaled
+  ratios) or hex strings — never raw floats;
+- every hash is md5-derived so DuckDB reproduces it exactly
+  (``('0x'||substr(md5(x),1,16))::UBIGINT`` ≡ ``util.md5_u64``);
+- top-k orders carry explicit deterministic tie-breaks.
+
 The extraction queries run over a deterministic synthetic interleaved-docs
 corpus (BASELINE.json ``input_hint`` shape), synthesized once per scale
 into /tmp and cached — the driver's TPC-H-ish tables have no spans/media
@@ -29,19 +36,34 @@ if REPO not in sys.path:
 
 _FIXTURE_CACHE = "/tmp/sxray_fixtures"
 
-#: docs per scale dir, keyed by the sf dir's `documents` row count
+#: synthetic interleaved-docs scale per sf dir
 _N_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 600}
 
 
+def _tbl(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _pdf(sf_dir: str, name: str, columns=None):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# extraction flagship (rows-only vs oracle; golden equality is pytest's job)
+# ---------------------------------------------------------------------------
+
+
 def _fixture_for(sf_dir: str) -> str:
-    """Synthesize (once) the interleaved-docs fixture matching ``sf_dir``."""
     from sanskrit_ocr_ray.synth import write_fixture_local
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     n_docs = _N_DOCS.get(tag, 60)
     out = os.path.join(_FIXTURE_CACHE, f"{tag}-{n_docs}")
-    marker = os.path.join(out, "golden.parquet")
-    if not os.path.exists(marker):
+    if not os.path.exists(os.path.join(out, "golden.parquet")):
         write_fixture_local(out, n_docs, seed=42, n_partitions=4)
     return out
 
@@ -57,21 +79,534 @@ def _extract_flat(sf_dir: str):
     return extract_flat(docs, media)
 
 
+def _multimodal_features(sf_dir: str):
+    """FeatureExtractor actor pool over the fixture's media pages recast as
+    generic multimodal payload rows (schema/plumbing test; rows-only)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.multimodal import FeatureExtractor
+
+    fx = _fixture_for(sf_dir)
+
+    def recast(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "media_type": pa.array(["image/raw8"] * n),
+                "width": batch["width"],
+                "height": batch["height"],
+                "sample_rate": pa.array([0] * n, type=pa.int32()),
+                "payload": batch["pixels"],
+            }
+        )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        feats = batch["features"].to_pylist()
+        errs = batch["error"].to_pylist()
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "n_features": pa.array(
+                    [len(f) if f is not None else 0 for f in feats], type=pa.int64()
+                ),
+                "had_error": pa.array(
+                    [1 if e else 0 for e in errs], type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{fx}/media.parquet")
+        .map_batches(recast, batch_format="pyarrow")
+        .map_batches(
+            FeatureExtractor, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        )
+        .map_batches(summarize, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# documents-table operators
+# ---------------------------------------------------------------------------
+
+
+def _clean_text(sf_dir: str):
+    from sanskrit_ocr_ray.stages.normalize import normalize_column
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: normalize_column(
+            b, "text", out="clean", keep_class="a-z ", lower=True, drop_empty=True
+        ).select(["doc_id", "clean"]),
+        batch_format="pyarrow",
+    )
+
+
+def _dedup_exact(sf_dir: str):
+    from sanskrit_ocr_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _token_count(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import token_count_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def _lang_id(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import lang_id_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def _quality(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import quality_score_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def _fingerprint(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import fingerprint_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _kr_fingerprint(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import rolling_fingerprint_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _simhash(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import simhash_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+
+def _minhash_sig(sf_dir: str):
+    from sanskrit_ocr_ray.stages.dedup import minhash_signatures_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        minhash_signatures_batch, batch_format="pyarrow"
+    )
+
+
+def _minhash_lsh(sf_dir: str):
+    from sanskrit_ocr_ray.stages.dedup import minhash_lsh_clusters
+
+    return minhash_lsh_clusters(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _simhash_pairs(sf_dir: str):
+    from sanskrit_ocr_ray.stages.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _ngram_pairs(sf_dir: str):
+    from sanskrit_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table operators
+# ---------------------------------------------------------------------------
+
+
+def _knn5(sf_dir: str):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute
+
+    return knn_brute(_tbl(sf_dir, "embeddings"), query_ids=list(range(10)), k=5)
+
+
+def _knn_ivf(sf_dir: str):
+    from sanskrit_ocr_ray.stages.similarity import knn_ivf
+
+    return knn_ivf(
+        _tbl(sf_dir, "embeddings"), query_ids=list(range(10)), k=5, nprobe=3
+    )
+
+
+def _emb_dups(sf_dir: str):
+    from sanskrit_ocr_ray.stages.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_tbl(sf_dir, "embeddings"))
+
+
+def _nearest_centroid(sf_dir: str):
+    from sanskrit_ocr_ray.stages.similarity import nearest_centroid
+
+    return nearest_centroid(_tbl(sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# relational / events operators
+# ---------------------------------------------------------------------------
+
+
+def _q1(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import q1_pricing
+
+    return q1_pricing(
+        _tbl(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+    )
+
+
+def _rev_nation(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import revenue_by_nation
+
+    return revenue_by_nation(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        _pdf(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _pdf(sf_dir, "nation", ["n_nationkey", "n_name"]),
+    )
+
+
+def _rev_brand(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import revenue_by_brand
+
+    return revenue_by_brand(
+        _tbl(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]),
+        _pdf(sf_dir, "part", ["p_partkey", "p_brand"]),
+    )
+
+
+def _events_window(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import events_tumbling
+
+    return events_tumbling(_tbl(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
+def _sessionize(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import sessionize
+
+    return sessionize(_tbl(sf_dir, "events", ["user_id", "ts"]))
+
+
+def _top_users(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import top_users_by_value
+
+    return top_users_by_value(_tbl(sf_dir, "events", ["user_id", "value"]))
+
+
+def _mktsegment_join(sf_dir: str):
+    """Large⋈large partitioned hash join demo: orders ⋈ customer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+    from sanskrit_ocr_ray.stages.relational import _cents, hash_join
+
+    customer = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = hash_join(orders, customer, key="o_custkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "n_orders": np.int64(1),
+                "revenue_c": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+        return df.groupby("c_mktsegment", as_index=False).sum()
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_c", alias_name="revenue_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     return _extract_flat("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus
+    the training-data-pipeline operator families (dedup / similarity /
+    text analysis / relational / windowed)."""
     return {
-        # flagship: interleaved docs + media pages → reassembled span rows
-        # (non-SQL-expressible: image decode/OCR; golden-equality is pytest's
-        # job — tests/test_extract.py)
+        # extraction engine (non-SQL-expressible: image decode + OCR)
         "extract_e2e": _extract_flat,
+        "multimodal_features": _multimodal_features,
+        # text normalization + dedup family over `documents`
+        "clean_text": _clean_text,
+        "dedup_exact": _dedup_exact,
+        "minhash_sig": _minhash_sig,
+        "minhash_lsh_clusters": _minhash_lsh,
+        "simhash64": _simhash,
+        "simhash_dup_pairs": _simhash_pairs,
+        "ngram_jaccard_pairs": _ngram_pairs,
+        # text analysis
+        "token_count": _token_count,
+        "lang_id": _lang_id,
+        "quality_score": _quality,
+        "fingerprint_md5": _fingerprint,
+        "kr_fingerprint": _kr_fingerprint,
+        # similarity search over `embeddings`
+        "knn_top5": _knn5,
+        "knn_ivf": _knn_ivf,
+        "embedding_dup_pairs": _emb_dups,
+        "nearest_centroid": _nearest_centroid,
+        # relational / streaming-shaped
+        "q1_pricing": _q1,
+        "revenue_by_nation": _rev_nation,
+        "revenue_by_brand": _rev_brand,
+        "events_tumbling": _events_window,
+        "sessionize": _sessionize,
+        "top_users_by_value": _top_users,
+        "mktsegment_join": _mktsegment_join,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for each SQL-expressible query (same column names)."""
-    return {}
+    """DuckDB oracles (identical column names + arithmetic as the Ray
+    side). Omitted keys (extract_e2e, multimodal_features, kr_fingerprint,
+    minhash_lsh_clusters, knn_ivf) are non-SQL-expressible → rows-only."""
+    sim_sig = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS hv FROM tok
+), bits AS (
+  SELECT doc_id, b.i AS i,
+         SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, unnest(range(64)) AS b(i)
+  GROUP BY doc_id, b.i
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+"""
+    clean_expr = "trim(nfc_normalize(regexp_replace(lower(text), '[^a-z ]', '', 'g')))"
+    return {
+        "clean_text": f"""
+SELECT doc_id, {clean_expr} AS clean FROM documents WHERE {clean_expr} <> ''
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+""",
+        "minhash_sig": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), seeds AS (
+  SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 16))::UBIGINT AS s
+  FROM unnest(range(8)) AS r(i)
+)
+SELECT doc_id, i AS perm,
+       lpad(lower(hex(MIN(xor(('0x' || substr(md5(t), 1, 16))::UBIGINT, s)))), 16, '0') AS minhash
+FROM tok, seeds GROUP BY doc_id, i
+""",
+        "simhash64": sim_sig
+        + """
+SELECT doc_id, lpad(lower(hex(s)), 16, '0') AS simhash FROM sig
+""",
+        "simhash_dup_pairs": sim_sig
+        + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 6
+""",
+        "ngram_jaccard_pairs": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, (1000 * i) // (sa.n + sb.n - i) AS jacc_pm
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE 1000 * i >= 20 * (sa.n + sb.n - i)
+""",
+        "token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+        "lang_id": """
+WITH s AS (
+  SELECT doc_id,
+    len(list_filter(str_split(text,' '), x -> list_contains(['der','das','und','ist','nicht'], x))) AS n_de,
+    len(list_filter(str_split(text,' '), x -> list_contains(['the','a','and','of','to'], x))) AS n_en,
+    len(list_filter(str_split(text,' '), x -> list_contains(['el','los','una','por','como'], x))) AS n_es,
+    len(list_filter(str_split(text,' '), x -> list_contains(['le','les','et','dans','pour'], x))) AS n_fr,
+    len(list_filter(str_split(text,' '), x -> list_contains(['的','是','了','在','我'], x))) AS n_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(n_de,n_en,n_es,n_fr,n_zh) = 0 THEN 'und'
+       WHEN n_de = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'de'
+       WHEN n_en = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'en'
+       WHEN n_es = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'es'
+       WHEN n_fr = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'fr'
+       ELSE 'zh' END AS pred_lang
+FROM s
+""",
+        "quality_score": r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS q_chars,
+  ntok AS q_tokens,
+  CASE WHEN ntok = 0 THEN 0
+       ELSE (100 * CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)) // ntok END AS q_mean_tok_len_x100,
+  CASE WHEN ntok = 0 THEN 0
+       ELSE (100 * CAST(len(list_filter(str_split(text,' '), x -> list_contains(['the','a','and','of','to'], x))) AS BIGINT)) // ntok END AS q_stop_pct
+FROM t
+""",
+        "fingerprint_md5": """
+SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents
+""",
+        "knn_top5": """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10
+), al AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, al.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.e, al.e) DESC, al.vec_id
+         ) AS rank
+  FROM q, al WHERE al.vec_id <> q.vec_id
+) WHERE rank <= 5
+""",
+        "embedding_dup_pairs": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS cos_x1e6
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
+""",
+        "nearest_centroid": """
+WITH e AS (
+  SELECT vec_id, label,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), c AS (
+  SELECT label AS clabel, d, SUM(v) / COUNT(*) AS cv FROM e GROUP BY label, d
+), dist AS (
+  SELECT e.vec_id, c.clabel, SUM((e.v - c.cv) * (e.v - c.cv)) AS d2
+  FROM e JOIN c USING (d) GROUP BY e.vec_id, c.clabel
+)
+SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label FROM (
+  SELECT vec_id, clabel,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM dist
+) WHERE rn = 1
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT n_name, revenue_c FROM (
+  SELECT n.n_name AS n_name,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+  ORDER BY revenue_c DESC, n_name
+  LIMIT 10
+)
+""",
+        "revenue_by_brand": """
+SELECT p.p_brand AS p_brand,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+        "events_tumbling": """
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH x AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), o AS (
+  SELECT user_id, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM x
+), w AS (
+  SELECT user_id, s,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MAX(s) - MIN(s) AS dur_s
+FROM w GROUP BY user_id, sid
+""",
+        "top_users_by_value": """
+SELECT user_id, sum_value_c FROM (
+  SELECT user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+  FROM events GROUP BY user_id
+  ORDER BY sum_value_c DESC, user_id LIMIT 10
+)
+""",
+        "mktsegment_join": """
+SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    }

@@ -1,0 +1,271 @@
+"""Relational/aggregation operators over the TPC-H-ish tables.
+
+These prove the engine's general dataflow breadth (filter → project →
+partial-aggregate → groupby → broadcast join → sort/limit → window) with
+the scale idioms from the mission brief:
+
+- **pre-aggregation**: every groupby is fed per-batch partial aggregates
+  (one row per key per batch), so the all-to-all shuffle moves O(keys),
+  not O(rows);
+- **broadcast joins**: dimension tables (customer→nation, part) are
+  ``ray.put`` once and looked up per batch — no shuffle join for a small
+  side;
+- **integer outputs**: money is ``floor(x*100 + 0.5)`` cents, timestamps
+  are epoch-second bucket starts — exact cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(arr: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) as int64 — the one rounding rule, mirrored in SQL."""
+    return np.floor(arr * 100.0 + 0.5).astype(np.int64)
+
+
+def q1_pricing(ds, *, cutoff: str = "1998-09-02"):
+    """Pricing summary (TPC-H Q1 shape): per (returnflag, linestatus),
+    integer-cent sums + counts, over lineitems shipped before ``cutoff``."""
+    from ray.data.aggregate import Count, Sum
+
+    cut = np.datetime64(cutoff)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy()
+        m = ship <= cut
+        qty = batch["l_quantity"].to_numpy()[m]
+        price = batch["l_extendedprice"].to_numpy()[m]
+        disc = batch["l_discount"].to_numpy()[m]
+        df = pd.DataFrame(
+            {
+                "l_returnflag": np.asarray(batch["l_returnflag"].to_pylist())[m],
+                "l_linestatus": np.asarray(batch["l_linestatus"].to_pylist())[m],
+                "sum_qty_c": _cents(qty),
+                "sum_base_price_c": _cents(price),
+                "sum_disc_price_c": _cents(price * (1.0 - disc)),
+                "n_rows": np.ones(int(m.sum()), dtype=np.int64),
+            }
+        )
+        part = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+            Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+def revenue_by_nation(orders_ds, customer_df: pd.DataFrame, nation_df: pd.DataFrame, *, k: int = 10):
+    """orders ⋈ customer ⋈ nation via broadcast → total order value per
+    nation (cents), top-k by (revenue desc, name).
+
+    The dimension maps are broadcast once with ``ray.put`` (customer is
+    the largest at ~1.5M rows / SF100 — still MBs as an int→int dict;
+    beyond that, switch to the partitioned hash join in ``hash_join``)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust_to_nation = dict(
+        zip(customer_df["c_custkey"].to_numpy(), customer_df["c_nationkey"].to_numpy())
+    )
+    nation_name = dict(
+        zip(nation_df["n_nationkey"].to_numpy(), nation_df["n_name"].to_numpy())
+    )
+    ref = ray.put(cust_to_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        cust = batch["o_custkey"].to_numpy()
+        price = batch["o_totalprice"].to_numpy()
+        nk = np.fromiter((lookup[c] for c in cust), np.int64, len(cust))
+        df = pd.DataFrame({"n_nationkey": nk, "revenue_c": _cents(price)})
+        return pa.Table.from_pandas(
+            df.groupby("n_nationkey", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        orders_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg["n_nationkey"].map(nation_name)
+    agg = agg.sort_values(["revenue_c", "n_name"], ascending=[False, True]).head(k)
+    return agg[["n_name", "revenue_c"]].reset_index(drop=True)
+
+
+def revenue_by_brand(lineitem_ds, part_df: pd.DataFrame):
+    """lineitem ⋈ part (broadcast) → discounted revenue cents per brand."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    part_brand = dict(zip(part_df["p_partkey"].to_numpy(), part_df["p_brand"].to_numpy()))
+    ref = ray.put(part_brand)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        pk = batch["l_partkey"].to_numpy()
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "p_brand": [lookup[p] for p in pk],
+                "revenue_c": _cents(price * (1.0 - disc)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("p_brand", as_index=False).sum(), preserve_index=False
+        )
+
+    return (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )
+
+
+def events_tumbling(ds, *, window_s: int = 3600):
+    """Tumbling-window aggregate: (window_start_s, event_type) → count +
+    value cents. Stream-shaped work expressed as a keyed batch aggregate
+    (Ray Data has no watermarks; the bounded log IS the window input)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy()  # microseconds
+        win = (us // (window_s * 1_000_000)) * window_s
+        df = pd.DataFrame(
+            {
+                "window_start_s": win,
+                "event_type": batch["event_type"].to_pylist(),
+                "n_events": np.ones(len(win), dtype=np.int64),
+                "sum_value_c": _cents(batch["value"].to_numpy()),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["window_start_s", "event_type"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start_s", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+        )
+    )
+
+
+def sessionize(ds, *, gap_s: int = 1800):
+    """Per-user sessionization (30-min inactivity gap): one row per
+    session with event count and duration. The ordering contract —
+    events sorted by ts *within each user group* — is established inside
+    ``map_groups``, so arrival order is irrelevant."""
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts").reset_index(drop=True)
+        ts_s = g["ts"].astype("int64") // 1_000_000
+        new_session = (ts_s.diff().fillna(0) > gap_s).astype(np.int64)
+        sid = new_session.cumsum()
+        out = pd.DataFrame(
+            {"user_id": g["user_id"], "session_id": sid, "ts_s": ts_s}
+        ).groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("ts_s", "size"), dur_s=("ts_s", lambda x: int(x.max() - x.min()))
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["dur_s"] = out["dur_s"].astype(np.int64)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def top_users_by_value(ds, *, k: int = 10):
+    """events → total value cents per user → top-k (value desc, user asc)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "sum_value_c": _cents(batch["value"].to_numpy()),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False).sum(), preserve_index=False
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("sum_value_c", alias_name="sum_value_c"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["sum_value_c", "user_id"], ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
+
+
+def hash_join(left_ds, right_ds, key: str, *, n_buckets: int = 16, suffix: str = "_r"):
+    """Portable partitioned hash join for two LARGE sides: bucket both by
+    ``hash(key) % B``, co-group via one shuffle, pandas-merge per bucket.
+
+    Ray's native ``Dataset.join`` (hash shuffle) is preferred when
+    available; this is the explicit fallback that also documents the
+    partitioning strategy (bucket count B scales with cluster size; salt
+    hot keys into sub-buckets if one key dominates)."""
+    from ..util import md5_u64
+
+    lsch = left_ds.schema()  # ray.data Schema wrapper: .names / .types
+    rsch = right_ds.schema()
+    lcols = list(lsch.names)
+    rcols_orig = [c for c in rsch.names if c != key]
+    rename = {c: (c + suffix if c in lcols else c) for c in rcols_orig}
+    rcols = [key] + [rename[c] for c in rcols_orig]
+    all_cols = lcols + [c for c in rcols if c not in lcols]
+    types = dict(zip(lsch.names, lsch.types))
+    for c, t in zip(rsch.names, rsch.types):
+        if c != key:
+            types[rename[c]] = t
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == "r":
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+            cols = {}
+            for c in all_cols:
+                if c in batch.column_names:
+                    cols[c] = batch[c]
+                else:
+                    cols[c] = pa.nulls(batch.num_rows, type=types[c])
+            t = pa.table(cols)
+            ks = batch[key].to_pylist()
+            b = pa.array(
+                [int(md5_u64(str(x)) % np.uint64(n_buckets)) for x in ks],
+                type=pa.int32(),
+            )
+            return t.append_column("__bucket", b).append_column(
+                "__side", pa.array([side] * len(ks))
+            )
+
+        return fn
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == "l"][lcols]
+        r = group[group["__side"] == "r"][rcols]
+        return l.merge(r, on=key)
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+    return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

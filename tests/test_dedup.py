@@ -1,0 +1,77 @@
+"""Dedup family on a corpus with planted exact + near duplicates."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup of 1
+        {"doc_id": 3, "text": base.replace("lazy", "sleepy")},  # near dup of 1
+        {"doc_id": 4, "text": "completely different words about ray data pipelines"},
+        {"doc_id": 5, "text": "completely different words about ray data pipelines"},
+        {"doc_id": 6, "text": "unrelated text mentioning nothing shared with others"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_min_id_tiebreak(docs_ds):
+    from sanskrit_ocr_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+    assert sorted(out.doc_id) == [1, 3, 4, 6]  # 2 and 5 removed, min id kept
+
+
+def test_minhash_lsh_clusters_planted_dupes(docs_ds):
+    from sanskrit_ocr_ray.stages.dedup import minhash_lsh_clusters
+
+    out = minhash_lsh_clusters(docs_ds, jaccard_threshold=0.7).to_pandas()
+    rep = dict(zip(out.doc_id, out.cluster_rep))
+    assert rep[2] == 1  # exact dup clusters with rep=min id
+    assert rep[3] == 1  # near dup (1 word of 14 differs, jaccard ≈ 0.87)
+    assert rep[5] == 4
+    assert rep[6] == 6  # singleton maps to itself
+    assert len(out) == 6  # every doc present
+
+
+def test_simhash_dup_pairs_exact_banding(docs_ds):
+    from sanskrit_ocr_ray.stages.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(docs_ds, max_hamming=6).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs  # identical text → hamming 0
+    assert (4, 5) in pairs
+    ham = dict(zip(zip(out.doc_a, out.doc_b), out.hamming))
+    assert ham[(1, 2)] == 0
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    from sanskrit_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs_ds, threshold_pm=500).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs
+    jacc = dict(zip(zip(out.doc_a, out.doc_b), out.jacc_pm))
+    assert jacc[(1, 2)] == 1000  # identical → Jaccard 1.000
+    # near dup shares most 3-grams but not all
+    if (1, 3) in pairs:
+        assert 500 <= jacc[(1, 3)] < 1000
+
+
+def test_minhash_signatures_deterministic(docs_ds):
+    from sanskrit_ocr_ray.stages.dedup import minhash_signatures_batch
+    import pyarrow as pa
+
+    t = pa.table({"doc_id": [1, 2], "text": ["a b c", "a b c"]})
+    a = minhash_signatures_batch(t).to_pandas()
+    b = minhash_signatures_batch(t).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # identical text → identical signature across docs
+    s1 = a[a.doc_id == 1].minhash.tolist()
+    s2 = a[a.doc_id == 2].minhash.tolist()
+    assert s1 == s2

@@ -1,0 +1,77 @@
+"""In-pytest guard for Ray-vs-DuckDB oracle parity (sf0.001 subset).
+
+The external driver compares every ``queries()`` entry against
+``oracle_sql()`` at sf0.01; this test wires a cheap subset at sf0.001 so
+parity regressions fail fast in `python -m pytest -x -q`.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "clean_text",
+    "dedup_exact",
+    "token_count",
+    "lang_id",
+    "quality_score",
+    "fingerprint_md5",
+    "simhash64",
+    "minhash_sig",
+    "knn_top5",
+    "nearest_centroid",
+    "q1_pricing",
+    "revenue_by_nation",
+    "events_tumbling",
+    "sessionize",
+    "top_users_by_value",
+]
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry_under_test", os.path.join(REPO, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(entry_mod, con, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    res = fn(SF)
+    d = res.to_pandas() if hasattr(res, "to_pandas") else res
+    o = con.sql(sql).df()
+    cols = sorted(d.columns)
+    assert cols == sorted(o.columns), (cols, sorted(o.columns))
+    a = d[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].sort_values(cols).reset_index(drop=True)
+    assert a.shape == b.shape
+    assert (a.astype(str).values == b.astype(str).values).all()
+
+
+def test_every_oracle_key_has_query(entry_mod):
+    qs = entry_mod.queries()
+    for key in entry_mod.oracle_sql():
+        assert key in qs, f"oracle {key} has no query"

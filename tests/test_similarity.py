@@ -1,0 +1,88 @@
+"""Similarity search: brute-force exactness, IVF degradation, dup pairs."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(80):
+        v = rng.normal(size=16)
+        rows.append(
+            {"vec_id": i, "embedding": v.astype(np.float32).tolist(), "label": i % 4}
+        )
+    # planted near-duplicate of vec 0
+    v0 = np.asarray(rows[0]["embedding"])
+    rows.append(
+        {
+            "vec_id": 999,
+            "embedding": (v0 + 1e-3 * rng.normal(size=16)).astype(np.float32).tolist(),
+            "label": 0,
+        }
+    )
+    return rd.from_items(rows)
+
+
+def test_knn_brute_matches_numpy_reference(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute
+
+    out = knn_brute(emb_ds, query_ids=[0, 1], k=3).to_pandas()
+    df = emb_ds.to_pandas()
+    mat = np.stack([np.asarray(v, np.float64) for v in df.embedding])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = df.vec_id.to_numpy()
+    for q in (0, 1):
+        qv = mat[ids == q][0]
+        sims = mat @ qv
+        mask = ids != q
+        order = np.lexsort((ids[mask], -sims[mask]))
+        expect = ids[mask][order][:3].tolist()
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == expect, q
+
+
+def test_knn_top1_finds_planted_duplicate(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute
+
+    out = knn_brute(emb_ds, query_ids=[0], k=1).to_pandas()
+    assert out.neighbor_id.tolist() == [999]
+
+
+def test_knn_ivf_full_probe_equals_brute(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute, knn_ivf
+
+    brute = knn_brute(emb_ds, query_ids=[0, 5], k=4).to_pandas()
+    ivf = knn_ivf(
+        emb_ds, query_ids=[0, 5], k=4, n_centroids=4, nprobe=4
+    ).to_pandas()
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    a = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
+
+
+def test_knn_ivf_partial_probe_recall(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute, knn_ivf
+
+    brute = knn_brute(emb_ds, query_ids=[0], k=5).to_pandas()
+    ivf = knn_ivf(emb_ds, query_ids=[0], k=5, n_centroids=4, nprobe=2).to_pandas()
+    recall = len(set(ivf.neighbor_id) & set(brute.neighbor_id)) / 5
+    assert recall >= 0.4  # approximate path returns sane results
+
+
+def test_embedding_dup_pairs_finds_planted(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import embedding_dup_pairs
+
+    out = embedding_dup_pairs(emb_ds, threshold_x1e6=990_000).to_pandas()
+    assert (0, 999) in set(zip(out.vec_a, out.vec_b))
+
+
+def test_nearest_centroid_labels_cover(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import nearest_centroid
+
+    out = nearest_centroid(emb_ds).to_pandas()
+    assert len(out) == 81
+    assert set(out.assigned_label) <= {0, 1, 2, 3}

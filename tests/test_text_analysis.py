@@ -1,0 +1,69 @@
+"""Text-analysis operators: unit behavior + determinism."""
+
+import numpy as np
+import pyarrow as pa
+
+from sanskrit_ocr_ray.stages.text_analysis import (
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+    rolling_fingerprint,
+    simhash_batch,
+    token_count_batch,
+)
+
+
+def _t(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_counts():
+    out = token_count_batch(_t(["hello world", "a b  c", ""])).to_pandas()
+    assert out.n_ws_tokens.tolist() == [2, 3, 0]
+    out2 = token_count_batch(_t(["don't stop-me now2"])).to_pandas()
+    # don ' t stop - me now 2 → 8 BPE-ish pieces
+    assert out2.n_bpe_tokens.tolist() == [8]
+
+
+def test_lang_id_rules():
+    out = lang_id_batch(
+        _t(
+            [
+                "the cat and a dog",        # en stopwords
+                "der hund ist nicht da",    # de stopwords
+                "xyzzy qwerty foo",         # no stopwords → und
+                "the der",                  # tie en=1 de=1 → alphabetical 'de'
+            ]
+        )
+    ).to_pandas()
+    assert out.pred_lang.tolist() == ["en", "de", "und", "de"]
+
+
+def test_quality_integer_components():
+    out = quality_score_batch(_t(["the cat"])).to_pandas()
+    assert out.q_chars.tolist() == [7]
+    assert out.q_tokens.tolist() == [2]
+    assert out.q_mean_tok_len_x100.tolist() == [(100 * 6) // 2]
+    assert out.q_stop_pct.tolist() == [50]
+
+
+def test_simhash_properties():
+    a = simhash_batch(_t(["alpha beta gamma delta"]))["simhash"][0].as_py()
+    b = simhash_batch(_t(["alpha beta gamma delta"]))["simhash"][0].as_py()
+    c = simhash_batch(_t(["totally different content here"]))["simhash"][0].as_py()
+    assert a == b  # deterministic
+    assert a != c
+    near = simhash_batch(_t(["alpha beta gamma epsilon"]))["simhash"][0].as_py()
+    ham = bin(int(a, 16) ^ int(near, 16)).count("1")
+    far = bin(int(a, 16) ^ int(c, 16)).count("1")
+    assert ham < far  # similar text → closer signature
+
+
+def test_fingerprints():
+    fp = fingerprint_batch(_t(["xyz"]))["fingerprint"][0].as_py()
+    import hashlib
+
+    assert fp == hashlib.md5(b"xyz").hexdigest()[:16]
+    # rolling hash: prefix property sanity + determinism
+    assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
+    assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
