@@ -71,8 +71,9 @@ def _fixture_for(sf_dir: str) -> str:
 def _extract_flat(sf_dir: str):
     import ray.data as rd
 
-    from sanskrit_ocr_ray.pipelines.extract import extract_flat
+    from sanskrit_ocr_ray.pipelines.extract import extract_flat, tune_read_context
 
+    tune_read_context()
     fx = _fixture_for(sf_dir)
     docs = rd.read_parquet(f"{fx}/docs.parquet").drop_columns(["part"])
     media = rd.read_parquet(f"{fx}/media.parquet")

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction pipeline + representative queries.
+
+Prints ONE JSON line on stdout:
+  {"metric": "extract_wall_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "docs_per_sec": ..., "sf": ...,
+   "num_cpus": N}
+
+Modes:
+  python bench.py              one run at RAY_GRAFT_CPUS (default 32) over
+                               $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  python bench.py --scaling    fresh subprocesses at num_cpus=8 and 32 on
+                               the SAME inputs → throughputs + efficiency
+                               (the sandbox stand-in for N vs 4N nodes)
+
+The extraction input is a deterministic bench-scale interleaved-docs
+fixture (SXRAY_BENCH_DOCS docs, default 6000) synthesized once into /tmp
+via the distributed synthesizer and reused across runs/parallelism levels.
+Synthesis and cache warm-up are untimed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SXRAY_BENCH_DOCS", "6000"))
+FIXTURE = f"/tmp/sxray_fixtures/bench-{BENCH_DOCS}"
+
+
+def _ensure_fixture() -> None:
+    from sanskrit_ocr_ray.synth import write_fixture_ray
+
+    if not os.path.isdir(os.path.join(FIXTURE, "golden")):
+        write_fixture_ray(FIXTURE, BENCH_DOCS, seed=42, n_partitions=32)
+
+
+def _warm(paths: list[str]) -> None:
+    """Touch file bytes once so timings measure compute, not cold disk."""
+    for p in paths:
+        if os.path.isdir(p):
+            for f in os.listdir(p):
+                with open(os.path.join(p, f), "rb") as fh:
+                    while fh.read(1 << 22):
+                        pass
+        elif os.path.exists(p):
+            with open(p, "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    import __ray_entry__ as entry_mod
+
+    _ensure_fixture()
+    _warm(
+        [os.path.join(FIXTURE, d) for d in ("docs", "media")]
+        + [os.path.join(SF_DIR, f"{t}.parquet") for t in ("lineitem", "events", "documents", "embeddings", "orders", "customer")]
+    )
+
+    from sanskrit_ocr_ray.pipelines.extract import extract_dataset, tune_read_context
+
+    tune_read_context()
+    # headline: end-to-end extraction (docs/sec is the engine target metric)
+    t0 = time.time()
+    docs = rd.read_parquet(os.path.join(FIXTURE, "docs")).drop_columns(["part"])
+    media = rd.read_parquet(os.path.join(FIXTURE, "media"))
+    n_docs = extract_dataset(docs, media).count()
+    extract_sec = time.time() - t0
+
+    queries = entry_mod.queries()
+    bench_queries = [
+        "q1_pricing",
+        "events_tumbling",
+        "sessionize",
+        "dedup_exact",
+        "simhash_dup_pairs",
+        "ngram_jaccard_pairs",
+        "knn_top5",
+        "minhash_lsh_clusters",
+        "revenue_by_nation",
+        "mktsegment_join",
+    ]
+    q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
+    for name in bench_queries:
+        t0 = time.time()
+        res = queries[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()  # consume the Dataset (streaming; no driver materialize)
+        q_secs[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "extract_wall_sec",
+        "value": round(extract_sec, 3),
+        "unit": "sec",
+        "queries": q_secs,
+        "docs_per_sec": round(n_docs / extract_sec, 2),
+        "n_docs": n_docs,
+        "bench_docs": BENCH_DOCS,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency."""
+    # generate the fixture once up-front so neither timed run synthesizes
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _ensure_fixture()
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
+        "bench_docs": BENCH_DOCS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -31,24 +31,75 @@ import pyarrow.compute as pc
 from ..stages.explode import explode_normalize_batch
 from ..stages.image import binarize_deskew_batch
 from ..stages.recognize import GlyphRecognizer, rec_to_span_rows
-from ..stages.reassemble import flatten_out, rebuild_group
+from ..stages.reassemble import flatten_out, rebuild_bucket
 from ..state import manifest as mf
-from ..util import stable_partition
+from ..util import md5_u64, stable_partition
+
+#: reassembly shuffle buckets — ≫ cores for balance, ≪ docs so each
+#: map_groups call rebuilds many docs vectorized (scale knob)
+REASSEMBLY_BUCKETS = 256
+
+
+def _default_pool_size() -> int:
+    """Recognizer actor-pool size: nearly all CPUs.
+
+    The binarize→recognize chain is the pipeline's compute (Ray fuses the
+    two map_batches into the actor pool), every other stage is I/O-light
+    string work — so the pool gets ~7/8 of the CPUs. Reserving ALL CPUs
+    starves the read/union/sort stages and serializes the pipeline
+    (measured: media read 2.8s of work stretched over 15.9s at pool=31/32);
+    a (1, N) autoscaling pool ramps too slowly for short runs — hence a
+    fixed, slightly-undersized pool.
+    """
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    # ≥2 CPUs must stay free: with all-to-all stages in the plan, a pool
+    # leaving only 1 free CPU livelocks the streaming executor (measured:
+    # pool=3/4 CPUs + random_shuffle deadlocks; pool=2/4 runs in 3.7s)
+    return max(2, cpus - max(2, cpus // 8))
+
+
+def tune_read_context() -> None:
+    """Size read splitting to the cluster instead of Ray's default 200.
+
+    The default ``read_op_min_num_blocks=200`` shatters a page-image read
+    into ~10-page blocks whose per-block executor overhead halves
+    throughput (measured 5.5s → 2.8s on a 1.9k-page read+binarize at 32
+    CPUs). 2×CPUs blocks keeps every core busy with far fewer, fatter
+    blocks; per-batch slicing inside a task still bounds UDF memory.
+    """
+    try:
+        import ray
+        from ray.data import DataContext
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        ctx = DataContext.get_current()
+        ctx.read_op_min_num_blocks = max(16, 2 * cpus)
+    except Exception:
+        pass
 
 
 def extract_dataset(
     docs_ds,
     media_ds,
     *,
-    recognizer_concurrency=(1, 8),
-    page_batch_size: int = 32,
+    recognizer_concurrency=None,
+    page_batch_size: int = 16,
     drop_metrics: bool = True,
 ):
     """One-shot extraction over in-flight Datasets → OUT_DOCS Dataset.
 
-    ``page_batch_size`` is a *pixel budget*: 32 pages × 128 KB ≈ 4 MB per
-    task input (wide binary rows need small batches, SURVEY.md §7.4).
+    ``page_batch_size`` is a *pixel budget*: 16 pages × 128 KB ≈ 2 MB per
+    task input (wide binary rows need small batches, SURVEY.md §7.4) and
+    small enough to keep the actor pool load-balanced.
     """
+    if recognizer_concurrency is None:
+        recognizer_concurrency = _default_pool_size()
+    tune_read_context()  # affects reads created after this point
     span_rows = docs_ds.map_batches(explode_normalize_batch, batch_format="pyarrow")
     rec_rows = (
         media_ds.map_batches(
@@ -65,10 +116,26 @@ def extract_dataset(
         )
         .map_batches(rec_to_span_rows, batch_format="pyarrow")
     )
+    import numpy as np
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        b = pa.array(
+            [
+                int(md5_u64(d) % np.uint64(REASSEMBLY_BUCKETS))
+                for d in batch["doc_id"].to_pylist()
+            ],
+            type=pa.int32(),
+        )
+        return batch.append_column("__db", b)
+
+    # THE one mandatory shuffle: hash(doc_id) buckets, then a vectorized
+    # many-docs-per-call rebuild (per-doc grouping would dispatch one
+    # Python call per document — unusable at 10^12 docs)
     out = (
         span_rows.union(rec_rows)
-        .groupby("doc_id")
-        .map_groups(rebuild_group, batch_format="pyarrow")
+        .map_batches(add_doc_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("__db")
+        .map_groups(rebuild_bucket, batch_format="pandas")
     )
     if drop_metrics:
         out = out.select_columns(["doc_id", "seq"])
@@ -92,8 +159,8 @@ def run_extract(
     n_partitions: int = 8,
     wave_size: int = 4,
     resume: bool = True,
-    recognizer_concurrency=(1, 8),
-    page_batch_size: int = 32,
+    recognizer_concurrency=None,
+    page_batch_size: int = 16,
 ) -> list[dict]:
     """Checkpointed, resumable extraction over an on-disk fixture.
 
@@ -112,6 +179,7 @@ def run_extract(
     """
     import ray.data as rd
 
+    tune_read_context()
     docs_path = _pick(fixture_dir, "docs")
     media_path = _pick(fixture_dir, "media")
 

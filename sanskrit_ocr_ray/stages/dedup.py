@@ -13,11 +13,19 @@ shuffle-based, order-independent formulations:
 - n-gram:  shingle explode → pair generation by shared shingle →
   exact Jaccard in integer per-mille
 
-Scale notes: every step is map_batches + groupby — no driver-side loops
-over data; the only collected structures are candidate-pair sets and
-per-doc size maps, which are O(#near-dups), not O(corpus). Popular-shingle
-groups are truncated with an explicit cap (and logged) — the standard
-guard against O(k²) pair blowup on boilerplate shingles.
+Scale notes:
+- every grouping key here (content hash, LSH bucket, shingle) has HUGE
+  cardinality with tiny groups — the one shape Ray's per-group
+  ``map_groups`` handles terribly (millions of per-group UDF calls). So
+  every such step groups by a bounded SUPER-BUCKET ``md5(key) % B`` and
+  resolves the real keys vectorized (pandas groupby / merge) inside each
+  super-bucket: one shuffle, B group calls, all inner work columnar.
+- popular keys (boilerplate shingles, giant LSH buckets) are capped per
+  bucket before pair generation — the standard guard against O(k²) pair
+  blowup; the cap is a parameter and capped keys are the degenerate ones
+  (a shingle shared by thousands of docs carries no near-dup signal).
+- collected driver-side structures are O(#candidate pairs), never
+  O(corpus).
 """
 
 from __future__ import annotations
@@ -28,33 +36,86 @@ import pyarrow as pa
 
 from ..util import md5_hex16, md5_u64
 
+#: super-bucket count for high-cardinality grouping keys; scale with
+#: cluster size (buckets ≫ cores keeps groups balanced, ≪ keys keeps
+#: per-group batches fat)
+DEFAULT_BUCKETS = 256
+
+
+def _bucket_of(values, n_buckets: int) -> pa.Array:
+    return pa.array(
+        [int(md5_u64(v) % np.uint64(n_buckets)) for v in values], type=pa.int32()
+    )
+
+
+def bucketed_aggregate(ds, keys: list[str], combine, *, n_buckets: int = DEFAULT_BUCKETS):
+    """Groupby-aggregate for HIGH-cardinality keys via bounded buckets.
+
+    Ray's native ``groupby(keys).aggregate(...)`` collapses per group in
+    Python — measured 187s for a 1.2M-group Sum on 32 CPUs — so for keys
+    with ~row-count cardinality we shuffle on ``hash(keys) % B`` instead
+    and run ``combine`` (a vectorized pandas groupby) inside each of the B
+    buckets. Every row of one key lands in one bucket, so the combine is
+    exact. ``combine(df) -> df`` must aggregate over ``keys``.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        all_numeric = True
+        for k in keys:
+            col = batch[k]
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy().astype(np.uint64)
+                h ^= (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0x100000001B3)
+                h = (h << np.uint64(13)) | (h >> np.uint64(51))
+            else:
+                all_numeric = False
+                break
+        if not all_numeric:
+            joined = zip(*(batch[k].to_pylist() for k in keys))
+            h = np.fromiter(
+                (md5_u64("|".join(map(str, row))) for row in joined),
+                np.uint64,
+                batch.num_rows,
+            )
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("__pb", pa.array(b))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns="__pb"))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("__pb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, key: str = "text", id_col: str = "doc_id", n_buckets: int = DEFAULT_BUCKETS):
     """Distinct ``key`` values, keeping the minimum ``id_col`` per value.
 
-    Hash-partitions on a 16-hex content hash (small shuffle key even for
-    huge texts), then resolves per group; hash collisions are handled by
-    grouping on the full value inside the (tiny) group.
+    Shuffles on a bounded hash bucket of the content (small shuffle key
+    even for huge texts); exact values are resolved vectorized inside
+    each bucket, so hash collisions are handled for free.
     """
-    import pyarrow.compute as pc
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        # NOTE: no deferred relative imports inside closures — by-value
-        # pickled functions cannot resolve them on workers
-        h = pa.array([md5_hex16(t or "") for t in batch[key].to_pylist()])
-        return batch.append_column("__h", h)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__b", _bucket_of((t or "" for t in batch[key].to_pylist()), n_buckets)
+        )
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
         out = group.sort_values(id_col).groupby(key, as_index=False, sort=True).first()
         return out[[id_col, key]]
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
         .map_groups(keep_min, batch_format="pandas")
     )
 
@@ -66,6 +127,14 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id"):
 
 def _seed(i: int) -> np.uint64:
     return np.uint64(md5_u64(str(i)))
+
+
+def _minhash_row(text: str, seeds: np.ndarray) -> np.ndarray:
+    toks = sorted({w for w in (text or "").split(" ") if w})
+    if not toks:
+        return np.full(len(seeds), np.iinfo(np.uint64).max, dtype=np.uint64)
+    th = np.fromiter((md5_u64(w) for w in toks), np.uint64, len(toks))
+    return np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
 
 
 def minhash_signatures_batch(
@@ -82,12 +151,7 @@ def minhash_signatures_batch(
     seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
     out_doc, out_perm, out_hash = [], [], []
     for d, t in zip(doc_ids, texts):
-        toks = sorted({w for w in (t or "").split(" ") if w})
-        if toks:
-            th = np.fromiter((md5_u64(w) for w in toks), np.uint64, len(toks))
-            mins = np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
-        else:
-            mins = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        mins = _minhash_row(t, seeds)
         for i in range(n_perm):
             out_doc.append(d)
             out_perm.append(i)
@@ -101,6 +165,19 @@ def minhash_signatures_batch(
     )
 
 
+def _pairs_by_bucket(group: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
+    """Within a super-bucket: emit candidate id pairs per real bucket."""
+    out_a: list = []
+    out_b: list = []
+    for _, sub in group.groupby("bucket", sort=False):
+        ids = sorted(set(sub[id_col]))[:max_bucket]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                out_a.append(a)
+                out_b.append(b)
+    return pd.DataFrame({"a": out_a, "b": out_b})
+
+
 def minhash_lsh_clusters(
     ds,
     *,
@@ -109,6 +186,8 @@ def minhash_lsh_clusters(
     jaccard_threshold: float = 0.7,
     column: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_bucket: int = 256,
 ):
     """Near-dup clustering: shingle→minhash→band→bucket→verify→components.
 
@@ -122,52 +201,33 @@ def minhash_lsh_clusters(
         texts = batch[column].to_pylist()
         ids = batch[id_col].to_pylist()
         seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
-        rows_id, rows_band, rows_bucket = [], [], []
+        rows_id, rows_bucket = [], []
         for d, t in zip(ids, texts):
-            toks = sorted({w for w in (t or "").split(" ") if w})
-            if toks:
-                th = np.fromiter((md5_u64(w) for w in toks), np.uint64, len(toks))
-                mins = np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
-            else:
-                mins = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+            mins = _minhash_row(t, seeds)
             for b in range(n_perm // band_size):
                 sig = ",".join(
                     f"{int(v):016x}" for v in mins[b * band_size : (b + 1) * band_size]
                 )
                 rows_id.append(d)
-                rows_band.append(b)
                 rows_bucket.append(f"{b}:{sig}")
-        return pa.table(
-            {
-                id_col: pa.array(rows_id),
-                "band": pa.array(rows_band, type=pa.int64()),
-                "bucket": pa.array(rows_bucket, type=pa.string()),
-            }
+        t_out = pa.table(
+            {id_col: pa.array(rows_id), "bucket": pa.array(rows_bucket)}
         )
-
-    MAX_BUCKET = 256  # popular-bucket guard: cap pair generation per bucket
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))[:MAX_BUCKET]
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object)})
-        return pd.DataFrame(pairs, columns=["a", "b"])
+        return t_out.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
 
     candidates = (
         ds.map_batches(sig_and_bands, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("__sb")
+        .map_groups(
+            lambda g: _pairs_by_bucket(g, id_col, max_bucket), batch_format="pandas"
+        )
     )
 
-    # collect candidate pairs + the token sets of involved docs (both are
-    # O(#candidates), not O(corpus)); verify exact Jaccard on the driver —
-    # at larger candidate volumes this step is itself a groupby over pair
-    # keys, but candidate sets are tiny by construction
+    # candidate pairs + token sets of involved docs: O(#candidates)
     cand = {
-        (r["a"], r["b"])
+        (a, b)
         for batch in candidates.iter_batches(batch_size=65536, batch_format="pandas")
-        for r in batch.to_dict("records")
+        for a, b in zip(batch["a"], batch["b"])
     }
     involved = {d for p in cand for d in p}
 
@@ -241,6 +301,7 @@ def simhash_dup_pairs(
     max_hamming: int = 6,
     column: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
 ):
     """All pairs with simhash hamming distance ≤ ``max_hamming``.
 
@@ -262,39 +323,50 @@ def simhash_dup_pairs(
                 rows_id.append(d)
                 rows_sig.append(s)
                 rows_bucket.append(f"{b}:{(s >> (8 * b)) & 0xFF:02x}")
-        return pa.table(
+        t = pa.table(
             {
                 id_col: pa.array(rows_id),
                 "sig": pa.array(rows_sig, type=pa.uint64()),
-                "bucket": pa.array(rows_bucket, type=pa.string()),
+                "bucket": pa.array(rows_bucket),
             }
         )
+        return t.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group[id_col], group["sig"])))
         out_a, out_b, out_h = [], [], []
-        for i, (da, sa) in enumerate(rows):
-            for db, sb in rows[i + 1 :]:
-                h = int(sa ^ sb).bit_count()
-                if h <= max_hamming:
-                    out_a.append(da)
-                    out_b.append(db)
-                    out_h.append(h)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+        for _, sub in group.groupby("bucket", sort=False):
+            rows = sorted(set(zip(sub[id_col], sub["sig"])))
+            for i, (da, sa) in enumerate(rows):
+                for db, sb in rows[i + 1 :]:
+                    h = int(sa ^ sb).bit_count()
+                    if h <= 6:
+                        out_a.append(da)
+                        out_b.append(db)
+                        out_h.append(h)
+        return pd.DataFrame(
+            {"doc_a": out_a, "doc_b": out_b, "hamming": np.asarray(out_h, dtype=np.int64)}
+        )
 
     pairs = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby("bucket")
+        .groupby("__sb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-
-    # a close pair shares several bands → dedup pair rows
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["doc_a", "doc_b"])
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    # a close pair shares several identical copies (one per shared band) →
+    # collapse with the bucketed combine (pair cardinality ~ row count)
+    out = bucketed_aggregate(
+        pairs,
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min(),
     )
+    if max_hamming < 6:
+        import pyarrow.compute as pc
+
+        out = out.map_batches(
+            lambda t: t.filter(pc.less_equal(t["hamming"], max_hamming)),
+            batch_format="pyarrow",
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -309,56 +381,78 @@ def ngram_jaccard_pairs(
     threshold_pm: int = 20,
     column: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_docs_per_shingle: int = 1024,
 ):
     """Pairs sharing ≥1 word n-gram with Jaccard ≥ threshold (per-mille).
 
     Output (doc_a, doc_b, jacc_pm) with integer per-mille Jaccard
     ``(1000*|A∩B|) // |A∪B|`` over DISTINCT n-grams — integer arithmetic
     end-to-end, so the DuckDB oracle matches bit-for-bit.
-    """
 
+    Intersection counts come from a self-merge per shingle super-bucket
+    (vectorized pandas), then one pair-keyed aggregate. Shingles shared
+    by more than ``max_docs_per_shingle`` docs are boilerplate, carry no
+    pair signal, and are dropped (documented cap — keep it above the
+    oracle's corpus dup multiplicity when comparing exactly).
+    """
     def shingles(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[column].to_pylist()
         rows_id, rows_g = [], []
         for d, t in zip(ids, texts):
             toks = [w for w in (t or "").split(" ") if w]
-            gs = {
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            } if len(toks) >= n else set()
-            for g in gs:
-                rows_id.append(d)
-                rows_g.append(g)
-        return pa.table({id_col: pa.array(rows_id), "g": pa.array(rows_g)})
+            if len(toks) >= n:
+                for g in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
+                    rows_id.append(d)
+                    rows_g.append(g)
+        t_out = pa.table({id_col: pa.array(rows_id), "g": pa.array(rows_g)})
+        return t_out.append_column("__sb", _bucket_of(rows_g, n_buckets))
 
     sh = ds.map_batches(shingles, batch_format="pyarrow")
 
-    # per-doc distinct shingle counts → broadcast map (O(#docs) ints)
-    sizes = {
-        r[id_col]: r["count()"]
-        for r in sh.groupby(id_col).count().iter_rows()
-    }
+    # per-doc distinct-shingle counts → broadcast map (O(#docs) ints)
+    sizes_df = (
+        sh.groupby(id_col).count().to_pandas()
+    )
+    count_col = [c for c in sizes_df.columns if c != id_col][0]
+    sizes = dict(zip(sizes_df[id_col], sizes_df[count_col]))
 
-    MAX_BUCKET = 256
+    def bucket_inter(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[[id_col, "g"]]
+        # drop boilerplate shingles (no near-dup signal, O(k²) hazard)
+        vc = df["g"].value_counts()
+        hot = vc[vc > max_docs_per_shingle].index
+        if len(hot):
+            df = df[~df["g"].isin(hot)]
+        m = df.merge(df, on="g")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=df[id_col].dtype),
+                 "doc_b": pd.Series([], dtype=df[id_col].dtype),
+                 "i": pd.Series([], dtype=np.int64)}
+            )
+        out = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False)
+            .size()
+            .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b", "size": "i"})
+        )
+        out["i"] = out["i"].astype(np.int64)
+        return out
 
-    def shingle_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))[:MAX_BUCKET]
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=object), "doc_b": pd.Series([], dtype=object)})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
-
-    inter = (
-        sh.groupby("g")
-        .map_groups(shingle_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .count()
+    inter = bucketed_aggregate(
+        sh.groupby("__sb").map_groups(bucket_inter, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["i"]
+        .sum()
+        .astype({"i": np.int64}),
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
-        i = batch["count()"].to_pylist()
+        i = batch["i"].to_pylist()
         out_a, out_b, out_j = [], [], []
         for da, db, ii in zip(a, b, i):
             union = sizes[da] + sizes[db] - ii

@@ -25,8 +25,55 @@ OUT_WITH_METRICS = schema.OUT_DOCS.append(pa.field("n_spans", pa.int32())).appen
 )
 
 
+def rebuild_bucket(df) -> pa.Table:
+    """Many documents' rows (one doc-hash bucket) → OUT_WITH_METRICS rows.
+
+    The scale-shape of reassembly: grouping per *document* would dispatch
+    one Python call per doc (10^12 calls); instead the shuffle key is
+    ``hash(doc_id) % B`` and this function rebuilds EVERY doc in the
+    bucket with one stable sort + one tight row loop. All rows of a doc
+    are guaranteed co-resident because the bucket key is a function of
+    doc_id alone.
+    """
+    df = df.sort_values(["doc_id", "offset"], kind="mergesort")
+    doc_ids = df["doc_id"].to_numpy()
+    offsets = df["offset"].to_numpy()
+    kinds = df["kind"].to_numpy()
+    texts = df["text"].to_numpy()
+    refs = df["media_ref"].to_numpy()
+    pixels = df["n_pixels"].to_numpy()
+
+    out_rows: list[dict] = []
+    i, n = 0, len(df)
+    while i < n:
+        j = i
+        rec_text: dict = {}
+        n_px = 0
+        spans: list[tuple] = []
+        doc = doc_ids[i]
+        while j < n and doc_ids[j] == doc:
+            if kinds[j] == "rec":
+                rec_text[refs[j]] = texts[j]
+                n_px += int(pixels[j])
+            else:
+                spans.append((int(offsets[j]), kinds[j], texts[j], refs[j]))
+            j += 1
+        seq = []
+        for _off, kind, text, ref in spans:  # already offset-sorted
+            if kind == "media":
+                seq.append({"kind": "media", "text": rec_text.get(ref, ""), "media_ref": ref})
+            else:
+                seq.append({"kind": "text", "text": text, "media_ref": ""})
+        out_rows.append(
+            {"doc_id": doc, "seq": seq, "n_spans": len(seq), "n_pixels": n_px}
+        )
+        i = j
+    return pa.Table.from_pylist(out_rows, schema=OUT_WITH_METRICS)
+
+
 def rebuild_group(group: pa.Table) -> pa.Table:
-    """One document's rows → one OUT_WITH_METRICS row."""
+    """One document's rows → one OUT_WITH_METRICS row (per-doc variant,
+    kept for unit tests; the pipeline uses :func:`rebuild_bucket`)."""
     kinds = group["kind"].to_pylist()
     texts = group["text"].to_pylist()
     refs = group["media_ref"].to_pylist()

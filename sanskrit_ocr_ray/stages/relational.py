@@ -54,7 +54,7 @@ def q1_pricing(ds, *, cutoff: str = "1998-09-02"):
         return pa.Table.from_pandas(part, preserve_index=False)
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty_c", alias_name="sum_qty_c"),
@@ -94,7 +94,7 @@ def revenue_by_nation(orders_ds, customer_df: pd.DataFrame, nation_df: pd.DataFr
         )
 
     agg = (
-        orders_ds.map_batches(partial, batch_format="pyarrow")
+        orders_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("n_nationkey")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
         .to_pandas()
@@ -128,7 +128,7 @@ def revenue_by_brand(lineitem_ds, part_df: pd.DataFrame):
         )
 
     return (
-        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        lineitem_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("p_brand")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
     )
@@ -157,7 +157,7 @@ def events_tumbling(ds, *, window_s: int = 3600):
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["window_start_s", "event_type"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -205,7 +205,7 @@ def top_users_by_value(ds, *, k: int = 10):
         )
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(Sum("sum_value_c", alias_name="sum_value_c"))
         .to_pandas()
