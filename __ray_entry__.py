@@ -229,6 +229,47 @@ def _ngram_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _docs_by_lang(sf_dir: str):
+    """Style-histogram analogue (SURVEY.md A2): groupby + count."""
+    from ray.data.aggregate import Count
+
+    return (
+        _tbl(sf_dir, "documents", ["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _corpus_stats(sf_dir: str):
+    """Global corpus counters (SURVEY.md A1/A3): one-row totals via
+    per-batch partials + a tiny final sum — never a driver-side loop."""
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.text_analysis import WS_TOKEN
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "n_docs": pa.array([len(texts)], type=pa.int64()),
+                "total_chars": pa.array(
+                    [sum(len(t or "") for t in texts)], type=pa.int64()
+                ),
+                "total_ws_tokens": pa.array(
+                    [sum(len(WS_TOKEN.findall(t or "")) for t in texts)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        _tbl(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return parts.sum().to_frame().T.astype("int64")
+
+
 def _knn5(sf_dir: str):
     from sanskrit_ocr_ray.stages.similarity import knn_brute
 
@@ -372,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_pairs,
         # text analysis
+        "docs_by_lang": _docs_by_lang,
+        "corpus_stats": _corpus_stats,
         "token_count": _token_count,
         "lang_id": _lang_id,
         "quality_score": _quality,
@@ -461,6 +504,15 @@ WITH tok AS (
 SELECT doc_a, doc_b, (1000 * i) // (sa.n + sb.n - i) AS jacc_pm
 FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE 1000 * i >= 20 * (sa.n + sb.n - i)
+""",
+        "docs_by_lang": """
+SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+""",
+        "corpus_stats": r"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_ws_tokens
+FROM documents
 """,
         "token_count": r"""
 SELECT doc_id,

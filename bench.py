@@ -14,7 +14,7 @@ Modes:
                                (the sandbox stand-in for N vs 4N nodes)
 
 The extraction input is a deterministic bench-scale interleaved-docs
-fixture (SXRAY_BENCH_DOCS docs, default 6000) synthesized once into /tmp
+fixture (SXRAY_BENCH_DOCS docs, default 16000) synthesized once into /tmp
 via the distributed synthesizer and reused across runs/parallelism levels.
 Synthesis and cache warm-up are untimed.
 """
@@ -33,7 +33,8 @@ if REPO not in sys.path:
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SXRAY_BENCH_DOCS", "6000"))
+BENCH_DOCS = int(os.environ.get("SXRAY_BENCH_DOCS", "16000"))
+RUN_QUERIES = os.environ.get("SXRAY_BENCH_QUERIES", "1") == "1"
 FIXTURE = f"/tmp/sxray_fixtures/bench-{BENCH_DOCS}"
 
 
@@ -108,7 +109,7 @@ def run_bench() -> dict:
         "mktsegment_join",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
-    for name in bench_queries:
+    for name in bench_queries if RUN_QUERIES else []:
         t0 = time.time()
         res = queries[name](SF_DIR)
         if hasattr(res, "count"):
@@ -143,7 +144,8 @@ def run_scaling() -> dict:
     ray.shutdown()
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling measures the headline pipeline; skip the query sweep
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), SXRAY_BENCH_QUERIES="0")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

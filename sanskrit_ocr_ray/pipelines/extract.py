@@ -57,10 +57,13 @@ def _default_pool_size() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # ≥2 CPUs must stay free: with all-to-all stages in the plan, a pool
-    # leaving only 1 free CPU livelocks the streaming executor (measured:
-    # pool=3/4 CPUs + random_shuffle deadlocks; pool=2/4 runs in 3.7s)
-    return max(2, cpus - max(2, cpus // 8))
+    # 3/4 of CPUs: the parquet read + decompress of page payloads is real
+    # work (~10% of recognition's CPU) and runs as tasks in the remaining
+    # quarter; a 7/8 pool starved the reads and idled the actors
+    # (measured 29s → 17s on a 11k-page chain). ≥2 CPUs must stay free
+    # regardless: with all-to-all stages in the plan, a pool leaving only
+    # 1 free CPU livelocks the streaming executor.
+    return max(2, min(cpus - 2, cpus * 3 // 4))
 
 
 def tune_read_context() -> None:
@@ -79,6 +82,12 @@ def tune_read_context() -> None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         ctx = DataContext.get_current()
         ctx.read_op_min_num_blocks = max(16, 2 * cpus)
+        # cap block size well below the 128 MiB default: page-payload blocks
+        # of ~55 MiB become ~10 s recognition tasks, and with only
+        # 2-3 task rounds per actor the last round idles a third of the
+        # pool (measured 64% pool utilization at 27k pages). 16 MiB blocks
+        # (~125 pages) keep rounds fine-grained at negligible per-block cost.
+        ctx.target_max_block_size = 16 * 1024 * 1024
     except Exception:
         pass
 
@@ -88,34 +97,60 @@ def extract_dataset(
     media_ds,
     *,
     recognizer_concurrency=None,
-    page_batch_size: int = 16,
+    page_batch_size: int = 64,
     drop_metrics: bool = True,
+    media_ref_embeds_doc_id: bool = True,
+    boilerplate_min_docs: int | None = None,
 ):
     """One-shot extraction over in-flight Datasets → OUT_DOCS Dataset.
 
-    ``page_batch_size`` is a *pixel budget*: 16 pages × 128 KB ≈ 2 MB per
-    task input (wide binary rows need small batches, SURVEY.md §7.4) and
-    small enough to keep the actor pool load-balanced.
+    ``page_batch_size`` is a *pixel budget*: 64 pages × 128 KB ≈ 8 MB per
+    task input (wide binary rows need bounded batches, SURVEY.md §7.4);
+    larger batches amortize per-batch Arrow assembly (measured 54s → 48s
+    at 8 CPUs moving 16 → 64).
+
+    ``media_ref_embeds_doc_id``: when True (the engine's partitioning
+    convention, FIXTURES.md §1) recognition results derive their doc_id
+    from the ``media_ref`` prefix and reach reassembly with a SINGLE
+    shuffle. When False, an extra bucketed media_ref join attaches
+    recognition output to the media spans first (two shuffles total).
+
+    ``boilerplate_min_docs``: if set, text spans whose normalized text
+    recurs in ≥ that many documents are stripped (corpus-level exact
+    boilerplate filter; empty strings never count).
     """
     if recognizer_concurrency is None:
         recognizer_concurrency = _default_pool_size()
     tune_read_context()  # affects reads created after this point
     span_rows = docs_ds.map_batches(explode_normalize_batch, batch_format="pyarrow")
-    rec_rows = (
-        media_ds.map_batches(
-            binarize_deskew_batch,
-            batch_format="pyarrow",
-            batch_size=page_batch_size,
+    if boilerplate_min_docs is not None:
+        from ..stages.normalize import strip_boilerplate
+
+        is_text = lambda t: pc.equal(t["kind"], "text")  # noqa: E731
+        text_part = span_rows.map_batches(
+            lambda t: t.filter(is_text(t)), batch_format="pyarrow"
         )
-        .map_batches(
-            GlyphRecognizer,
-            batch_format="pyarrow",
-            batch_size=page_batch_size,
-            concurrency=recognizer_concurrency,
-            num_cpus=1,
+        other_part = span_rows.map_batches(
+            lambda t: t.filter(pc.invert(is_text(t))), batch_format="pyarrow"
         )
-        .map_batches(rec_to_span_rows, batch_format="pyarrow")
+        span_rows = strip_boilerplate(
+            text_part, min_docs=boilerplate_min_docs
+        ).union(other_part)
+    rec_out = media_ds.map_batches(
+        binarize_deskew_batch,
+        batch_format="pyarrow",
+        batch_size=page_batch_size,
+    ).map_batches(
+        GlyphRecognizer,
+        batch_format="pyarrow",
+        batch_size=page_batch_size,
+        concurrency=recognizer_concurrency,
+        num_cpus=1,
     )
+    if media_ref_embeds_doc_id:
+        rec_rows = rec_out.map_batches(rec_to_span_rows, batch_format="pyarrow")
+    else:
+        span_rows, rec_rows = _join_rec_by_media_ref(span_rows, rec_out)
     import numpy as np
 
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
@@ -142,6 +177,69 @@ def extract_dataset(
     return out
 
 
+def _join_rec_by_media_ref(span_rows, rec_out, n_buckets: int = 256):
+    """Fallback join: attach recognition output to media-span rows by an
+    explicit bucketed equi-join on ``media_ref`` (used when media_ref does
+    not embed doc_id). Returns (non-media span rows, joined media rows in
+    rec-row schema). One extra small-row shuffle; pixels long gone."""
+    import numpy as np
+    import pandas as pd
+
+    def split(kind_is_media: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["kind"], "media")
+            return t.filter(m if kind_is_media else pc.invert(m))
+
+        return fn
+
+    text_rows = span_rows.map_batches(split(False), batch_format="pyarrow")
+    media_rows = span_rows.map_batches(split(True), batch_format="pyarrow")
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            b = pa.array(
+                [
+                    int(md5_u64(r) % np.uint64(n_buckets))
+                    for r in t["media_ref"].to_pylist()
+                ],
+                type=pa.int32(),
+            )
+            cols = {
+                "doc_id": t["doc_id"] if side == "m" else pa.nulls(t.num_rows, pa.string()),
+                "offset": t["offset"] if side == "m" else pa.nulls(t.num_rows, pa.int32()),
+                "media_ref": t["media_ref"],
+                "text": t["text"],
+                "n_pixels": t["n_pixels"],
+            }
+            out = pa.table(cols)
+            return out.append_column("__mb", b).append_column(
+                "__side", pa.array([side] * t.num_rows)
+            )
+
+        return fn
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["__side"] == "m"][["doc_id", "offset", "media_ref"]]
+        r = df[df["__side"] == "r"][["media_ref", "text", "n_pixels"]]
+        out = m.merge(r, on="media_ref", how="left")
+        out["text"] = out["text"].fillna("")
+        out["n_pixels"] = out["n_pixels"].fillna(0).astype(np.int64)
+        # the joined row IS the media span, text already attached;
+        # rebuild_bucket falls back to the row's own text when there is
+        # no separate 'rec' lookup row for its media_ref
+        out["kind"] = "media"
+        out["offset"] = out["offset"].astype(np.int32)
+        return out[["doc_id", "offset", "kind", "text", "media_ref", "n_pixels"]]
+
+    joined = (
+        media_rows.map_batches(tag("m"), batch_format="pyarrow")
+        .union(rec_out.map_batches(tag("r"), batch_format="pyarrow"))
+        .groupby("__mb")
+        .map_groups(join_bucket, batch_format="pandas")
+    )
+    return text_rows, joined
+
+
 def extract_flat(docs_ds, media_ds, **kwargs):
     """Extraction with OUT_FLAT rows (one row per span) — compare-friendly."""
     out = extract_dataset(docs_ds, media_ds, **kwargs)
@@ -160,7 +258,7 @@ def run_extract(
     wave_size: int = 4,
     resume: bool = True,
     recognizer_concurrency=None,
-    page_batch_size: int = 16,
+    page_batch_size: int = 64,
 ) -> list[dict]:
     """Checkpointed, resumable extraction over an on-disk fixture.
 

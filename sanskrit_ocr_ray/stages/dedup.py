@@ -82,6 +82,8 @@ def bucketed_aggregate(ds, keys: list[str], combine, *, n_buckets: int = DEFAULT
         return batch.append_column("__pb", pa.array(b))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:  # empty groups arrive column-less — pass through
+            return pd.DataFrame()
         return combine(df.drop(columns="__pb"))
 
     return (

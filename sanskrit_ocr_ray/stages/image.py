@@ -48,12 +48,18 @@ def sauvola(img: np.ndarray, window: int = 31, k: float = 0.2, r: float = 128.0)
     neighborhood, computed with integral images (O(1) per pixel).
     """
     h, w = img.shape
-    f = img.astype(np.float64)
     pad = window // 2
-    fp = np.pad(f, pad + 1, mode="edge")
-    # integral images of x and x^2; ii[i, j] = sum of fp[:i, :j]
-    ii = fp.cumsum(0).cumsum(1)
-    ii2 = (fp * fp).cumsum(0).cumsum(1)
+    fp = np.pad(img, pad + 1, mode="edge")
+    # exact integer integral images (uint8 sums fit int32 / int64 — no
+    # float accumulation error, ~half the memory traffic of f64);
+    # in-place cumsums avoid two temporaries per page
+    ii = fp.astype(np.int32)
+    np.cumsum(ii, axis=0, out=ii)
+    np.cumsum(ii, axis=1, out=ii)
+    ii2 = fp.astype(np.int64)
+    np.multiply(ii2, ii2, out=ii2)
+    np.cumsum(ii2, axis=0, out=ii2)
+    np.cumsum(ii2, axis=1, out=ii2)
 
     def box(iimg: np.ndarray) -> np.ndarray:
         a = iimg[window : window + h, window : window + w]
@@ -67,7 +73,7 @@ def sauvola(img: np.ndarray, window: int = 31, k: float = 0.2, r: float = 128.0)
     var = np.maximum(box(ii2) / n - mean * mean, 0.0)
     std = np.sqrt(var)
     thresh = mean * (1.0 + k * (std / r - 1.0))
-    return f < thresh
+    return img < thresh
 
 
 def despeckle(ink: np.ndarray) -> np.ndarray:

@@ -60,6 +60,51 @@ def make_normalizer(keep_class: str = DEVANAGARI, *, nfc: bool = True, lower: bo
 normalize_devanagari = make_normalizer(DEVANAGARI)
 
 
+def strip_boilerplate(
+    ds,
+    *,
+    column: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    n_buckets: int = 256,
+):
+    """Drop rows whose ``column`` value recurs across ≥ ``min_docs`` docs.
+
+    The north-star "boilerplate stripping for text-kind spans": repeated
+    headers/footers/navigation recur verbatim across documents, and
+    exact-text document frequency is the classic first-pass filter.
+
+    Two streaming passes: (1) doc-frequency per distinct text via the
+    bounded-bucket aggregate (text is a huge-cardinality key — see
+    stages/dedup.bucketed_aggregate); texts over threshold are collected
+    (boilerplate is by definition a small set) and broadcast with
+    ``ray.put``; (2) a vectorized filter pass. No full materialization.
+    """
+    import pandas as pd
+    import ray
+
+    from .dedup import bucketed_aggregate
+
+    def docfreq(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(column, as_index=False)[id_col].nunique()
+        out = out.rename(columns={id_col: "df"})
+        return out[out["df"] >= min_docs]
+
+    hot = bucketed_aggregate(
+        ds.select_columns([id_col, column]), [column], docfreq, n_buckets=n_buckets
+    ).to_pandas()
+    # no boilerplate found → empty, column-less frame
+    hot_set = frozenset(hot[column]) if column in hot.columns else frozenset()
+    ref = ray.put(hot_set)
+
+    def drop_hot(batch: pa.Table) -> pa.Table:
+        hs = ray.get(ref)
+        keep = pa.array([t not in hs for t in batch[column].to_pylist()])
+        return batch.filter(keep)
+
+    return ds.map_batches(drop_hot, batch_format="pyarrow")
+
+
 def normalize_column(
     batch: pa.Table,
     column: str = "text",

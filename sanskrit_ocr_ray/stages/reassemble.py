@@ -61,7 +61,11 @@ def rebuild_bucket(df) -> pa.Table:
         seq = []
         for _off, kind, text, ref in spans:  # already offset-sorted
             if kind == "media":
-                seq.append({"kind": "media", "text": rec_text.get(ref, ""), "media_ref": ref})
+                # rec lookup (single-shuffle path) or the span's own text
+                # (pre-joined two-shuffle path); "" when recognition missing
+                seq.append(
+                    {"kind": "media", "text": rec_text.get(ref, text), "media_ref": ref}
+                )
             else:
                 seq.append({"kind": "text", "text": text, "media_ref": ""})
         out_rows.append(
@@ -69,48 +73,6 @@ def rebuild_bucket(df) -> pa.Table:
         )
         i = j
     return pa.Table.from_pylist(out_rows, schema=OUT_WITH_METRICS)
-
-
-def rebuild_group(group: pa.Table) -> pa.Table:
-    """One document's rows → one OUT_WITH_METRICS row (per-doc variant,
-    kept for unit tests; the pipeline uses :func:`rebuild_bucket`)."""
-    kinds = group["kind"].to_pylist()
-    texts = group["text"].to_pylist()
-    refs = group["media_ref"].to_pylist()
-    offsets = group["offset"].to_pylist()
-    pixels = group["n_pixels"].to_pylist()
-
-    rec_text = {
-        refs[i]: texts[i] for i in range(len(kinds)) if kinds[i] == "rec"
-    }
-    n_pixels = sum(pixels[i] for i in range(len(kinds)) if kinds[i] == "rec")
-
-    spans = sorted(
-        (
-            (offsets[i], kinds[i], texts[i], refs[i])
-            for i in range(len(kinds))
-            if kinds[i] != "rec"
-        ),
-    )
-    seq = []
-    for _off, kind, text, ref in spans:
-        if kind == "media":
-            seq.append({"kind": "media", "text": rec_text.get(ref, ""), "media_ref": ref})
-        else:
-            seq.append({"kind": "text", "text": text, "media_ref": ""})
-
-    doc_id = group["doc_id"][0].as_py()
-    return pa.Table.from_pylist(
-        [
-            {
-                "doc_id": doc_id,
-                "seq": seq,
-                "n_spans": len(seq),
-                "n_pixels": n_pixels,
-            }
-        ],
-        schema=OUT_WITH_METRICS,
-    )
 
 
 def flatten_out(batch: pa.Table) -> pa.Table:

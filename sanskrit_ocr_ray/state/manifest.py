@@ -64,7 +64,7 @@ def commit_partition(
 
     Metrics are read from the committed files' own columns/metadata
     (n_docs from parquet row counts; n_spans/n_pixels from the lineage
-    metric columns written by reassemble.rebuild_group) so the record
+    metric columns written by reassemble.rebuild_bucket) so the record
     always describes exactly what was published.
     """
     final_dir = os.path.join(out_dir, f"part={partition_id}")

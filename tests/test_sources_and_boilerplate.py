@@ -1,0 +1,90 @@
+"""Chunked corpus reader, prompt templating, boilerplate strip,
+fallback media_ref join path."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_read_chunked_passages_wraps(ray_session, tmp_path):
+    from sanskrit_ocr_ray.sources.text import DANDA_END, DANDA_SEP, read_chunked_passages
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("l0\nl1\nl2\n")
+    out = (
+        read_chunked_passages(str(corpus), chunk_size=2, n_chunks=3)
+        .to_pandas()
+        .sort_values("chunk_id")
+    )
+    # 3 chunks × 2 lines over a 3-line file → wrap-around like
+    # generate_dataset.py:13-18
+    assert out.passage.tolist() == [
+        f"l0{DANDA_SEP}l1{DANDA_END}",
+        f"l2{DANDA_SEP}l0{DANDA_END}",
+        f"l1{DANDA_SEP}l2{DANDA_END}",
+    ]
+
+
+def test_read_chunked_passages_empty_raises(ray_session, tmp_path):
+    from sanskrit_ocr_ray.sources.text import read_chunked_passages
+
+    corpus = tmp_path / "empty.txt"
+    corpus.write_text("")
+    with pytest.raises(ValueError):
+        read_chunked_passages(str(corpus))
+
+
+def test_template_prompts():
+    from sanskrit_ocr_ray.sources.text import template_prompts
+
+    t = pa.table({"text": ["hello"]})
+    out = template_prompts(t, template="T: {text}!")
+    assert out["prompt"][0].as_py() == "T: hello!"
+
+
+def test_strip_boilerplate(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.normalize import strip_boilerplate
+
+    rows = [{"doc_id": f"d{i}", "text": "COMMON FOOTER"} for i in range(5)]
+    rows += [{"doc_id": f"d{i}", "text": f"unique {i}"} for i in range(5)]
+    out = strip_boilerplate(rd.from_items(rows), min_docs=3).to_pandas()
+    assert "COMMON FOOTER" not in set(out.text)
+    assert len(out) == 5  # unique texts survive
+
+
+def test_extract_two_shuffle_join_path(ray_session, fixture_dir):
+    """media_ref-join fallback produces the same output as the embed path."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.pipelines.extract import extract_dataset
+
+    docs = rd.read_parquet(f"{fixture_dir}/docs.parquet").drop_columns(["part"])
+    media = rd.read_parquet(f"{fixture_dir}/media.parquet")
+    out = extract_dataset(
+        docs, media, media_ref_embeds_doc_id=False
+    ).to_pandas()
+    golden = pq.read_table(os.path.join(fixture_dir, "golden.parquet")).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    golden = golden.sort_values("doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == list(golden.doc_id)
+    for i in range(len(golden)):
+        a = [(d["kind"], d["text"], d["media_ref"]) for d in out.seq[i]]
+        b = [(d["kind"], d["text"], d["media_ref"]) for d in golden.seq[i]]
+        assert a == b, golden.doc_id[i]
+
+
+def test_extract_with_boilerplate_strip(ray_session, fixture_dir):
+    """Enabling the filter at a high threshold is a no-op on the fixture."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.pipelines.extract import extract_dataset
+
+    docs = rd.read_parquet(f"{fixture_dir}/docs.parquet").drop_columns(["part"])
+    media = rd.read_parquet(f"{fixture_dir}/media.parquet")
+    out = extract_dataset(docs, media, boilerplate_min_docs=9999).to_pandas()
+    golden = pq.read_table(os.path.join(fixture_dir, "golden.parquet"))
+    assert len(out) == golden.num_rows
