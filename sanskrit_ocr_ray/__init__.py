@@ -50,6 +50,8 @@ def _register_for_ray() -> None:
         "stages.multimodal",
         "stages.relational",
         "pipelines.extract",
+        "pipelines.config",
+        "sources.text",
         "state.manifest",
     ]
     for name in submodules:

@@ -101,6 +101,7 @@ def extract_dataset(
     drop_metrics: bool = True,
     media_ref_embeds_doc_id: bool = True,
     boilerplate_min_docs: int | None = None,
+    extra_span_stages: tuple = (),
 ):
     """One-shot extraction over in-flight Datasets → OUT_DOCS Dataset.
 
@@ -123,6 +124,8 @@ def extract_dataset(
         recognizer_concurrency = _default_pool_size()
     tune_read_context()  # affects reads created after this point
     span_rows = docs_ds.map_batches(explode_normalize_batch, batch_format="pyarrow")
+    for _name, fn in extra_span_stages:  # user stages (SURVEY.md §2.10)
+        span_rows = span_rows.map_batches(fn, batch_format="pyarrow")
     if boilerplate_min_docs is not None:
         from ..stages.normalize import strip_boilerplate
 

@@ -28,12 +28,21 @@ DEVANAGARI = "ऀ-ॿ "
 ASCII_LOWER = "a-z "
 
 
-def make_normalizer(keep_class: str = DEVANAGARI, *, nfc: bool = True, lower: bool = False):
+def make_normalizer(
+    keep_class: str = DEVANAGARI,
+    *,
+    nfc: bool = True,
+    lower: bool = False,
+    max_chars: int | None = None,
+):
     """Build a vectorized normalizer: numpy array of str → numpy array of str.
 
-    Order: [lowercase] → delete chars outside ``keep_class`` → NFC → strip.
-    (NFC after filtering matches composing the *kept* sequence; the filter
-    is per-codepoint so the order only matters for chars the class drops.)
+    Order: [lowercase] → delete chars outside ``keep_class`` → NFC → strip
+    → [truncate to ``max_chars``]. ``max_chars`` is the per-span length
+    knob (the reference truncates model inputs,
+    translate_bookcorpus.py:124,135 — M12). (NFC after filtering matches
+    composing the *kept* sequence; the filter is per-codepoint so the
+    order only matters for chars the class drops.)
     """
     pat = re.compile(f"[^{keep_class}]")
 
@@ -50,7 +59,10 @@ def make_normalizer(keep_class: str = DEVANAGARI, *, nfc: bool = True, lower: bo
             t = sub("", t)
             if nfc:
                 t = norm("NFC", t)
-            out[i] = t.strip()
+            t = t.strip()
+            if max_chars is not None and len(t) > max_chars:
+                t = t[:max_chars].rstrip()
+            out[i] = t
         return out
 
     return normalize_many
@@ -113,13 +125,14 @@ def normalize_column(
     *,
     nfc: bool = True,
     lower: bool = False,
+    max_chars: int | None = None,
     drop_empty: bool = False,
 ) -> pa.Table:
     """map_batches body: normalize ``column``; optionally drop empty rows (M2)."""
     fn = (
         normalize_devanagari
-        if (keep_class == DEVANAGARI and nfc and not lower)
-        else make_normalizer(keep_class, nfc=nfc, lower=lower)
+        if (keep_class == DEVANAGARI and nfc and not lower and max_chars is None)
+        else make_normalizer(keep_class, nfc=nfc, lower=lower, max_chars=max_chars)
     )
     texts = np.asarray(batch[column].to_pylist(), dtype=object)
     cleaned = pa.array(fn(texts), type=pa.string())
