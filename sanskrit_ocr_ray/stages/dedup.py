@@ -86,8 +86,15 @@ def bucketed_aggregate(ds, keys: list[str], combine, *, n_buckets: int = DEFAULT
             return pd.DataFrame()
         return combine(df.drop(columns="__pb"))
 
+    try:
+        import ray
+
+        coalesce = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        coalesce = 64
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .repartition(coalesce)  # coalesce tiny blocks before the sort barrier
         .groupby("__pb")
         .map_groups(per_bucket, batch_format="pandas")
     )
