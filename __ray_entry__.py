@@ -350,6 +350,33 @@ def _top_users(sf_dir: str):
     return top_users_by_value(_tbl(sf_dir, "events", ["user_id", "value"]))
 
 
+def _top_lineitems(sf_dir: str):
+    """Global distributed sort + limit (Dataset.sort → range-partitioned
+    shuffle), deterministic tie-break on (orderkey, linenumber)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _tbl(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["l_extendedprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "price_c": pa.array(c),
+            }
+        )
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+        .sort(["price_c", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(10)
+    )
+
+
 def _mktsegment_join(sf_dir: str):
     """Large⋈large partitioned hash join demo: orders ⋈ customer."""
     import numpy as np
@@ -432,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _events_window,
         "sessionize": _sessionize,
         "top_users_by_value": _top_users,
+        "top_lineitems": _top_lineitems,
         "mktsegment_join": _mktsegment_join,
     }
 
@@ -655,6 +683,13 @@ SELECT user_id, sum_value_c FROM (
   FROM events GROUP BY user_id
   ORDER BY sum_value_c DESC, user_id LIMIT 10
 )
+""",
+        "top_lineitems": """
+SELECT l_orderkey, l_linenumber,
+       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+FROM lineitem
+ORDER BY price_c DESC, l_orderkey, l_linenumber
+LIMIT 10
 """,
         "mktsegment_join": """
 SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,
