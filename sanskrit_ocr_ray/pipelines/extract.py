@@ -307,16 +307,38 @@ def run_extract(
             docs_path, filter=pc.field("part").isin(wave)
         )
 
-        def media_in_wave(batch: pa.Table, wave_set=frozenset(wave_set)) -> pa.Table:
-            keep = [
-                _part_of_media_ref(r, n_partitions) in wave_set
-                for r in batch["media_ref"].to_pylist()
+        # co-partitioned media layout (media/part=K/ dirs, written by
+        # synth.write_fixture_ray): read ONLY the wave's partitions — no
+        # bytes leave storage for committed partitions. Fall back to an
+        # in-flight filter for unpartitioned single-file media.
+        part_dirs = [
+            os.path.join(media_path, f"part={p}")
+            for p in wave
+            if os.path.isdir(os.path.join(media_path, f"part={p}"))
+        ]
+        if part_dirs:
+            # expand to files: this Ray version's read_parquet doesn't
+            # accept a list of directories
+            files = [
+                os.path.join(d, f)
+                for d in part_dirs
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
             ]
-            return batch.filter(pa.array(keep))
+            media_ds = rd.read_parquet(files)
+            if "part" in media_ds.schema().names:
+                media_ds = media_ds.drop_columns(["part"])
+        else:
+            def media_in_wave(batch: pa.Table, wave_set=frozenset(wave_set)) -> pa.Table:
+                keep = [
+                    _part_of_media_ref(r, n_partitions) in wave_set
+                    for r in batch["media_ref"].to_pylist()
+                ]
+                return batch.filter(pa.array(keep))
 
-        media_ds = rd.read_parquet(media_path).map_batches(
-            media_in_wave, batch_format="pyarrow"
-        )
+            media_ds = rd.read_parquet(media_path).map_batches(
+                media_in_wave, batch_format="pyarrow"
+            )
 
         out = extract_dataset(
             docs_ds.drop_columns(["part"]),

@@ -230,14 +230,28 @@ def write_fixture_ray(out_dir: str, n_docs: int, seed: int = 42, n_partitions: i
                 synth_doc(f"doc-{int(i):08d}", seed) for i in batch["id"].to_pylist()
             ]
             docs, media, truth, golden = _tables_from_docs(results, n_partitions)
-            return {"docs": docs, "media": media, "media_truth": truth, "golden": golden}[key]
+            if key == "media":
+                # co-partition media with the docs' hash partitions: the
+                # production layout that lets a resumed run read ONLY its
+                # pending partitions (SURVEY.md §4 sharding)
+                part = pa.array(
+                    [
+                        stable_partition(r.split("/", 1)[0], n_partitions)
+                        for r in media["media_ref"].to_pylist()
+                    ],
+                    type=pa.int32(),
+                )
+                return media.append_column("part", part)
+            return {"docs": docs, "media_truth": truth, "golden": golden}[key]
 
         return project
 
     for key in ("docs", "media", "media_truth", "golden"):
-        (
-            rd.range(n_docs)
-            .map_batches(make_pass(key), batch_format="pyarrow", batch_size=64)
-            .write_parquet(os.path.join(out_dir, key))
+        ds = rd.range(n_docs).map_batches(
+            make_pass(key), batch_format="pyarrow", batch_size=64
         )
+        if key == "media":
+            ds.write_parquet(os.path.join(out_dir, key), partition_cols=["part"])
+        else:
+            ds.write_parquet(os.path.join(out_dir, key))
     return out_dir
