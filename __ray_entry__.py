@@ -338,6 +338,12 @@ def _events_window(sf_dir: str):
     return events_tumbling(_tbl(sf_dir, "events", ["ts", "event_type", "value"]))
 
 
+def _events_sliding(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import events_sliding
+
+    return events_sliding(_tbl(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
 def _sessionize(sf_dir: str):
     from sanskrit_ocr_ray.stages.relational import sessionize
 
@@ -457,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _rev_nation,
         "revenue_by_brand": _rev_brand,
         "events_tumbling": _events_window,
+        "events_sliding": _events_sliding,
         "sessionize": _sessionize,
         "top_users_by_value": _top_users,
         "top_lineitems": _top_lineitems,
@@ -659,6 +666,18 @@ SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start_s,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM events GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH x AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, event_type, value FROM events
+), w AS (
+  SELECT (s // 1800) * 1800 AS window_start_s, event_type, value FROM x
+  UNION ALL
+  SELECT (s // 1800) * 1800 - 1800 AS window_start_s, event_type, value FROM x
+)
+SELECT window_start_s, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM w GROUP BY window_start_s, event_type
 """,
         "sessionize": """
 WITH x AS (

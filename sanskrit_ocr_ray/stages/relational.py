@@ -166,6 +166,46 @@ def events_tumbling(ds, *, window_s: int = 3600):
     )
 
 
+def events_sliding(ds, *, window_s: int = 3600, step_s: int = 1800):
+    """Sliding-window aggregate: each event lands in ``window_s/step_s``
+    overlapping windows; assignment happens vectorized per batch, then the
+    usual partial-aggregate → small groupby. (Window semantics over a
+    bounded log — Ray Data has no watermarks; SURVEY.md §2.9.)"""
+    from ray.data.aggregate import Sum
+
+    k = window_s // step_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch["ts"], pa.int64()).to_numpy() // 1_000_000
+        base = (s // step_s) * step_s
+        frames = []
+        for i in range(k):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start_s": base - i * step_s,
+                        "event_type": batch["event_type"].to_pylist(),
+                        "n_events": np.ones(len(s), dtype=np.int64),
+                        "sum_value_c": _cents(batch["value"].to_numpy()),
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(
+            df.groupby(["window_start_s", "event_type"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start_s", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+        )
+    )
+
+
 def sessionize(ds, *, gap_s: int = 1800):
     """Per-user sessionization (30-min inactivity gap): one row per
     session with event count and duration. The ordering contract —
