@@ -341,6 +341,12 @@ def simhash_dup_pairs(
         )
         return t.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
 
+    if max_hamming > 7:
+        raise ValueError(
+            "8 bands of 8 bits guarantee candidate capture only for "
+            f"hamming <= 7 (pigeonhole); got max_hamming={max_hamming}"
+        )
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
         for _, sub in group.groupby("bucket", sort=False):
@@ -348,7 +354,7 @@ def simhash_dup_pairs(
             for i, (da, sa) in enumerate(rows):
                 for db, sb in rows[i + 1 :]:
                     h = int(sa ^ sb).bit_count()
-                    if h <= 6:
+                    if h <= max_hamming:
                         out_a.append(da)
                         out_b.append(db)
                         out_h.append(h)
@@ -363,19 +369,11 @@ def simhash_dup_pairs(
     )
     # a close pair shares several identical copies (one per shared band) →
     # collapse with the bucketed combine (pair cardinality ~ row count)
-    out = bucketed_aggregate(
+    return bucketed_aggregate(
         pairs,
         ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min(),
     )
-    if max_hamming < 6:
-        import pyarrow.compute as pc
-
-        out = out.map_batches(
-            lambda t: t.filter(pc.less_equal(t["hamming"], max_hamming)),
-            batch_format="pyarrow",
-        )
-    return out
 
 
 # ---------------------------------------------------------------------------
