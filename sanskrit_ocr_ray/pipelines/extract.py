@@ -296,6 +296,12 @@ def run_extract(
 
     done = mf.completed_partitions(out_dir) if resume else set()
     pending = [p for p in range(n_partitions) if p not in done]
+    # a crashed wave leaves partial files under _tmp; the rerun's
+    # write_parquet would APPEND beside them → duplicated docs. _tmp holds
+    # only uncommitted state, so clearing it is always safe.
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, "_tmp"), ignore_errors=True)
     os.makedirs(os.path.join(out_dir, "_tmp"), exist_ok=True)
 
     for w0 in range(0, len(pending), wave_size):

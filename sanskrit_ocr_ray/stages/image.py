@@ -98,7 +98,11 @@ def estimate_skew(
     random page rotation.
     """
     ys, xs = np.nonzero(ink)
-    if ys.size < 32:
+    if ys.size < 300:
+        # too little ink to estimate reliably — the profile score of a
+        # few dozen points is noise and "deskewing" a straight page by a
+        # hallucinated angle corrupts it (hypothesis found the
+        # single-glyph case). A single text line is ~1.4k points.
         return 0.0
     ys = ys.astype(np.float64)
     xs = xs.astype(np.float64)
@@ -226,7 +230,10 @@ def segment_lines(ink: np.ndarray) -> list[tuple[int, int]]:
     """Text-line bands as [y0, y1) pairs from the horizontal projection
     profile (inverts render_text.py:192-254's top-to-bottom line layout)."""
     rows = ink.sum(axis=1)
-    mask = rows >= 4
+    # threshold 2: a single glyph's stem contributes exactly 2 px/row, and
+    # stem rows must keep the band contiguous (threshold 4 split
+    # single-glyph lines — found by the hypothesis roundtrip property)
+    mask = rows >= 2
     return [
         (y0, y1)
         for (y0, y1) in _runs(mask, min_gap=4, min_len=SHIRO_H)
@@ -353,7 +360,12 @@ def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
     )
     ink = despeckle(sauvola(img))
     angle = estimate_skew(ink)
-    if abs(angle) > 0.05:
+    # Correct only confident tilts: ≤0.5° drifts ~1.5 px across a page and
+    # per-glyph shirorekha top detection absorbs it, while "correcting" a
+    # straight page by a hallucinated fraction of a degree (estimator
+    # noise on pathologically regular glyph patterns) smears bit cells —
+    # found by the hypothesis clean-roundtrip property.
+    if abs(angle) > 0.5:
         # estimate_skew's score peaks at the angle whose *application* (in
         # rotate_gray's convention) re-aligns the line bands. Deskew by
         # area-sampling the binary mask (bilinear + 0.5 threshold): crisper

@@ -106,6 +106,40 @@ def test_run_extract_checkpoint_and_resume(ray_session, fixture_dir, tmp_path):
     ]
 
 
+def test_resume_with_crashed_wave_tmp_leftovers(ray_session, fixture_dir, tmp_path):
+    """Partial _tmp output from a crashed wave must not leak duplicates."""
+    import pyarrow.parquet as pqw
+
+    from sanskrit_ocr_ray.pipelines.extract import run_extract
+    from sanskrit_ocr_ray.state import manifest as mf
+
+    out_dir = str(tmp_path / "out3")
+    run_extract(fixture_dir, out_dir, n_partitions=4, wave_size=2)
+    ids_before = sorted(_read_parts(out_dir)["doc_id"].to_pylist())
+
+    # simulate a crash mid-wave: partition 1 uncommitted, with stale
+    # partial output sitting in _tmp
+    shutil.rmtree(f"{out_dir}/part=1")
+    os.remove(mf.manifest_path(out_dir, 1))
+    stale = os.path.join(out_dir, "_tmp", "part=1")
+    os.makedirs(stale, exist_ok=True)
+    pqw.write_table(
+        pa.table(
+            {
+                "doc_id": ["doc-junk"],
+                "seq": [[]],
+                "n_spans": pa.array([0], type=pa.int32()),
+                "n_pixels": pa.array([0], type=pa.int64()),
+            }
+        ),
+        os.path.join(stale, "stale.parquet"),
+    )
+
+    run_extract(fixture_dir, out_dir, n_partitions=4, wave_size=2)
+    ids_after = sorted(_read_parts(out_dir)["doc_id"].to_pylist())
+    assert ids_after == ids_before  # no junk, no loss, no duplicates
+
+
 def test_manifest_metrics_cover_all_docs(ray_session, fixture_dir, tmp_path):
     from sanskrit_ocr_ray.pipelines.extract import run_extract
 
