@@ -49,10 +49,11 @@ def _warm(paths: list[str]) -> None:
     """Touch file bytes once so timings measure compute, not cold disk."""
     for p in paths:
         if os.path.isdir(p):
-            for f in os.listdir(p):
-                with open(os.path.join(p, f), "rb") as fh:
-                    while fh.read(1 << 22):
-                        pass
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    with open(os.path.join(root, f), "rb") as fh:
+                        while fh.read(1 << 22):
+                            pass
         elif os.path.exists(p):
             with open(p, "rb") as fh:
                 while fh.read(1 << 22):
