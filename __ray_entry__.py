@@ -58,11 +58,13 @@ def _pdf(sf_dir: str, name: str, columns=None):
 
 
 def _fixture_for(sf_dir: str) -> str:
-    from sanskrit_ocr_ray.synth import write_fixture_local
+    from sanskrit_ocr_ray.synth import FIXTURE_VERSION, write_fixture_local
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     n_docs = _N_DOCS.get(tag, 60)
-    out = os.path.join(_FIXTURE_CACHE, f"{tag}-{n_docs}")
+    # cache key includes the synth version so code changes invalidate
+    # stale fixtures/goldens instead of silently reusing them
+    out = os.path.join(_FIXTURE_CACHE, f"{tag}-{n_docs}-v{FIXTURE_VERSION}")
     if not os.path.exists(os.path.join(out, "golden.parquet")):
         write_fixture_local(out, n_docs, seed=42, n_partitions=4)
     return out

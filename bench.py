@@ -31,11 +31,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from sanskrit_ocr_ray.synth import FIXTURE_VERSION
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SXRAY_BENCH_DOCS", "16000"))
 RUN_QUERIES = os.environ.get("SXRAY_BENCH_QUERIES", "1") == "1"
-FIXTURE = f"/tmp/sxray_fixtures/bench-{BENCH_DOCS}"
+FIXTURE = f"/tmp/sxray_fixtures/bench-{BENCH_DOCS}-v{FIXTURE_VERSION}"
 
 
 def _ensure_fixture() -> None:

@@ -33,7 +33,7 @@ from ..stages.image import binarize_deskew_batch
 from ..stages.recognize import GlyphRecognizer, rec_to_span_rows
 from ..stages.reassemble import flatten_out, rebuild_bucket
 from ..state import manifest as mf
-from ..util import md5_u64, stable_partition
+from ..util import stable_partition
 
 #: reassembly shuffle buckets — ≫ cores for balance, ≪ docs so each
 #: map_groups call rebuilds many docs vectorized (scale knob)
@@ -156,14 +156,12 @@ def extract_dataset(
         span_rows, rec_rows = _join_rec_by_media_ref(span_rows, rec_out)
     import numpy as np
 
+    from ..util import fast_hash_u64
+
     def add_doc_bucket(batch: pa.Table) -> pa.Table:
-        b = pa.array(
-            [
-                int(md5_u64(d) % np.uint64(REASSEMBLY_BUCKETS))
-                for d in batch["doc_id"].to_pylist()
-            ],
-            type=pa.int32(),
-        )
+        # vectorized siphash (bucket ids need determinism, not md5 parity)
+        h = fast_hash_u64(batch["doc_id"].to_pylist())
+        b = pa.array((h % np.uint64(REASSEMBLY_BUCKETS)).astype(np.int32))
         return batch.append_column("__db", b)
 
     # THE one mandatory shuffle: hash(doc_id) buckets, then a vectorized
@@ -198,6 +196,8 @@ def _join_rec_by_media_ref(span_rows, rec_out, n_buckets: int = 256):
     import numpy as np
     import pandas as pd
 
+    from ..util import fast_hash_u64
+
     def split(kind_is_media: bool):
         def fn(t: pa.Table) -> pa.Table:
             m = pc.equal(t["kind"], "media")
@@ -210,13 +210,8 @@ def _join_rec_by_media_ref(span_rows, rec_out, n_buckets: int = 256):
 
     def tag(side: str):
         def fn(t: pa.Table) -> pa.Table:
-            b = pa.array(
-                [
-                    int(md5_u64(r) % np.uint64(n_buckets))
-                    for r in t["media_ref"].to_pylist()
-                ],
-                type=pa.int32(),
-            )
+            h = fast_hash_u64(t["media_ref"].to_pylist())
+            b = pa.array((h % np.uint64(n_buckets)).astype(np.int32))
             cols = {
                 "doc_id": t["doc_id"] if side == "m" else pa.nulls(t.num_rows, pa.string()),
                 "offset": t["offset"] if side == "m" else pa.nulls(t.num_rows, pa.int32()),

@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import md5_hex16, md5_u64
+from ..util import fast_hash_u64, md5_hex16, md5_u64, typed_empty
 
 #: super-bucket count for high-cardinality grouping keys; scale with
 #: cluster size (buckets ≫ cores keeps groups balanced, ≪ keys keeps
@@ -43,12 +43,20 @@ DEFAULT_BUCKETS = 256
 
 
 def _bucket_of(values, n_buckets: int) -> pa.Array:
-    return pa.array(
-        [int(md5_u64(v) % np.uint64(n_buckets)) for v in values], type=pa.int32()
-    )
+    """Vectorized bucket ids (siphash, not per-row md5 — bucket ids need
+    determinism, never oracle parity)."""
+    h = fast_hash_u64(list(values) if not isinstance(values, (list, np.ndarray)) else values)
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int32))
 
 
-def bucketed_aggregate(ds, keys: list[str], combine, *, n_buckets: int = DEFAULT_BUCKETS):
+def bucketed_aggregate(
+    ds,
+    keys: list[str],
+    combine,
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+    empty=None,
+):
     """Groupby-aggregate for HIGH-cardinality keys via bounded buckets.
 
     Ray's native ``groupby(keys).aggregate(...)`` collapses per group in
@@ -57,33 +65,28 @@ def bucketed_aggregate(ds, keys: list[str], combine, *, n_buckets: int = DEFAULT
     and run ``combine`` (a vectorized pandas groupby) inside each of the B
     buckets. Every row of one key lands in one bucket, so the combine is
     exact. ``combine(df) -> df`` must aggregate over ``keys``.
+
+    ``empty``: a zero-row TYPED DataFrame in combine's output schema,
+    returned for the empty groups Ray's sort-based groupby emits (see
+    util.typed_empty). Without it empty groups yield schema-less blocks.
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = np.zeros(batch.num_rows, dtype=np.uint64)
-        all_numeric = True
         for k in keys:
             col = batch[k]
             if pa.types.is_integer(col.type):
                 v = col.to_numpy().astype(np.uint64)
-                h ^= (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0x100000001B3)
-                h = (h << np.uint64(13)) | (h >> np.uint64(51))
             else:
-                all_numeric = False
-                break
-        if not all_numeric:
-            joined = zip(*(batch[k].to_pylist() for k in keys))
-            h = np.fromiter(
-                (md5_u64("|".join(map(str, row))) for row in joined),
-                np.uint64,
-                batch.num_rows,
-            )
+                v = fast_hash_u64(col.to_pylist())
+            h ^= (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0x100000001B3)
+            h = (h << np.uint64(13)) | (h >> np.uint64(51))
         b = (h % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("__pb", pa.array(b))
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:  # empty groups arrive column-less — pass through
-            return pd.DataFrame()
+        if df.empty:  # empty groups arrive column-less — emit typed empty
+            return empty.copy() if empty is not None else pd.DataFrame()
         return combine(df.drop(columns="__pb"))
 
     try:
@@ -100,6 +103,18 @@ def bucketed_aggregate(ds, keys: list[str], combine, *, n_buckets: int = DEFAULT
     )
 
 
+def _pd_dtypes(ds) -> dict:
+    """Column → pandas dtype map from a Dataset's (metadata-only) schema."""
+    sch = ds.schema()
+    out = {}
+    for n, t in zip(sch.names, sch.types):
+        try:
+            out[n] = t.to_pandas_dtype()
+        except Exception:  # nested types etc. → object
+            out[n] = object
+    return out
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -112,13 +127,17 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id", n_buckets: int = 
     even for huge texts); exact values are resolved vectorized inside
     each bucket, so hash collisions are handled for free.
     """
+    dtypes = _pd_dtypes(ds)
+    empty = typed_empty(**{id_col: dtypes[id_col], key: dtypes[key]})
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "__b", _bucket_of((t or "" for t in batch[key].to_pylist()), n_buckets)
+            "__b", _bucket_of([t or "" for t in batch[key].to_pylist()], n_buckets)
         )
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
         out = group.sort_values(id_col).groupby(key, as_index=False, sort=True).first()
         return out[[id_col, key]]
 
@@ -153,13 +172,17 @@ def minhash_signatures_batch(
 
     Hash family: h_i(tok) = md5_u64(tok) XOR md5_u64(str(i)) — a bijective
     per-permutation mix that the DuckDB oracle reproduces exactly.
-    Empty docs get minhash = ffff…f (the identity of min).
+    Token-less (empty/whitespace-only) docs emit NO rows — the oracle's
+    token CTE produces no rows for them, and a sentinel signature would
+    desync row counts the moment the corpus contains an empty text.
     """
     texts = batch[column].to_pylist()
     doc_ids = batch["doc_id"].to_pylist()
     seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
     out_doc, out_perm, out_hash = [], [], []
     for d, t in zip(doc_ids, texts):
+        if not any(w for w in (t or "").split(" ")):
+            continue
         mins = _minhash_row(t, seeds)
         for i in range(n_perm):
             out_doc.append(d)
@@ -167,7 +190,7 @@ def minhash_signatures_batch(
             out_hash.append(f"{int(mins[i]):016x}")
     return pa.table(
         {
-            "doc_id": pa.array(out_doc),
+            "doc_id": pa.array(out_doc, type=batch["doc_id"].type),
             "perm": pa.array(out_perm, type=pa.int64()),
             "minhash": pa.array(out_hash, type=pa.string()),
         }
@@ -318,9 +341,12 @@ def simhash_dup_pairs(
     identical band (pigeonhole), so band-bucketing + verification is EXACT
     for ``max_hamming`` ≤ 7 — this is the scale path (no all-pairs scan);
     the DuckDB oracle does the quadratic scan instead.
-    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b. Token-less docs emit
+    no signature (simhash_batch) and so never pair.
     """
     from .text_analysis import simhash_batch
+
+    id_dtype = _pd_dtypes(ds)[id_col]
 
     def bands(batch: pa.Table) -> pa.Table:
         sig_t = simhash_batch(batch, column)
@@ -348,6 +374,8 @@ def simhash_dup_pairs(
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return typed_empty(doc_a=id_dtype, doc_b=id_dtype, hamming=np.int64)
         out_a, out_b, out_h = [], [], []
         for _, sub in group.groupby("bucket", sort=False):
             rows = sorted(set(zip(sub[id_col], sub["sig"])))
@@ -373,6 +401,7 @@ def simhash_dup_pairs(
         pairs,
         ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min(),
+        empty=typed_empty(doc_a=id_dtype, doc_b=id_dtype, hamming=np.int64),
     )
 
 
@@ -402,32 +431,48 @@ def ngram_jaccard_pairs(
     by more than ``max_docs_per_shingle`` docs are boilerplate, carry no
     pair signal, and are dropped (documented cap — keep it above the
     oracle's corpus dup multiplicity when comparing exactly).
+
+    Per-doc distinct-shingle sizes are a pure per-doc function, so they
+    are computed batch-locally at shingle time and CARRIED on every
+    shingle row (+8 bytes/row) through the one shuffle — no O(#docs)
+    driver dict, no extra size join/aggregate (the round-1 scale
+    anti-patterns here).
     """
+    dtypes = _pd_dtypes(ds)
+    id_dtype = dtypes[id_col]
+    pair_empty = typed_empty(
+        doc_a=id_dtype, doc_b=id_dtype, i=np.int64, sa=np.int64, sb=np.int64
+    )
+
     def shingles(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[column].to_pylist()
-        rows_id, rows_g = [], []
+        rows_id, rows_g, rows_n = [], [], []
         for d, t in zip(ids, texts):
             toks = [w for w in (t or "").split(" ") if w]
             if len(toks) >= n:
-                for g in {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}:
+                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                for g in grams:
                     rows_id.append(d)
                     rows_g.append(g)
-        t_out = pa.table({id_col: pa.array(rows_id), "g": pa.array(rows_g)})
+                    rows_n.append(len(grams))
+        t_out = pa.table(
+            {
+                id_col: pa.array(rows_id, type=batch[id_col].type),
+                "g": pa.array(rows_g, type=pa.string()),
+                "n": pa.array(rows_n, type=pa.int64()),
+            }
+        )
         return t_out.append_column("__sb", _bucket_of(rows_g, n_buckets))
 
     sh = ds.map_batches(shingles, batch_format="pyarrow")
 
-    # per-doc distinct-shingle counts → broadcast map (O(#docs) ints)
-    sizes_df = (
-        sh.groupby(id_col).count().to_pandas()
-    )
-    count_col = [c for c in sizes_df.columns if c != id_col][0]
-    sizes = dict(zip(sizes_df[id_col], sizes_df[count_col]))
-
     def bucket_inter(group: pd.DataFrame) -> pd.DataFrame:
-        df = group[[id_col, "g"]]
-        # drop boilerplate shingles (no near-dup signal, O(k²) hazard)
+        if group.empty:
+            return pair_empty.copy()
+        df = group[[id_col, "g", "n"]]
+        # drop boilerplate shingles (no near-dup signal, O(k²) hazard);
+        # sizes keep counting them — they are per-doc totals, not pair work
         vc = df["g"].value_counts()
         hot = vc[vc > max_docs_per_shingle].index
         if len(hot):
@@ -435,43 +480,36 @@ def ngram_jaccard_pairs(
         m = df.merge(df, on="g")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         if m.empty:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype=df[id_col].dtype),
-                 "doc_b": pd.Series([], dtype=df[id_col].dtype),
-                 "i": pd.Series([], dtype=np.int64)}
-            )
+            return pair_empty.copy()
         out = (
             m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False)
-            .size()
-            .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b", "size": "i"})
+            .agg(i=("g", "size"), sa=("n_x", "first"), sb=("n_y", "first"))
+            .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b"})
         )
-        out["i"] = out["i"].astype(np.int64)
-        return out
+        return out.astype({"i": np.int64, "sa": np.int64, "sb": np.int64})
 
     inter = bucketed_aggregate(
         sh.groupby("__sb").map_groups(bucket_inter, batch_format="pandas"),
         ["doc_a", "doc_b"],
-        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["i"]
-        .sum()
-        .astype({"i": np.int64}),
+        lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            i=("i", "sum"), sa=("sa", "first"), sb=("sb", "first")
+        ),
+        n_buckets=n_buckets,
+        empty=pair_empty,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        i = batch["i"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for da, db, ii in zip(a, b, i):
-            union = sizes[da] + sizes[db] - ii
-            if union > 0 and 1000 * ii >= threshold_pm * union:
-                out_a.append(da)
-                out_b.append(db)
-                out_j.append((1000 * ii) // union)
+        i = batch["i"].to_numpy().astype(np.int64)
+        sa = batch["sa"].to_numpy().astype(np.int64)
+        sb = batch["sb"].to_numpy().astype(np.int64)
+        union = sa + sb - i
+        keep = (union > 0) & (1000 * i >= threshold_pm * union)
+        jacc = (1000 * i[keep]) // union[keep]
         return pa.table(
             {
-                "doc_a": pa.array(out_a),
-                "doc_b": pa.array(out_b),
-                "jacc_pm": pa.array(out_j, type=pa.int64()),
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "jacc_pm": pa.array(jacc.astype(np.int64)),
             }
         )
 

@@ -95,6 +95,7 @@ def strip_boilerplate(
     import pandas as pd
     import ray
 
+    from ..util import typed_empty
     from .dedup import bucketed_aggregate
 
     def docfreq(df: pd.DataFrame) -> pd.DataFrame:
@@ -103,7 +104,11 @@ def strip_boilerplate(
         return out[out["df"] >= min_docs]
 
     hot = bucketed_aggregate(
-        ds.select_columns([id_col, column]), [column], docfreq, n_buckets=n_buckets
+        ds.select_columns([id_col, column]),
+        [column],
+        docfreq,
+        n_buckets=n_buckets,
+        empty=typed_empty(**{column: object, "df": "int64"}),
     ).to_pandas()
     # no boilerplate found → empty, column-less frame
     hot_set = frozenset(hot[column]) if column in hot.columns else frozenset()

@@ -141,7 +141,8 @@ def events_tumbling(ds, *, window_s: int = 3600):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64()).to_numpy()  # microseconds
+        # explicit microsecond normalization (never unit-dependent)
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
         win = (us // (window_s * 1_000_000)) * window_s
         df = pd.DataFrame(
             {
@@ -176,7 +177,10 @@ def events_sliding(ds, *, window_s: int = 3600, step_s: int = 1800):
     k = window_s // step_s
 
     def partial(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch["ts"], pa.int64()).to_numpy() // 1_000_000
+        s = (
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+            // 1_000_000
+        )
         base = (s // step_s) * step_s
         frames = []
         for i in range(k):
@@ -206,27 +210,71 @@ def events_sliding(ds, *, window_s: int = 3600, step_s: int = 1800):
     )
 
 
-def sessionize(ds, *, gap_s: int = 1800):
+def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
     """Per-user sessionization (30-min inactivity gap): one row per
-    session with event count and duration. The ordering contract —
-    events sorted by ts *within each user group* — is established inside
-    ``map_groups``, so arrival order is irrelevant."""
+    session with event count and duration.
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts").reset_index(drop=True)
-        ts_s = g["ts"].astype("int64") // 1_000_000
-        new_session = (ts_s.diff().fillna(0) > gap_s).astype(np.int64)
-        sid = new_session.cumsum()
-        out = pd.DataFrame(
-            {"user_id": g["user_id"], "session_id": sid, "ts_s": ts_s}
-        ).groupby(["user_id", "session_id"], as_index=False).agg(
-            n_events=("ts_s", "size"), dur_s=("ts_s", lambda x: int(x.max() - x.min()))
+    Scale shape: grouping per *user* would dispatch one Python call per
+    user (10⁷–10⁸ calls at web scale — the measured per-group pathology).
+    Instead the shuffle key is ``hash(user_id) % n_buckets`` and each
+    bucket sessionizes ALL its users with one mergesort + numpy
+    diff/cumsum/reduceat pass — the same bounded-bucket shape as
+    reassembly. Ordering comes from the in-bucket sort, never arrival.
+
+    Timestamps are normalized EXPLICITLY to epoch seconds in Arrow
+    (cast → timestamp[us] → int64) before the shuffle, so the result
+    cannot silently change with the Arrow→pandas conversion's resolution.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            1_000_000,
         )
-        out["n_events"] = out["n_events"].astype(np.int64)
-        out["dur_s"] = out["dur_s"].astype(np.int64)
-        return out
+        u = batch["user_id"].to_numpy()
+        b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"user_id": batch["user_id"], "s": s, "__ub": pa.array(b)})
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    empty = typed_empty(
+        user_id=np.int64, session_id=np.int64, n_events=np.int64, dur_s=np.int64
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group.sort_values(["user_id", "s"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = s[1:] - s[:-1]
+        brk = (~new_user) & (gap > gap_s)
+        c = np.cumsum(brk.astype(np.int64))
+        # session_id restarts at 0 per user: subtract c at the user's first
+        # row (c is nondecreasing → forward-fill via maximum.accumulate)
+        base = np.maximum.accumulate(np.where(new_user, c, -1))
+        sid = c - base
+        starts = np.nonzero(new_user | brk)[0]
+        ends = np.append(starts[1:], n)
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "session_id": sid[starts],
+                "n_events": (ends - starts).astype(np.int64),
+                "dur_s": s[ends - 1] - s[starts],
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def top_users_by_value(ds, *, k: int = 10):
@@ -262,7 +310,7 @@ def hash_join(left_ds, right_ds, key: str, *, n_buckets: int = 16, suffix: str =
     available; this is the explicit fallback that also documents the
     partitioning strategy (bucket count B scales with cluster size; salt
     hot keys into sub-buckets if one key dominates)."""
-    from ..util import md5_u64
+    from ..util import fast_hash_u64
 
     lsch = left_ds.schema()  # ray.data Schema wrapper: .names / .types
     rsch = right_ds.schema()
@@ -275,6 +323,9 @@ def hash_join(left_ds, right_ds, key: str, *, n_buckets: int = 16, suffix: str =
     for c, t in zip(rsch.names, rsch.types):
         if c != key:
             types[rename[c]] = t
+    # typed empty join result for the empty groups the sort-based groupby
+    # emits (schema-less blocks otherwise — the round-1 executor warnings)
+    empty_out = pa.schema([(c, types[c]) for c in all_cols]).empty_table().to_pandas()
 
     def tag(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -289,21 +340,35 @@ def hash_join(left_ds, right_ds, key: str, *, n_buckets: int = 16, suffix: str =
                 else:
                     cols[c] = pa.nulls(batch.num_rows, type=types[c])
             t = pa.table(cols)
-            ks = batch[key].to_pylist()
-            b = pa.array(
-                [int(md5_u64(str(x)) % np.uint64(n_buckets)) for x in ks],
-                type=pa.int32(),
-            )
+            kc = batch[key]
+            if pa.types.is_integer(kc.type):
+                h = kc.to_numpy().astype(np.uint64)
+            else:
+                h = fast_hash_u64(kc.to_pylist())
+            b = pa.array((h % np.uint64(n_buckets)).astype(np.int32))
             return t.append_column("__bucket", b).append_column(
-                "__side", pa.array([side] * len(ks))
+                "__side", pa.array([side] * batch.num_rows)
             )
 
         return fn
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty_out.copy()
         l = group[group["__side"] == "l"][lcols]
         r = group[group["__side"] == "r"][rcols]
-        return l.merge(r, on=key)
+        out = l.merge(r, on=key)
+        if not len(out):
+            return empty_out.copy()
+        # the union pads each side's missing columns with nulls, which
+        # floats int64 columns in pandas blocks; the inner merge keeps only
+        # real values, so cast back losslessly (dtype drift otherwise
+        # breaks bucket hashing in a chained second join)
+        for c in out.columns:
+            want = empty_out[c].dtype
+            if out[c].dtype != want and want.kind in ("i", "u"):
+                out[c] = out[c].astype(want)
+        return out
 
     tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
         right_ds.map_batches(tag("r"), batch_format="pyarrow")

@@ -90,7 +90,11 @@ def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         n_chars[i] = len(t)
         n_toks[i] = k
         mean_len[i] = (100 * sum(len(w) for w in toks)) // k if k else 0
-        stop_pct[i] = (100 * sum(w in _EN_STOP for w in toks)) // k if k else 0
+        # stopword hits over SPACE-split tokens (exactly the oracle's
+        # str_split(text,' ') and lang_id's tokenization) — \S+ tokens
+        # diverge from the oracle on texts containing tabs/newlines
+        n_stop = sum(w in _EN_STOP for w in t.split(" "))
+        stop_pct[i] = (100 * n_stop) // k if k else 0
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -114,14 +118,17 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
 
     bit b of the signature is 1 iff sum over tokens of ±1 (sign = bit b of
     md5_u64(token)) is > 0 — the standard Charikar construction with a
-    cross-engine-reproducible token hash.
+    cross-engine-reproducible token hash. Token-less docs emit NO row
+    (the oracle's token CTE produces none for them; a 0-sentinel row would
+    desync row counts AND make any two empty docs a hamming-0 dup pair).
     """
     texts = batch[column].to_pylist()
-    out = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts):
+    ids = batch["doc_id"].to_pylist()
+    out_id: list = []
+    out_sig: list[str] = []
+    for d, t in zip(ids, texts):
         toks = [w for w in (t or "").split(" ") if w]
         if not toks:
-            out[i] = f"{0:016x}"
             continue
         hashes = np.fromiter((md5_u64(w) for w in toks), dtype=np.uint64, count=len(toks))
         # (n_tokens, 64) bit matrix → column sums
@@ -131,9 +138,13 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
         sig = np.uint64(0)
         for b in np.nonzero(sig_bits)[0]:
             sig |= np.uint64(1) << np.uint64(b)
-        out[i] = f"{int(sig):016x}"
+        out_id.append(d)
+        out_sig.append(f"{int(sig):016x}")
     return pa.table(
-        {"doc_id": batch["doc_id"], "simhash": pa.array(list(out), type=pa.string())}
+        {
+            "doc_id": pa.array(out_id, type=batch["doc_id"].type),
+            "simhash": pa.array(out_sig, type=pa.string()),
+        }
     )
 
 

@@ -32,6 +32,11 @@ from .util import doc_rng, stable_partition
 
 PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 
+#: bump when synth/glyphs/normalize change fixture bytes — cached fixtures
+#: under /tmp/sxray_fixtures are keyed by this, so stale goldens from a
+#: previous build can never be silently reused by the driver/bench.
+FIXTURE_VERSION = 2
+
 # degradation severity envelope (within the extractor's calibrated range,
 # FIXTURES.md §2): rotation ≤ ±3°, brightness/contrast ∈ [0.85, 1.2],
 # noise σ ≤ 10/255.

@@ -20,6 +20,8 @@ __all__ = [
     "stable_partition",
     "u64_to_hex",
     "doc_rng",
+    "fast_hash_u64",
+    "typed_empty",
 ]
 
 
@@ -46,13 +48,48 @@ def md5_u64_many(items) -> np.ndarray:
 
 
 def stable_partition(key: str, n_partitions: int) -> int:
-    """Deterministic partition id for a string key (hash-partition on doc_id)."""
-    return int(md5_u64(key) % np.uint64(n_partitions))
+    """Deterministic partition id for a string key (hash-partition on doc_id).
+
+    Pure-Python int modulo: ``python_int % np.uint64(n)`` silently coerces
+    through float64 and truncates the low bits, which skewed partitions
+    65/15/12/8% in round 1 — never mix Python ints with numpy scalar mods.
+    """
+    return md5_u64(key) % n_partitions
 
 
 def u64_to_hex(v: int | np.uint64) -> str:
     """16-char zero-padded lowercase hex. DuckDB: ``printf('%016x', v)``."""
     return f"{int(v):016x}"
+
+
+def fast_hash_u64(values) -> np.ndarray:
+    """Vectorized deterministic uint64 hash for BUCKET IDS only.
+
+    Uses pandas' siphash (fixed default hash_key → stable across processes
+    and machines); ints hash fully vectorized, strings in one cython pass —
+    ~10× cheaper than per-row ``hashlib.md5``. Bucket ids never need oracle
+    parity (only every-equal-value-same-bucket determinism), so md5 stays
+    reserved for oracle-visible values (minhash/simhash/fingerprints).
+    """
+    import pandas as pd
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("U", "S", "O"):
+        arr = arr.astype(object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def typed_empty(**cols) -> "object":
+    """Zero-row pandas DataFrame with the given column dtypes.
+
+    Ray's sort-based groupby hands empty groups to ``map_groups`` as
+    column-less frames; emitting ``pd.DataFrame()`` back produces
+    schema-less blocks (streaming_executor 'different schema' warnings and
+    a unification hazard). Every grouped UDF returns one of these instead.
+    """
+    import pandas as pd
+
+    return pd.DataFrame({k: pd.Series(dtype=v) for k, v in cols.items()})
 
 
 def doc_rng(seed: int, doc_id: str) -> np.random.Generator:
