@@ -56,6 +56,7 @@ def bucketed_aggregate(
     *,
     n_buckets: int = DEFAULT_BUCKETS,
     empty=None,
+    coalesce_first: bool = True,
 ):
     """Groupby-aggregate for HIGH-cardinality keys via bounded buckets.
 
@@ -69,6 +70,11 @@ def bucketed_aggregate(
     ``empty``: a zero-row TYPED DataFrame in combine's output schema,
     returned for the empty groups Ray's sort-based groupby emits (see
     util.typed_empty). Without it empty groups yield schema-less blocks.
+
+    ``coalesce_first``: repartition before the sort barrier — wins when the
+    input is hundreds of tiny blocks (measured 7.1→2.4 s on extract);
+    skip it for small already-coalesced inputs, where the extra
+    all-to-all round is pure fixed cost.
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -89,18 +95,24 @@ def bucketed_aggregate(
             return empty.copy() if empty is not None else pd.DataFrame()
         return combine(df.drop(columns="__pb"))
 
-    try:
-        import ray
+    tagged = ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+    if coalesce_first:
+        try:
+            import ray
 
-        coalesce = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        coalesce = 64
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
-        .repartition(coalesce)  # coalesce tiny blocks before the sort barrier
-        .groupby("__pb")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+            coalesce = max(32, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            coalesce = 64
+        # coalesce tiny blocks before the sort barrier
+        tagged = tagged.repartition(coalesce)
+    return tagged.groupby("__pb").map_groups(per_bucket, batch_format="pandas")
+
+
+def _vcat(x, y) -> pa.ChunkedArray:
+    """Vertically concatenate two (chunked) arrays of the same type."""
+    cx = list(x.chunks) if isinstance(x, pa.ChunkedArray) else [x]
+    cy = list(y.chunks) if isinstance(y, pa.ChunkedArray) else [y]
+    return pa.chunked_array(cx + cy, type=x.type)
 
 
 def _pd_dtypes(ds) -> dict:
@@ -197,128 +209,272 @@ def minhash_signatures_batch(
     )
 
 
-def _pairs_by_bucket(group: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
-    """Within a super-bucket: emit candidate id pairs per real bucket."""
-    out_a: list = []
-    out_b: list = []
-    for _, sub in group.groupby("bucket", sort=False):
-        ids = sorted(set(sub[id_col]))[:max_bucket]
-        for i, a in enumerate(ids):
-            for b in ids[i + 1 :]:
-                out_a.append(a)
-                out_b.append(b)
-    return pd.DataFrame({"a": out_a, "b": out_b})
-
-
 def minhash_lsh_clusters(
     ds,
     *,
     n_perm: int = 8,
     band_size: int = 2,
-    jaccard_threshold: float = 0.7,
+    threshold_pm: int = 700,
     column: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = DEFAULT_BUCKETS,
     max_bucket: int = 256,
+    max_iters: int = 50,
 ):
     """Near-dup clustering: shingle→minhash→band→bucket→verify→components.
 
     Returns a Dataset of (doc_id, cluster_rep) for EVERY input doc
     (rep = min doc_id of its verified near-dup component; singletons map
-    to themselves). The verify step computes exact token-set Jaccard, so
-    LSH only proposes candidates — false positives cannot survive.
-    """
+    to themselves). The verify step computes exact token-set Jaccard with
+    INTEGER arithmetic (``1000·|A∩B| ≥ threshold_pm·|A∪B|``), so LSH only
+    proposes candidates — false positives cannot survive — and the DuckDB
+    oracle reproduces the predicate bit-for-bit.
 
+    Every step is a Dataset pass (round 1 collected candidate pairs,
+    token sets and a union-find ON THE DRIVER — at a realistic 20–50% dup
+    rate that is O(corpus) driver state):
+
+    1. band rows CARRY the doc's sorted-distinct token string (tokens are
+       space-free, so one joined string survives the pandas hop); one
+       hash(band-bucket) shuffle co-locates every candidate pair WITH
+       both token sets, so exact Jaccard runs inside the bucket via a
+       vectorized (doc,token) self-merge — no per-pair routing shuffle,
+       and each token set is shipped once per band (4×), not once per
+       pair-degree;
+    2. components: iterative hash-to-min label propagation over the
+       verified edges (two bounded shuffles per round on O(involved)
+       rows, materialized between rounds because each round's labels
+       feed the next); near-dup components are almost-cliques, so this
+       converges in 1–3 rounds;
+    3. assign: union(all docs as self-labels, final labels) → min —
+       one bounded shuffle over O(#docs) tiny rows.
+
+    Token-less docs emit no bands (can never pair) and map to themselves.
+    A pair sharing several bands is verified once per shared band (≤4×);
+    duplicate edges are harmless to min-propagation.
+    """
+    dtypes = _pd_dtypes(ds)
+    id_dtype = dtypes[id_col]
+    pair_empty = typed_empty(a=id_dtype, b=id_dtype)
+
+    # ---- 1. band rows (with token payload) → in-bucket verify ----------
     def sig_and_bands(batch: pa.Table) -> pa.Table:
         texts = batch[column].to_pylist()
         ids = batch[id_col].to_pylist()
         seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
-        rows_id, rows_bucket = [], []
+        rows_id, rows_bucket, rows_toks = [], [], []
         for d, t in zip(ids, texts):
-            mins = _minhash_row(t, seeds)
+            toks = sorted({w for w in (t or "").split(" ") if w})
+            if not toks:
+                continue
+            joined = " ".join(toks)
+            th = np.fromiter((md5_u64(w) for w in toks), np.uint64, len(toks))
+            mins = np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
             for b in range(n_perm // band_size):
                 sig = ",".join(
                     f"{int(v):016x}" for v in mins[b * band_size : (b + 1) * band_size]
                 )
                 rows_id.append(d)
                 rows_bucket.append(f"{b}:{sig}")
+                rows_toks.append(joined)
         t_out = pa.table(
-            {id_col: pa.array(rows_id), "bucket": pa.array(rows_bucket)}
+            {
+                id_col: pa.array(rows_id, type=batch[id_col].type),
+                "bucket": pa.array(rows_bucket, type=pa.string()),
+                "toks": pa.array(rows_toks, type=pa.string()),
+            }
         )
         return t_out.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
 
-    candidates = (
+    def verify_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        """Per band bucket: cap, explode (doc, token), self-merge for pair
+        intersection counts, integer-exact Jaccard filter — then collapse
+        the bucket's verified subgraph to a spanning star (bucket-local
+        union-find, bounded by max_bucket) so the global component pass
+        sees O(k) edges per bucket instead of an O(k²) clique."""
+        if group.empty:
+            return pair_empty.copy()
+        out_frames: list[pd.DataFrame] = []
+        for _, sub in group.groupby("bucket", sort=False):
+            sub = sub.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
+            if len(sub) < 2:
+                continue
+            tok_lists = [t.split(" ") for t in sub["toks"]]
+            sizes = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+            docs = sub[id_col].to_numpy()
+            ex = pd.DataFrame(
+                {
+                    "d": np.repeat(np.arange(len(docs)), sizes),
+                    "tok": np.concatenate(tok_lists),
+                }
+            )
+            m = ex.merge(ex, on="tok")
+            m = m[m["d_x"] < m["d_y"]]
+            if m.empty:
+                continue
+            inter = m.groupby(["d_x", "d_y"], as_index=False).size()
+            i = inter["size"].to_numpy().astype(np.int64)
+            ix = inter["d_x"].to_numpy()
+            iy = inter["d_y"].to_numpy()
+            keep = 1000 * i >= threshold_pm * (sizes[ix] + sizes[iy] - i)
+            if not keep.any():
+                continue
+            # bucket-local union-find → star edges (root=min local index)
+            parent = np.arange(len(docs))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for ux, uy in zip(ix[keep], iy[keep]):
+                rx, ry = find(ux), find(uy)
+                if rx != ry:
+                    lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                    parent[hi] = lo
+            roots = np.array([find(x) for x in range(len(docs))])
+            members = np.nonzero(roots != np.arange(len(docs)))[0]
+            if members.size:
+                out_frames.append(
+                    pd.DataFrame({"a": docs[roots[members]], "b": docs[members]})
+                )
+        if not out_frames:
+            return pair_empty.copy()
+        return pd.concat(out_frames, ignore_index=True)
+
+    verified = (
         ds.map_batches(sig_and_bands, batch_format="pyarrow")
         .groupby("__sb")
-        .map_groups(
-            lambda g: _pairs_by_bucket(g, id_col, max_bucket), batch_format="pandas"
-        )
+        .map_groups(verify_in_bucket, batch_format="pandas")
     )
 
-    # candidate pairs + token sets of involved docs: O(#candidates)
-    cand = {
-        (a, b)
-        for batch in candidates.iter_batches(batch_size=65536, batch_format="pandas")
-        for a, b in zip(batch["a"], batch["b"])
-    }
-    involved = {d for p in cand for d in p}
-
-    def project_tokens(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[column].to_pylist()
-        keep = [i for i, d in enumerate(ids) if d in involved]
+    # ---- 3. connected components: hash-to-min propagation --------------
+    def both_dirs(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: pa.array([ids[i] for i in keep]),
-                "toks": pa.array(
-                    [sorted({w for w in (texts[i] or "").split(" ") if w}) for i in keep],
-                    type=pa.list_(pa.string()),
-                ),
+                "src": _vcat(batch["a"], batch["b"]),
+                "dst": _vcat(batch["b"], batch["a"]),
             }
         )
 
-    tok_map = {}
-    for b in ds.map_batches(project_tokens, batch_format="pyarrow").iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for d, t in zip(b[id_col].to_pylist(), b["toks"].to_pylist()):
-            tok_map[d] = set(t)
+    edges = verified.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
-    verified = []
-    for a, b in sorted(cand):
-        ta, tb = tok_map.get(a, set()), tok_map.get(b, set())
-        union = len(ta | tb)
-        if union and len(ta & tb) / union >= jaccard_threshold:
-            verified.append((a, b))
+    label_empty = typed_empty(node=id_dtype, rep=id_dtype, chg=np.int64)
 
-    # connected components (union-find over the verified pair set only)
-    parent: dict = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
-    rep = {d: find(d) for d in involved}
-
-    def assign(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+    # round 0 fused: rep(node) = min(node, min neighbor)
+    def init_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                id_col: batch[id_col],
-                "cluster_rep": pa.array([rep.get(d, d) for d in ids]),
+                "node": _vcat(batch["src"], batch["src"]),
+                "rep": _vcat(batch["src"], batch["dst"]),
             }
         )
 
-    return ds.map_batches(assign, batch_format="pyarrow").select_columns(
-        [id_col, "cluster_rep"]
+    def min_rep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["rep"].min()
+        out["chg"] = np.int64(0)
+        return out
+
+    labels = bucketed_aggregate(
+        edges.map_batches(init_rows, batch_format="pyarrow"),
+        ["node"],
+        min_rep,
+        n_buckets=n_buckets,
+        empty=label_empty,
+        coalesce_first=False,
+    ).materialize()
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["node"],
+                "rep": batch["rep"],
+                "dst": pa.nulls(n, type=batch["node"].type),
+                "__side": pa.array(["l"] * n),
+            }
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["src"],
+                "rep": pa.nulls(n, type=batch["src"].type),
+                "dst": batch["dst"],
+                "__side": pa.array(["e"] * n),
+            }
+        )
+
+    def add_node_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__nb", _bucket_of(batch["node"].to_pylist(), n_buckets)
+        )
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        """src-bucket pass: emit each node's own (old) label + one message
+        (dst, rep(src)) per outgoing edge."""
+        if group.empty:
+            return typed_empty(node=id_dtype, rep=id_dtype, old=np.int64)
+        lbl = group[group["__side"] == "l"][["node", "rep"]]
+        e = group[group["__side"] == "e"][["node", "dst"]]
+        msgs = e.merge(lbl, on="node")[["dst", "rep"]].rename(columns={"dst": "node"})
+        own = lbl.copy()
+        own["old"] = np.int64(1)
+        msgs["old"] = np.int64(0)
+        out = pd.concat([own, msgs], ignore_index=True)
+        if np.dtype(id_dtype).kind in ("i", "u"):
+            out = out.astype({"node": id_dtype, "rep": id_dtype})
+        return out
+
+    def combine_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)["rep"].min()
+        old = df[df["old"] == 1][["node", "rep"]].rename(columns={"rep": "prev"})
+        g = g.merge(old, on="node", how="left")
+        g["chg"] = (g["prev"] != g["rep"]).astype(np.int64)
+        return g[["node", "rep", "chg"]]
+
+    if edges.count() == 0:
+        iters = 0
+    else:
+        iters = max_iters
+    for _ in range(iters):
+        tagged = (
+            labels.map_batches(label_rows, batch_format="pyarrow")
+            .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+            .map_batches(add_node_bucket, batch_format="pyarrow")
+            .groupby("__nb")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        labels = bucketed_aggregate(
+            tagged,
+            ["node"],
+            combine_min,
+            n_buckets=n_buckets,
+            empty=label_empty,
+            coalesce_first=False,
+        ).materialize()
+        changed = labels.sum("chg") or 0
+        if changed == 0:
+            break
+
+    # ---- 4. assign: every doc, singletons map to themselves ------------
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch[id_col], "rep": batch[id_col]})
+
+    final = bucketed_aggregate(
+        ds.map_batches(self_rows, batch_format="pyarrow").union(
+            labels.select_columns(["node", "rep"])
+        ),
+        ["node"],
+        lambda df: df.groupby("node", as_index=False)["rep"].min(),
+        n_buckets=n_buckets,
+        empty=typed_empty(node=id_dtype, rep=id_dtype),
+        coalesce_first=False,
+    )
+    return final.map_batches(
+        lambda t: t.rename_columns([id_col, "cluster_rep"]), batch_format="pyarrow"
     )
 
 

@@ -148,16 +148,18 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     )
 
 
-# rolling (Karp-Rabin) fingerprint — non-SQL-expressible variant; Python
-# ints (arbitrary precision) keep the modular arithmetic exact
+# rolling (Karp-Rabin) fingerprint over Unicode CODE POINTS (base 257 mod
+# 2^61-1); Python ints keep the modular arithmetic exact, and DuckDB
+# reproduces it with a HUGEINT list_reduce over ascii(char) — folding over
+# code points instead of UTF-8 bytes is what makes the oracle expressible
 _KR_BASE = 257
 _KR_MOD = (1 << 61) - 1
 
 
 def rolling_fingerprint(text: str) -> int:
     h = 0
-    for byte in text.encode("utf-8"):
-        h = (h * _KR_BASE + byte) % _KR_MOD
+    for ch in text:
+        h = (h * _KR_BASE + ord(ch)) % _KR_MOD
     return h
 
 

@@ -30,7 +30,7 @@ def test_exact_dedup_min_id_tiebreak(docs_ds):
 def test_minhash_lsh_clusters_planted_dupes(docs_ds):
     from sanskrit_ocr_ray.stages.dedup import minhash_lsh_clusters
 
-    out = minhash_lsh_clusters(docs_ds, jaccard_threshold=0.7).to_pandas()
+    out = minhash_lsh_clusters(docs_ds, threshold_pm=700).to_pandas()
     rep = dict(zip(out.doc_id, out.cluster_rep))
     assert rep[2] == 1  # exact dup clusters with rep=min id
     assert rep[3] == 1  # near dup (1 word of 14 differs, jaccard ≈ 0.87)
@@ -75,3 +75,27 @@ def test_minhash_signatures_deterministic(docs_ds):
     s1 = a[a.doc_id == 1].minhash.tolist()
     s2 = a[a.doc_id == 2].minhash.tolist()
     assert s1 == s2
+
+
+def test_minhash_lsh_high_dup_rate_10k(ray_session):
+    """Scale shape: 10⁴ docs at ~50% dup rate — the regime where round 1's
+    driver-side verify/union-find would have held O(corpus) state. The
+    rewritten operator keeps every step a Dataset pass; this asserts the
+    clustering is still exact (groups of 5 exact dups → min-id rep)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import minhash_lsh_clusters
+
+    n, group = 10_000, 5  # 2000 groups of 5 identical docs
+    rows = [
+        {
+            "doc_id": i,
+            # disjoint token sets across groups (cross-group Jaccard = 0)
+            "text": " ".join(f"g{i // group}w{j}" for j in range(8)),
+        }
+        for i in range(n)
+    ]
+    out = minhash_lsh_clusters(rd.from_items(rows), threshold_pm=700).to_pandas()
+    assert len(out) == n
+    rep = dict(zip(out.doc_id, out.cluster_rep))
+    assert all(rep[i] == (i // group) * group for i in range(n))

@@ -21,6 +21,7 @@ SUBSET = [
     "lang_id",
     "quality_score",
     "fingerprint_md5",
+    "kr_fingerprint",
     "simhash64",
     "minhash_sig",
     "knn_top5",
@@ -31,6 +32,10 @@ SUBSET = [
     "sessionize",
     "top_users_by_value",
 ]
+# NOT here: extract_e2e / multimodal_features oracles read the sf0.01
+# fixture by absolute path (driver's correctness scale) and
+# minhash_lsh_clusters / knn_ivf take tens of seconds — all five are
+# exercised by the driver gate and tools/check_driver.py instead.
 
 
 @pytest.fixture(scope="module")
