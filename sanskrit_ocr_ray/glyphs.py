@@ -122,6 +122,59 @@ def layout_words(words: list[str], page_w: int) -> list[list[str]]:
     return lines
 
 
+#: background styles, mirroring render_text.py:47-148's four classes
+BACKGROUND_STYLES = ("plain", "lined_paper", "old_paper", "parchment")
+
+
+def make_background(
+    width: int, height: int, style: str, rng: np.random.Generator
+) -> np.ndarray:
+    """Textured grayscale page background (render_text.py:47-148 classes,
+    vectorized; severities calibrated so window-local binarization rejects
+    texture/rule-lines/stains while keeping them visually real).
+
+    Returns float64 (the caller draws ink then casts once).
+    """
+    page = 215.0 + rng.normal(0.0, 6.0, size=(height, width))
+    if style == "lined_paper":
+        # light ruled lines (render_text.py:66-70): 1-2 px, 8-16 levels
+        # below paper — far above any Sauvola threshold in text windows
+        spacing = int(rng.integers(15, 26))
+        for y in range(0, height, spacing):
+            lw = int(rng.integers(1, 3))
+            page[y : y + lw, :] -= float(rng.integers(8, 17))
+    elif style == "old_paper":
+        # darkened edges (render_text.py:100-105)
+        edge = width // 10
+        for i in range(edge):
+            f = (edge - i) / edge * 12.0
+            page[i, :] -= f
+            page[height - i - 1, :] -= f
+            page[:, i] -= f
+            page[:, width - i - 1] -= f
+    elif style == "parchment":
+        # soft blotches (render_text.py:126-141), vectorized per blotch
+        yy, xx = np.mgrid[0:height, 0:width]
+        for _ in range(int(rng.integers(6, 12))):
+            cx = int(rng.integers(0, width))
+            cy = int(rng.integers(0, height))
+            r = int(rng.integers(8, 20))
+            amp = float(rng.integers(-6, 7))
+            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            page += np.where(d2 <= r * r, amp, 0.0)
+    # radial stains (render_text.py:74-88), any style, calibrated depth
+    if rng.random() < 0.5:
+        yy, xx = np.mgrid[0:height, 0:width]
+        for _ in range(int(rng.integers(1, 4))):
+            cx = int(rng.integers(0, width))
+            cy = int(rng.integers(0, height))
+            r = int(rng.integers(15, 40))
+            depth = float(rng.integers(6, 14))
+            d2 = ((yy - cy) ** 2 + (xx - cx) ** 2) / float(r * r)
+            page -= depth * np.clip(1.0 - d2, 0.0, None)
+    return np.clip(page, 150, 255)
+
+
 def render_page(
     text: str,
     width: int,
@@ -134,11 +187,15 @@ def render_page(
     page (whole words, joined by single spaces) — the golden table records
     this, exactly how the reference pairs each image with the text it drew
     (generate_dataset.py:41-42).
+
+    Word-level jitter mirrors render_text.py's defaults: per-word ±1 px
+    position offset (:208-209), per-word ink-level jitter (:211-216),
+    per-line baseline offset (:198-199) and line-spacing jitter
+    (:253-254). Per-word rotation stays off — the reference's
+    ``word_angle`` default is 0.0 (DEFAULT_PARAMS:36).
     """
-    # textured light background (old-paper-ish, render_text.py:64-96 spirit)
-    page = np.clip(
-        215.0 + rng.normal(0.0, 6.0, size=(height, width)), 180, 255
-    ).astype(np.uint8)
+    style = BACKGROUND_STYLES[int(rng.integers(0, len(BACKGROUND_STYLES)))]
+    page = make_background(width, height, style, rng)
 
     words = [w for w in text.split(" ") if w]
     lines = layout_words(words, width)
@@ -146,15 +203,22 @@ def render_page(
     lines = lines[:max_lines]
 
     rendered: list[str] = []
+    y0 = MARGIN
     for li, line_words in enumerate(lines):
-        y0 = MARGIN + li * LINE_H
+        baseline = int(rng.integers(-1, 2))  # per-line baseline offset
         x = MARGIN
         for wi, word in enumerate(line_words):
-            ink = float(rng.integers(30, 70))  # per-word ink jitter (render_text.py:211-216)
+            ink = float(rng.integers(30, 70))  # per-word ink jitter
+            wdy = int(rng.integers(-1, 2))  # per-word position jitter
+            wy = y0 + baseline + wdy
             for ch in word:
                 g = glyph_bitmap(ch)
-                page[y0 : y0 + GLYPH_H, x : x + GLYPH_W][g] = np.uint8(ink)
+                page[wy : wy + GLYPH_H, x : x + GLYPH_W][g] = ink
                 x += PITCH
             x += PITCH  # space advance
         rendered.append(" ".join(line_words))
-    return page, " ".join(rendered)
+        # line-spacing jitter is non-negative so the worst-case inter-line
+        # ink gap stays ≥ 4 px (= segment_lines' run-merge threshold) even
+        # when adjacent lines' baseline+word offsets oppose each other
+        y0 += LINE_H + int(rng.integers(0, 2))
+    return np.clip(page, 0, 255).astype(np.uint8), " ".join(rendered)

@@ -41,11 +41,14 @@ from ..glyphs import (
 # ---------------------------------------------------------------------------
 
 
-def sauvola(img: np.ndarray, window: int = 31, k: float = 0.2, r: float = 128.0) -> np.ndarray:
+def sauvola(img: np.ndarray, window: int = 31, k: float = 0.25, r: float = 128.0) -> np.ndarray:
     """Sauvola local binarization → bool ink mask (True = ink).
 
     t(x,y) = m(x,y) * (1 + k * (s(x,y)/R - 1)) over a ``window``-square
     neighborhood, computed with integral images (O(1) per pixel).
+    k = 0.25 measured best across the degradation envelope: at k = 0.2 a
+    σ0.7 blur + σ8 noise stack drops word-final glyphs (fuzz bridges
+    cells), at k ≤ 0.15 the same stack collapses entirely.
     """
     h, w = img.shape
     pad = window // 2
@@ -210,6 +213,99 @@ def rotate_gray(
     return np.clip(top * (1 - fy) + bot * fy, 0, 255).astype(np.uint8)
 
 
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur (float in/out), radius = ceil(3σ).
+
+    Forward model of the reference's GaussianBlur degradation
+    (render_text.py:357-358, blur_min/blur_max DEFAULT_PARAMS:41-42).
+    """
+    if sigma <= 0:
+        return img.astype(np.float64)
+    r = int(np.ceil(3 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2 * sigma * sigma))
+    k /= k.sum()
+    out = img.astype(np.float64)
+    for axis in (0, 1):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (r, r)
+        p = np.pad(out, pad, mode="edge")
+        acc = np.zeros_like(out)
+        for j, w in enumerate(k):
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(j, j + out.shape[axis])
+            acc += w * p[tuple(sl)]
+        out = acc
+    return out
+
+
+def _gather_bilinear_y(img: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Sample each (row,col) at fractional row coordinate ``ys`` (same
+    shape as img), clamped — vectorized vertical-only remap."""
+    h = img.shape[0]
+    y0 = np.floor(ys).astype(np.int64)
+    f = ys - y0
+    y0c = np.clip(y0, 0, h - 1)
+    y1c = np.clip(y0 + 1, 0, h - 1)
+    cols = np.broadcast_to(np.arange(img.shape[1]), img.shape)
+    return img[y0c, cols] * (1 - f) + img[y1c, cols] * f
+
+
+def washboard_warp(
+    img: np.ndarray,
+    amplitude: float,
+    wavelength: float,
+    phase: float = 0.0,
+    decay_from_top: bool = True,
+) -> np.ndarray:
+    """Vertical sine ripples running across the page — the reference's
+    washboard_warp (render_text.py:311-331): per-column vertical offset
+    dy(x) = A·sin(2πx/λ+φ), optionally attenuated 1→0.2 down the page."""
+    h, w = img.shape
+    x = np.arange(w, dtype=np.float64)
+    dy = amplitude * np.sin(2 * np.pi * x / wavelength + phase)
+    atten = (
+        np.linspace(1.0, 0.2, h)[:, None] if decay_from_top else np.ones((h, 1))
+    )
+    ys = np.arange(h, dtype=np.float64)[:, None] + dy[None, :] * atten
+    return _gather_bilinear_y(img.astype(np.float64), ys)
+
+
+def cylinder_warp(
+    img: np.ndarray, side: str = "left", strength: float = 0.2, portion: float = 0.45
+) -> np.ndarray:
+    """Cylindrical bend of one page edge — the reference's
+    cylindrical_edge_warp (render_text.py:269-308): horizontal
+    x' = R·sin(θ) compression plus 1/cos(θ) vertical scaling inside the
+    edge strip. Severity calibrated (strength ≲ 0.25) so the ≤3% local
+    scale change stays inside the decoder's per-glyph alignment search.
+    """
+    h, w = img.shape
+    W = max(int(portion * w), 1)
+    R = W / strength if strength != 0 else 1e9
+    out = img.astype(np.float64)
+    xx = np.arange(w, dtype=np.float64)
+    if side == "left":
+        dx = np.clip(W - xx, 0, None)
+    else:
+        dx = np.clip(xx - (w - W), 0, None)
+    theta = dx / R
+    map_x = xx + (R * np.sin(theta) - dx)
+    scale_y = np.cos(theta)
+    yy = np.arange(h, dtype=np.float64)[:, None]
+    map_y = np.where(theta[None, :] > 0, (yy - h / 2) / scale_y[None, :] + h / 2, yy)
+    # bilinear gather at (map_y, map_x) — x map is per-column constant
+    x0 = np.floor(map_x).astype(np.int64)
+    fx = map_x - x0
+    x0c = np.clip(x0, 0, w - 1)
+    x1c = np.clip(x0 + 1, 0, w - 1)
+    left = _gather_bilinear_y(out, map_y)[:, :]  # sampled at integer x grid
+    # sample columns x0 and x0+1 of the y-warped image, then blend in x
+    col0 = left[:, x0c]
+    col1 = left[:, x1c]
+    return col0 * (1 - fx[None, :]) + col1 * fx[None, :]
+
+
 def _runs(mask: np.ndarray, min_gap: int, min_len: int) -> list[tuple[int, int]]:
     """Contiguous True runs of a 1-D mask, merging gaps < ``min_gap``,
     dropping runs shorter than ``min_len``. Returns [start, end) pairs."""
@@ -228,17 +324,43 @@ def _runs(mask: np.ndarray, min_gap: int, min_len: int) -> list[tuple[int, int]]
 
 def segment_lines(ink: np.ndarray) -> list[tuple[int, int]]:
     """Text-line bands as [y0, y1) pairs from the horizontal projection
-    profile (inverts render_text.py:192-254's top-to-bottom line layout)."""
+    profile (inverts render_text.py:192-254's top-to-bottom line layout).
+
+    Bands taller than ~1.7 glyph heights are two lines whose inter-line
+    gap was bridged (residual warp smear + opposing baseline jitters can
+    close the gap to ≤2 empty rows); split them at the interior projection
+    minimum, recursively. A genuine single line never exceeds
+    GLYPH_H + jitter (~22 px), so the split cannot fire on one.
+    """
     rows = ink.sum(axis=1)
     # threshold 2: a single glyph's stem contributes exactly 2 px/row, and
     # stem rows must keep the band contiguous (threshold 4 split
     # single-glyph lines — found by the hypothesis roundtrip property)
     mask = rows >= 2
-    return [
+    out: list[tuple[int, int]] = []
+    stack = [
         (y0, y1)
         for (y0, y1) in _runs(mask, min_gap=4, min_len=SHIRO_H)
         if ink[y0:y1].sum() >= 16
     ]
+    # a genuine single line never exceeds GLYPH_H + jitter + residual
+    # smear (~24 px); ≥ 27 px is two lines (they can overlap by several
+    # rows under residual warp, so the threshold sits well under 2×18)
+    tall = GLYPH_H + 9
+    margin = SHIRO_H + 4
+    while stack:
+        y0, y1 = stack.pop(0)
+        if y1 - y0 >= tall and y1 - y0 > 2 * margin:
+            interior = rows[y0 + margin : y1 - margin]
+            cut = y0 + margin + int(np.argmin(interior))
+            # split at the interior valley (bridging ink stays well under
+            # the shirorekha rows' mass)
+            if rows[cut] <= max(4.0, 0.35 * float(rows[y0:y1].max())):
+                stack.insert(0, (cut + 1, y1))
+                stack.insert(0, (y0, cut))
+                continue
+        out.append((y0, y1))
+    return [b for b in out if b[1] - b[0] >= SHIRO_H and ink[b[0] : b[1]].sum() >= 16]
 
 
 def segment_glyphs(line_ink: np.ndarray) -> list[tuple[int, int]]:
@@ -274,7 +396,7 @@ def decode_page(ink: np.ndarray, codebook) -> str:
             if prev_end is not None and (x0 - prev_end) >= (PITCH - GLYPH_W) + PITCH // 2:
                 n_spaces = max(1, round((x0 - prev_end - (PITCH - GLYPH_W)) / PITCH))
                 chars.append(" " * n_spaces)
-            ch = _decode_glyph(band_ii, bh, bw, x0, codebook)
+            ch = _decode_glyph(band, band_ii, bh, bw, x0, codebook)
             if ch is not None:
                 chars.append(ch)
             prev_end = x1
@@ -287,7 +409,7 @@ def decode_page(ink: np.ndarray, codebook) -> str:
 _CELL_AREA = float(CELL * CELL)
 
 
-def _decode_glyph(band_ii: np.ndarray, bh: int, bw: int, x0: int, codebook) -> str | None:
+def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: int, codebook) -> str | None:
     """Decode one glyph box: find its shirorekha top, sample the 8 bit
     cells (with ±1 px alignment search), majority-vote each cell.
 
@@ -338,27 +460,188 @@ def _decode_glyph(band_ii: np.ndarray, bh: int, bw: int, x0: int, codebook) -> s
         if ch is not None and margin >= 5:
             return ch
 
-    best_char: str | None = None
-    best_margin = -1
+    # collect every parity-valid parse across the alignment search, then
+    # pick by STRUCTURAL agreement: cell sums alone cannot distinguish the
+    # true read from one shifted onto the shirorekha/empty space (both can
+    # have large per-cell margins), but the full bit-column strips —
+    # including the expected-EMPTY gap rows between cells — can.
+    candidates: list[tuple[int, int, int, str]] = []  # (margin, dy, dx, ch)
     for dy in (0, -1, 1, -2, 2):
         for dx in (0, -1, 1):
             s = read(dy, dx)
             if s is None:
                 continue
             ch, margin = judge(s)
-            if ch is None:
-                continue
-            if margin > best_margin:
-                best_margin, best_char = margin, ch
+            if ch is not None:
+                candidates.append((margin, dy, dx, ch))
+    if not candidates:
+        return None
+    candidates.sort(key=lambda c: -c[0])
+    if len(candidates) == 1:
+        return candidates[0][3]
+
+    strip_lo = BIT_ROWS[0]
+    strip_hi = BIT_ROWS[-1] + CELL
+
+    def agreement(dy: int, dx: int, ch: str) -> float:
+        """Fraction of matching pixels over the two bit-column strips."""
+        bm = codebook.bitmaps[ord(ch) - 0x0900]
+        y0 = top + dy + strip_lo
+        y1 = top + dy + strip_hi
+        if y0 < 0 or y1 > bh:
+            return 0.0
+        total = 0
+        match = 0
+        for cx in BIT_COLS:
+            xa = x0 + dx + cx
+            xb = xa + CELL
+            if xa < 0 or xb > bw:
+                return 0.0
+            obs = band[y0:y1, xa:xb]
+            exp = bm[strip_lo:strip_hi, cx : cx + CELL]
+            match += int((obs == exp).sum())
+            total += obs.size
+        return match / total if total else 0.0
+
+    best_char, best_key = None, (-1.0, -1)
+    for margin, dy, dx, ch in candidates[:8]:
+        a = agreement(dy, dx, ch)
+        key = (a, margin)
+        if key > best_key:
+            best_key, best_char = key, ch
     return best_char
 
 
+def estimate_column_shifts(
+    ink: np.ndarray, strip: int = 8, max_shift: int = 8, y0: int = 0, y1: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-strip vertical displacement (rows ``y0:y1``) relative to the
+    slab's mean row-projection, with parabolic subpixel refinement.
+
+    Individually noisy (±1–2 px — the mean profile of a warped page is
+    smeared, so peaks are broad); consumers must FIT a model over all
+    strips (dewarp_washboard) rather than trust pointwise values.
+    Returns (strip centers, shifts); +s means the strip's ink sits s rows
+    below the reference profile.
+    """
+    sl = ink[y0:y1]
+    h, w = sl.shape
+    ref = sl.sum(axis=1).astype(np.float64)
+    centers: list[float] = []
+    shifts: list[float] = []
+    for x0 in range(0, w, strip):
+        p = sl[:, x0 : x0 + strip].sum(axis=1).astype(np.float64)
+        if p.sum() < 40:
+            continue
+        scores = np.empty(2 * max_shift + 1)
+        for j, s in enumerate(range(-max_shift, max_shift + 1)):
+            # strip displaced DOWN by s ⇔ p[y] ≈ ref[y - s]
+            if s >= 0:
+                scores[j] = float(ref[: h - s] @ p[s:])
+            else:
+                scores[j] = float(ref[-s:] @ p[: h + s])
+        k = int(np.argmax(scores))
+        s_best = float(k - max_shift)
+        if 0 < k < len(scores) - 1:
+            denom = scores[k - 1] - 2 * scores[k] + scores[k + 1]
+            if denom < 0:
+                s_best += 0.5 * (scores[k - 1] - scores[k + 1]) / denom
+        centers.append(x0 + strip / 2.0)
+        shifts.append(s_best)
+    return np.asarray(centers), np.asarray(shifts)
+
+
+#: candidate washboard wavelengths (px) — brackets the calibrated synth
+#: envelope (λ ∈ [120, 250]) with margin
+_WASH_LAMBDAS = np.arange(90.0, 300.0, 10.0)
+
+
+def _fit_sine(centers: np.ndarray, shifts: np.ndarray, lam: float) -> tuple[np.ndarray, float]:
+    """LSQ fit shifts ≈ a·sin + b·cos + c + d·x. Returns (coef, SSE)."""
+    X = np.column_stack(
+        [
+            np.sin(2 * np.pi * centers / lam),
+            np.cos(2 * np.pi * centers / lam),
+            np.ones_like(centers),
+            centers,
+        ]
+    )
+    coef, *_ = np.linalg.lstsq(X, shifts, rcond=None)
+    sse = float(((X @ coef - shifts) ** 2).sum())
+    return coef, sse
+
+
+def dewarp_washboard(ink: np.ndarray, *, min_amp: float = 1.5) -> np.ndarray:
+    """Undo a washboard warp (render_text.py:311-331) by PARAMETRIC fit.
+
+    The warp family is dy(x,y) = A·sin(2πx/λ+φ)·atten(y) with atten linear
+    in y — so instead of trusting noisy per-strip shifts pointwise (their
+    errors random-walk under chaining and false-trigger on clean pages
+    with per-word jitter), fit the model: grid-search λ, least-squares
+    (sin, cos) amplitudes per page HALF (top/bottom slabs capture the
+    linear attenuation exactly), plus offset+linear terms that absorb
+    rotation/drift so a purely rotated page fits with A ≈ 0.
+
+    Triggers only when the fitted amplitude ≥ ``min_amp`` AND the sine
+    explains the residual variance markedly better than offset+linear
+    alone — clean, rotated and cylinder pages fall below both gates.
+    Iterative refinement: correlation against the (smeared) mean profile
+    biases each amplitude estimate ~20% low, so the fitted field is
+    ACCUMULATED over up to 4 rounds — but every round resamples the
+    ORIGINAL mask through the total field exactly once (repeated
+    mask-of-mask resampling erodes the 3×3 bit cells).
+    """
+    h, w = ink.shape
+    ink0 = ink
+    yy = np.arange(h, dtype=np.float64)[:, None]
+    total: np.ndarray | None = None
+    for it in range(4):
+        centers, shifts = estimate_column_shifts(ink)
+        if centers.size < 12:
+            break
+        # model selection on the full-page field
+        _, sse_lin = _fit_sine(centers, shifts, 1e9)  # sin/cos ~ degenerate
+        best_lam, best_sse, best_coef = None, np.inf, None
+        for lam in _WASH_LAMBDAS:
+            coef, sse = _fit_sine(centers, shifts, lam)
+            if sse < best_sse:
+                best_lam, best_sse, best_coef = lam, sse, coef
+        amp = float(np.hypot(best_coef[0], best_coef[1]))
+        if it == 0 and (amp < min_amp or best_sse > 0.6 * sse_lin):
+            return ink0
+        if it > 0 and amp < 0.35:
+            break
+        # per-half amplitudes at the chosen λ → linear-in-y attenuation
+        halves = []
+        for (ya, yb) in ((0, h // 2), (h // 2, h)):
+            c_h, s_h = estimate_column_shifts(ink, y0=ya, y1=yb)
+            if c_h.size < 8:
+                halves.append(best_coef[:2])
+                continue
+            coef_h, _ = _fit_sine(c_h, s_h, best_lam)
+            halves.append(coef_h[:2])
+        xs = np.arange(w, dtype=np.float64)
+        sin_x = np.sin(2 * np.pi * xs / best_lam)
+        cos_x = np.cos(2 * np.pi * xs / best_lam)
+        s_top = halves[0][0] * sin_x + halves[0][1] * cos_x
+        s_bot = halves[1][0] * sin_x + halves[1][1] * cos_x
+        y_t, y_b = h / 4.0, 3.0 * h / 4.0
+        wy = (yy - y_t) / (y_b - y_t)
+        field = s_top[None, :] + wy * (s_bot - s_top)[None, :]
+        total = field if total is None else total + field
+        # one resample hop from the ORIGINAL mask through the total field
+        fmask = _gather_bilinear_y((ink0 * 255.0), yy + total)
+        ink = despeckle(fmask >= 128)
+    return ink
+
+
 def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
-    """decode → Sauvola binarize → despeckle → deskew, one page."""
+    """decode → Sauvola binarize → despeckle → dewarp → deskew, one page."""
     img = np.frombuffer(pixels, dtype=np.uint8, count=width * height).reshape(
         height, width
     )
     ink = despeckle(sauvola(img))
+    ink = dewarp_washboard(ink)
     angle = estimate_skew(ink)
     # Correct only confident tilts: ≤0.5° drifts ~1.5 px across a page and
     # per-glyph shirorekha top detection absorbs it, while "correcting" a

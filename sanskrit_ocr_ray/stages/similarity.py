@@ -273,28 +273,64 @@ def embedding_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     col: str = "embedding",
+    tile: int = 2048,
 ):
     """Within-block near-dup pairs by cosine ≥ threshold (ppm-scaled int).
 
-    Blocking on ``block_col`` keeps each group dense-matmul-sized; output
+    Blocking on ``block_col`` avoids the all-pairs scan; output
     (vec_a, vec_b, cos_x1e6) with vec_a < vec_b. ``cos_x1e6`` =
     floor(cos * 1e6 + 0.5) in float64 — mirrored exactly in the oracle.
+
+    A HOT block (one label holding most vectors) is processed as
+    ``tile``×``tile`` matmul tiles over the sorted ids, so no single dense
+    product ever exceeds tile² floats regardless of label skew — the
+    inherent O(k²) similarity work stays, but memory is bounded and each
+    tile's result is filtered to the (sparse) above-threshold pairs before
+    the next tile is computed.
     """
 
     def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype=np.int64),
+                    "vec_b": pd.Series(dtype=np.int64),
+                    "cos_x1e6": pd.Series(dtype=np.int64),
+                }
+            )
         g = group.sort_values(id_col).reset_index(drop=True)
         ids = g[id_col].to_numpy()
         mat = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in g[col]]))
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        scaled = np.floor(sims[ia, ib] * 1e6 + 0.5).astype(np.int64)
-        keep = scaled >= threshold_x1e6
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cos_x1e6": scaled[keep],
-            }
-        )
+        n = len(ids)
+        frames: list[pd.DataFrame] = []
+        for t0 in range(0, n, tile):
+            a_mat = mat[t0 : t0 + tile]
+            for t1 in range(t0, n, tile):
+                sims = a_mat @ mat[t1 : t1 + tile].T
+                if t1 == t0:  # diagonal tile: upper triangle only
+                    ia, ib = np.triu_indices(sims.shape[0], 1, sims.shape[1])
+                else:
+                    ia, ib = np.indices(sims.shape).reshape(2, -1)
+                scaled = np.floor(sims[ia, ib] * 1e6 + 0.5).astype(np.int64)
+                keep = scaled >= threshold_x1e6
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": ids[t0 + ia[keep]],
+                                "vec_b": ids[t1 + ib[keep]],
+                                "cos_x1e6": scaled[keep],
+                            }
+                        )
+                    )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series(dtype=ids.dtype),
+                    "vec_b": pd.Series(dtype=ids.dtype),
+                    "cos_x1e6": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
 
     return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")

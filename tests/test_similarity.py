@@ -86,3 +86,41 @@ def test_nearest_centroid_labels_cover(emb_ds):
     out = nearest_centroid(emb_ds).to_pandas()
     assert len(out) == 81
     assert set(out.assigned_label) <= {0, 1, 2, 3}
+
+
+def test_embedding_dup_pairs_hot_label_tiled(ray_session):
+    """One label holding 80% of vectors must still produce exact pairs with
+    a tiny tile size (forces the bounded-matmul tiling path)."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(100):
+        label = 0 if i < 80 else 1  # hot label 0
+        base = np.zeros(8)
+        base[i % 4] = 1.0  # 4 duplicate families inside each label
+        rows.append(
+            {
+                "vec_id": i,
+                "label": label,
+                "embedding": (base + rng.normal(0, 1e-3, 8)).tolist(),
+            }
+        )
+    ds = rd.from_items(rows)
+    tiled = (
+        embedding_dup_pairs(ds, threshold_x1e6=900_000, tile=16)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    whole = (
+        embedding_dup_pairs(ds, threshold_x1e6=900_000, tile=10_000)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(tiled) > 0
+    assert tiled.equals(whole)
