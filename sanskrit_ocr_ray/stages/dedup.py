@@ -358,7 +358,16 @@ def minhash_lsh_clusters(
             }
         )
 
-    edges = verified.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # components run on O(involved-nodes) TINY rows: a handful of buckets
+    # and a handful of blocks, or the per-iteration sorts drown in
+    # per-block fixed costs (measured 3.8→12.7s/iteration at 256 buckets
+    # spraying hundreds of near-empty blocks into every sort)
+    comp_buckets = 32
+    edges = (
+        verified.map_batches(both_dirs, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
 
     label_empty = typed_empty(node=id_dtype, rep=id_dtype, chg=np.int64)
 
@@ -376,14 +385,18 @@ def minhash_lsh_clusters(
         out["chg"] = np.int64(0)
         return out
 
-    labels = bucketed_aggregate(
-        edges.map_batches(init_rows, batch_format="pyarrow"),
-        ["node"],
-        min_rep,
-        n_buckets=n_buckets,
-        empty=label_empty,
-        coalesce_first=False,
-    ).materialize()
+    labels = (
+        bucketed_aggregate(
+            edges.map_batches(init_rows, batch_format="pyarrow"),
+            ["node"],
+            min_rep,
+            n_buckets=comp_buckets,
+            empty=label_empty,
+            coalesce_first=False,
+        )
+        .repartition(8)
+        .materialize()
+    )
 
     def label_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -409,7 +422,7 @@ def minhash_lsh_clusters(
 
     def add_node_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "__nb", _bucket_of(batch["node"].to_pylist(), n_buckets)
+            "__nb", _bucket_of(batch["node"].to_pylist(), comp_buckets)
         )
 
     def propagate(group: pd.DataFrame) -> pd.DataFrame:
@@ -447,14 +460,18 @@ def minhash_lsh_clusters(
             .groupby("__nb")
             .map_groups(propagate, batch_format="pandas")
         )
-        labels = bucketed_aggregate(
-            tagged,
-            ["node"],
-            combine_min,
-            n_buckets=n_buckets,
-            empty=label_empty,
-            coalesce_first=False,
-        ).materialize()
+        labels = (
+            bucketed_aggregate(
+                tagged,
+                ["node"],
+                combine_min,
+                n_buckets=comp_buckets,
+                empty=label_empty,
+                coalesce_first=False,
+            )
+            .repartition(8)
+            .materialize()
+        )
         changed = labels.sum("chg") or 0
         if changed == 0:
             break

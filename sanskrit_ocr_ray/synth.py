@@ -42,7 +42,7 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: bump when synth/glyphs/normalize change fixture bytes — cached fixtures
 #: under /tmp/sxray_fixtures are keyed by this, so stale goldens from a
 #: previous build can never be silently reused by the driver/bench.
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 # Degradation severity envelope (within the extractor's calibrated range,
 # FIXTURES.md §2), now covering the reference's full postprocessing model
