@@ -197,6 +197,51 @@ def _kr_fingerprint(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-corpus assembly operators (stages/corpus.py)
+# ---------------------------------------------------------------------------
+
+
+def _train_val_split(sf_dir: str):
+    from sanskrit_ocr_ray.stages.corpus import train_val_split
+
+    return train_val_split(
+        _tbl(sf_dir, "documents", ["doc_id"]), key="doc_id", val_permille=100
+    )
+
+
+def _redact_pii(sf_dir: str):
+    from sanskrit_ocr_ray.stages.corpus import redact_pii
+
+    return redact_pii(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _stratified_sample(sf_dir: str):
+    from sanskrit_ocr_ray.stages.corpus import stratified_sample
+
+    return stratified_sample(
+        _tbl(sf_dir, "documents", ["doc_id", "lang"]), group_col="lang", k=5
+    )
+
+
+def _pack_sequences(sf_dir: str):
+    from sanskrit_ocr_ray.stages.corpus import pack_sequences
+
+    return pack_sequences(_tbl(sf_dir, "documents", ["doc_id", "text"]), budget=256)
+
+
+def _corpus_mix(sf_dir: str):
+    from sanskrit_ocr_ray.stages.corpus import corpus_mix
+
+    return corpus_mix(
+        [
+            ("docs", _tbl(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text"),
+            ("events", _tbl(sf_dir, "events", ["event_id", "props"]), "event_id", "props"),
+        ],
+        permille={"docs": 700, "events": 300},
+    )
+
+
 def _simhash(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import simhash_batch
 
@@ -469,6 +514,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _quality,
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
+        # training-corpus assembly
+        "train_val_split": _train_val_split,
+        "redact_pii": _redact_pii,
+        "stratified_sample": _stratified_sample,
+        "pack_sequences": _pack_sequences,
+        "corpus_mix": _corpus_mix,
         # similarity search over `embeddings`
         "knn_top5": _knn5,
         "knn_ivf": _knn_ivf,
@@ -685,6 +736,68 @@ FROM t
 """,
         "fingerprint_md5": """
 SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents
+""",
+        "train_val_split": """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT % 1000 < 100
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+""",
+        "redact_pii": r"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, c1,
+         len(regexp_extract_all(t1, 'https?://[^\s]+')) AS c2,
+         regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, c1, c2,
+         len(regexp_extract_all(t2, '[0-9]{4,}')) AS c3,
+         regexp_replace(t2, '[0-9]{4,}', '<NUM>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, t3 AS text_redacted, CAST(c1 + c2 + c3 AS BIGINT) AS n_pii FROM s3
+""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 5
+""",
+        "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT AS h
+  FROM documents
+), w AS (
+  SELECT doc_id, ntok, CAST(h % 32 AS BIGINT) AS b,
+         COALESCE(SUM(ntok) OVER (
+           PARTITION BY h % 32 ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(b * 4294967296 + cum // 256 AS BIGINT) AS pack_id, ntok FROM w
+""",
+        "corpus_mix": """
+WITH d AS (
+  SELECT 'docs' AS src, CAST(doc_id AS BIGINT) AS rec_id, text
+  FROM documents
+  WHERE ('0x' || substr(md5('docs:' || doc_id::VARCHAR), 1, 16))::UBIGINT % 1000 < 700
+), e AS (
+  SELECT 'events' AS src, CAST(event_id AS BIGINT) AS rec_id, props AS text
+  FROM events
+  WHERE ('0x' || substr(md5('events:' || event_id::VARCHAR), 1, 16))::UBIGINT % 1000 < 300
+)
+SELECT * FROM d UNION ALL SELECT * FROM e
 """,
         "knn_top5": """
 WITH q AS (

@@ -1,0 +1,228 @@
+"""Training-corpus assembly operators (beyond-the-reference family).
+
+The ops a large-scale LLM training-data pipeline needs between "cleaned
+documents" and "training shards": deterministic train/val splitting, PII
+redaction, per-stratum sampling, token-budget sequence packing and
+weighted corpus mixing. None exist in the reference (its corpus step is a
+single serial readline loop, datagen/augmentations/generate_dataset.py);
+all are expressed Ray-Data-first:
+
+- hash decisions use :func:`sanskrit_ocr_ray.util.md5_u64` so every
+  operator has an exact DuckDB oracle
+  (``('0x' || substr(md5(x),1,16))::UBIGINT``) — the driver's correctness
+  gate compares value-for-value;
+- nothing shuffles except where semantics demand co-location, and then
+  only by BOUNDED hash buckets (never per-group dispatch on an unbounded
+  key);
+- regex work runs on Arrow via RE2 (`pyarrow.compute` string kernels),
+  the same engine DuckDB uses, so redaction parity is byte-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import md5_u64_many, typed_empty
+
+# RE2 syntax, identical semantics in pyarrow.compute and DuckDB regexp_*.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def train_val_split(ds, *, key: str = "doc_id", val_permille: int = 100):
+    """Deterministic hash split: ``md5(key) % 1000 < val_permille`` → val.
+
+    Shuffle-free and order/parallelism-independent — the split of a doc
+    never changes when the corpus grows, which is what keeps eval sets
+    stable across dataset versions (unlike random_shuffle + take).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch[key].to_pylist()]
+        h = md5_u64_many(keys) % np.uint64(1000)
+        split = np.where(h < val_permille, "val", "train")
+        return pa.table(
+            {key: batch[key], "split": pa.array(split.tolist(), type=pa.string())}
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def redact_pii(ds, *, column: str = "text", patterns=PII_PATTERNS):
+    """Chained regex redaction with per-doc match counts.
+
+    Patterns apply IN ORDER, each counting matches on the text state it
+    sees (so digits inside an already-redacted email are not re-counted).
+    All string work is RE2 on Arrow buffers — no Python loop.
+    """
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch[column], pa.string())
+        total = np.zeros(len(txt), dtype=np.int64)
+        for pat, repl in patterns:
+            total += pc.count_substring_regex(txt, pat).to_numpy(zero_copy_only=False)
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_redacted": txt,
+                "n_pii": pa.array(total),
+            }
+        )
+        return out
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    *,
+    group_col: str = "lang",
+    k: int = 5,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+):
+    """Deterministic top-k per stratum, ordered by md5(id).
+
+    One bounded shuffle: strata are bucketed by ``hash(group) % B`` and a
+    whole bucket ranks all its strata in one vectorized sort + cumcount —
+    never one dispatch per stratum (strata counts are unbounded at web
+    scale: think per-domain sampling).
+    """
+    from ..util import fast_hash_u64
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch[id_col].to_pylist()]
+        h = md5_u64_many(ids)
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                group_col: batch[group_col],
+                "__h": pa.array(h),
+                "__b": pa.array(
+                    (fast_hash_u64(g) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    empty = typed_empty(**{id_col: np.int64, group_col: object})
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        g = df.sort_values([group_col, "__h", id_col], kind="mergesort")
+        rank = g.groupby(group_col, sort=False).cumcount()
+        out = g.loc[rank < k, [id_col, group_col]]
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    ds,
+    *,
+    budget: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 32,
+):
+    """Token-budget sequence packing: assign docs to fixed-budget packs.
+
+    Docs are hash-bucketed (``md5(id) % B`` — each bucket is one worker's
+    independent packing problem), ordered deterministically by md5 within
+    the bucket, and assigned ``pack = floor(exclusive_cumsum(ntok) /
+    budget)`` — the window-function formulation (cumulative-budget
+    partitioning) rather than greedy-with-reset, precisely so the result
+    is expressible as ANSI-SQL window aggregates for the oracle. pack_id =
+    ``bucket * 2^32 + pack`` is globally unique. Tokens are whitespace
+    tokens (same contract as text_analysis.token_count_batch's
+    n_ws_tokens).
+    """
+    from ..stages.text_analysis import WS_TOKEN
+
+    def project(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ntok = np.fromiter(
+            (len(WS_TOKEN.findall(t or "")) for t in texts), np.int64, len(texts)
+        )
+        ids = [str(v) for v in batch[id_col].to_pylist()]
+        h = md5_u64_many(ids)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "ntok": pa.array(ntok),
+                "__h": pa.array(h),
+                "__b": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    empty = typed_empty(**{id_col: np.int64, "pack_id": np.int64, "ntok": np.int64})
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        g = df.sort_values(["__h", id_col], kind="mergesort")
+        cum_excl = np.concatenate(([0], np.cumsum(g["ntok"].to_numpy())[:-1]))
+        pack = cum_excl // budget
+        bucket = int(g["__b"].iloc[0])
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "pack_id": bucket * (1 << 32) + pack,
+                "ntok": g["ntok"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(pack_bucket, batch_format="pandas")
+    )
+
+
+def corpus_mix(sides, *, permille: dict[str, int] | None = None):
+    """Weighted deterministic corpus mixing.
+
+    ``sides`` is ``[(src_tag, dataset, id_col, text_col), ...]``; each
+    side keeps rows with ``md5(src || ':' || id) % 1000 < permille[src]``
+    and the survivors union into one (src, rec_id, text) corpus. Hash
+    selection (not sampling) makes the mix reproducible and incremental:
+    re-running over a grown corpus keeps every previously selected row.
+    """
+    permille = permille or {}
+
+    def keep(src: str, id_col: str, text_col: str, pm: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = [str(v) for v in batch[id_col].to_pylist()]
+            h = md5_u64_many([f"{src}:{i}" for i in ids]) % np.uint64(1000)
+            mask = pa.array(h < pm)
+            t = batch.filter(mask)
+            return pa.table(
+                {
+                    "src": pa.array([src] * t.num_rows, type=pa.string()),
+                    "rec_id": pc.cast(t[id_col], pa.int64()),
+                    "text": pc.cast(t[text_col], pa.string()),
+                }
+            )
+
+        return fn
+
+    out = None
+    for src, ds, id_col, text_col in sides:
+        part = ds.map_batches(
+            keep(src, id_col, text_col, permille.get(src, 1000)),
+            batch_format="pyarrow",
+        )
+        out = part if out is None else out.union(part)
+    return out

@@ -1,0 +1,137 @@
+"""Training-corpus assembly ops (stages/corpus.py): planted-PII redaction,
+packing invariants, sampling determinism, split stability, incremental mix.
+
+Oracle parity for all five runs in test_oracle_parity.py / the driver gate;
+these tests cover the semantics the sf tables can't exercise (real PII
+strings, subset-invariance, growth-invariance).
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df.copy())
+
+
+def test_redact_pii_planted(ray_session):
+    from sanskrit_ocr_ray.stages.corpus import redact_pii
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(5, dtype=np.int64),
+            "text": [
+                "contact john.doe+x@example.co.uk today",
+                "see https://example.com/a?b=1 and http://x.io",
+                "call 5551234567 or 123 no",
+                "email a@b.com at https://c.d/e ref 99991111",
+                "plain devanagari अआइ text",
+            ],
+        }
+    )
+    out = redact_pii(_docs_ds(df)).to_pandas().sort_values("doc_id")
+    assert out.text_redacted.tolist() == [
+        "contact <EMAIL> today",
+        "see <URL> and <URL>",
+        "call <NUM> or 123 no",
+        "email <EMAIL> at <URL> ref <NUM>",
+        "plain devanagari अआइ text",
+    ]
+    assert out.n_pii.tolist() == [1, 2, 1, 3, 0]
+    # byte-exact vs the DuckDB oracle's regex engine on the same frame
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    o = con.sql(em.oracle_sql()["redact_pii"]).df().sort_values("doc_id")
+    assert o.text_redacted.tolist() == out.text_redacted.tolist()
+    assert o.n_pii.tolist() == out.n_pii.tolist()
+
+
+def test_pack_sequences_matches_window_model(ray_session):
+    from sanskrit_ocr_ray.stages.corpus import pack_sequences
+    from sanskrit_ocr_ray.util import md5_u64
+
+    rng = np.random.default_rng(3)
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [" ".join(["w"] * int(k)) for k in rng.integers(1, 60, n)],
+        }
+    )
+    out = (
+        pack_sequences(_docs_ds(df), budget=64, n_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # reference model: exclusive cumsum // budget within md5-ordered bucket
+    h = np.array([md5_u64(str(i)) for i in df.doc_id], dtype=np.uint64)
+    ntok = df.text.str.split().str.len().to_numpy()
+    exp = {}
+    for b in range(8):
+        idx = np.where(h % 8 == b)[0]
+        idx = idx[np.argsort(h[idx], kind="stable")]
+        cum = np.concatenate(([0], np.cumsum(ntok[idx])[:-1]))
+        for i, c in zip(idx, cum):
+            exp[int(df.doc_id[i])] = b * (1 << 32) + c // 64
+    assert out.pack_id.tolist() == [exp[i] for i in out.doc_id]
+    assert out.ntok.tolist() == ntok.tolist()
+    # no pack is empty; ids are dense enough to be usable as shard keys
+    assert (out.groupby("pack_id").size() >= 1).all()
+
+
+def test_stratified_sample_deterministic_and_capped(ray_session):
+    from sanskrit_ocr_ray.stages.corpus import stratified_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "sa"], 300, p=[0.8, 0.15, 0.05]),
+        }
+    )
+    a = stratified_sample(_docs_ds(df), group_col="lang", k=7).to_pandas()
+    b = stratified_sample(_docs_ds(df), group_col="lang", k=7).to_pandas()
+    assert (a.groupby("lang").size() <= 7).all()
+    assert set(a.lang) == set(df.lang)
+    pd.testing.assert_frame_equal(
+        a.sort_values(["lang", "doc_id"]).reset_index(drop=True),
+        b.sort_values(["lang", "doc_id"]).reset_index(drop=True),
+    )
+
+
+def test_train_val_split_subset_invariant(ray_session):
+    from sanskrit_ocr_ray.stages.corpus import train_val_split
+
+    df = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    full = train_val_split(_docs_ds(df)).to_pandas()
+    sub = train_val_split(_docs_ds(df.iloc[::3])).to_pandas()
+    m = full.set_index("doc_id")["split"]
+    assert (sub.set_index("doc_id")["split"] == m.loc[sub.doc_id].values).all()
+    frac = (full.split == "val").mean()
+    assert 0.06 < frac < 0.14  # ~10% ± hash noise
+
+
+def test_corpus_mix_growth_invariant(ray_session):
+    from sanskrit_ocr_ray.stages.corpus import corpus_mix
+
+    small = pd.DataFrame(
+        {"doc_id": np.arange(100, dtype=np.int64), "text": ["x"] * 100}
+    )
+    big = pd.DataFrame(
+        {"doc_id": np.arange(250, dtype=np.int64), "text": ["x"] * 250}
+    )
+    a = corpus_mix(
+        [("d", _docs_ds(small), "doc_id", "text")], permille={"d": 400}
+    ).to_pandas()
+    b = corpus_mix(
+        [("d", _docs_ds(big), "doc_id", "text")], permille={"d": 400}
+    ).to_pandas()
+    assert set(a.rec_id) == set(b[b.rec_id < 100].rec_id)
+    assert 0.3 < len(b) / 250 < 0.5

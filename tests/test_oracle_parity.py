@@ -26,6 +26,11 @@ SUBSET = [
     "minhash_sig",
     "knn_top5",
     "nearest_centroid",
+    "train_val_split",
+    "redact_pii",
+    "stratified_sample",
+    "pack_sequences",
+    "corpus_mix",
     "q1_pricing",
     "revenue_by_nation",
     "events_tumbling",

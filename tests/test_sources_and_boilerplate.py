@@ -27,6 +27,54 @@ def test_read_chunked_passages_wraps(ray_session, tmp_path):
     ]
 
 
+def _naive_chunks(lines, chunk_size, n_chunks):
+    """Reference semantics: readline loop w/ EOF wrap
+    (generate_dataset.py:7-19,30)."""
+    from sanskrit_ocr_ray.sources.text import DANDA_END, DANDA_SEP
+
+    out = []
+    for c in range(n_chunks):
+        chunk = [lines[(c * chunk_size + j) % len(lines)] for j in range(chunk_size)]
+        out.append(DANDA_SEP.join(chunk) + DANDA_END)
+    return out
+
+
+def test_read_chunked_passages_streaming_parity(ray_session, tmp_path):
+    """Tiny range_bytes force every line to span a worker-range boundary;
+    empty lines and an unterminated trailing line must survive (the
+    reference's readline() keeps both)."""
+    import random
+
+    from sanskrit_ocr_ray.sources.text import read_chunked_passages
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(1, 17)
+        lines = []
+        for _ in range(n):
+            k = rng.randint(0, 9)
+            lines.append("".join(rng.choice("अabइ ") for _ in range(k)))
+        trailing_nl = trial % 2 == 0
+        body = "\n".join(lines) + ("\n" if trailing_nl else "")
+        if not trailing_nl and lines[-1] == "":
+            lines = lines[:-1]  # "a\n" + "" is just "a\n": no trailing line
+            if not lines:
+                continue
+        corpus = tmp_path / f"c{trial}.txt"
+        corpus.write_text(body, encoding="utf-8")
+        chunk_size = rng.randint(1, 5)
+        n_chunks = rng.randint(1, 2 * n)
+        got = (
+            read_chunked_passages(
+                str(corpus), chunk_size, n_chunks, range_bytes=rng.choice([3, 5, 1 << 20])
+            )
+            .to_pandas()
+            .sort_values("chunk_id")
+        )
+        assert got.chunk_id.tolist() == list(range(n_chunks))
+        assert got.passage.tolist() == _naive_chunks(lines, chunk_size, n_chunks)
+
+
 def test_read_chunked_passages_empty_raises(ray_session, tmp_path):
     from sanskrit_ocr_ray.sources.text import read_chunked_passages
 
