@@ -108,13 +108,6 @@ def bucketed_aggregate(
     return tagged.groupby("__pb").map_groups(per_bucket, batch_format="pandas")
 
 
-def _vcat(x, y) -> pa.ChunkedArray:
-    """Vertically concatenate two (chunked) arrays of the same type."""
-    cx = list(x.chunks) if isinstance(x, pa.ChunkedArray) else [x]
-    cy = list(y.chunks) if isinstance(y, pa.ChunkedArray) else [y]
-    return pa.chunked_array(cx + cy, type=x.type)
-
-
 def _pd_dtypes(ds) -> dict:
     """Column → pandas dtype map from a Dataset's (metadata-only) schema."""
     sch = ds.schema()
@@ -207,6 +200,144 @@ def minhash_signatures_batch(
             "minhash": pa.array(out_hash, type=pa.string()),
         }
     )
+
+
+def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 50):
+    """Connected components of an undirected edge list: BSP hash-to-min
+    label propagation over bucketed object-store state.
+
+    An iterative graph algorithm is the one shape the Dataset API cannot
+    express without paying a sort barrier (2×) per round — measured 2-6 s
+    of pure fixed cost per iteration at bench scale, with the edge set
+    re-shuffled every round even though it never changes. So this drops
+    to raw Ray tasks (the documented escape hatch for iterative state):
+
+    - edges are hash-bucketed by src ONCE (both directions, so every
+      involved node appears as src in its home bucket) and pinned in the
+      object store; labels are one small (node, rep) table per bucket;
+    - each round is ONE task wave: bucket k joins its labels into its
+      out-edges, pre-mins messages per destination node, and addresses
+      them straight to the destination buckets via ``num_returns``
+      fan-out; a fold task per bucket takes the vectorized min and
+      reports a changed-count;
+    - the driver coordinates O(B²) tiny object REFS per round; edge and
+      label bytes never leave the object store, so driver state is O(B),
+      not O(graph).
+
+    Rounds needed = component diameter in hops; verified LSH subgraphs
+    arrive star-collapsed (see ``verify_in_bucket``), so 1-3 rounds.
+    Returns a Dataset of (node, rep) covering every node with ≥1 edge.
+    """
+    import ray
+    import ray.data as rd
+
+    B = n_buckets
+
+    def _bids(values) -> np.ndarray:
+        return (fast_hash_u64(values) % np.uint64(B)).astype(np.int64)
+
+    def _nr(t: pa.DataType) -> pa.Schema:
+        return pa.schema([("node", t), ("rep", t)])
+
+    edge_sch = pa.schema([("src", id_type), ("dst", id_type)])
+
+    @ray.remote
+    def bucketize(block) -> list:
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        sch = edge_sch
+        if "a" not in block.column_names:  # schema-less empty group block
+            block = sch.empty_table().rename_columns(["a", "b"])
+        df = block.to_pandas()
+        e = pd.DataFrame(
+            {
+                "src": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "dst": pd.concat([df["b"], df["a"]], ignore_index=True),
+            }
+        )
+        bb = _bids(e["src"].to_numpy()) if len(e) else np.array([], dtype=np.int64)
+        return [
+            pa.Table.from_pandas(e[bb == k], schema=sch, preserve_index=False)
+            for k in range(B)
+        ]
+
+    @ray.remote(num_returns=2)
+    def init_bucket(*tables):
+        e = pa.concat_tables(tables)
+        df = e.to_pandas()
+        if not len(df):
+            lbl = pd.DataFrame({"node": df["src"], "rep": df["dst"]})
+        else:
+            lbl = (
+                pd.concat(
+                    [
+                        pd.DataFrame({"node": df["src"], "rep": df["src"]}),
+                        pd.DataFrame({"node": df["src"], "rep": df["dst"]}),
+                    ],
+                    ignore_index=True,
+                )
+                .groupby("node", as_index=False)["rep"]
+                .min()
+            )
+        return e, pa.Table.from_pandas(lbl, schema=_nr(id_type), preserve_index=False)
+
+    @ray.remote
+    def step(edges, labels) -> list:
+        e = edges.to_pandas()
+        lbl = labels.to_pandas()
+        m = e.merge(lbl, left_on="src", right_on="node")
+        msgs = (
+            pd.DataFrame({"node": m["dst"], "rep": m["rep"]})
+            .groupby("node", as_index=False)["rep"]
+            .min()
+        )
+        bb = _bids(msgs["node"].to_numpy()) if len(msgs) else np.array([], dtype=np.int64)
+        sch = labels.schema
+        return [
+            pa.Table.from_pandas(msgs[bb == k], schema=sch, preserve_index=False)
+            for k in range(B)
+        ]
+
+    @ray.remote(num_returns=2)
+    def fold(labels, *msg_tables):
+        msgs = pa.concat_tables(msg_tables).to_pandas()
+        if not len(msgs):
+            return labels, 0
+        lbl = labels.to_pandas()
+        new = (
+            pd.concat([lbl, msgs], ignore_index=True)
+            .groupby("node", as_index=False)["rep"]
+            .min()
+        )
+        merged = new.merge(lbl, on="node", how="left", suffixes=("", "_old"))
+        changed = int((merged["rep"] != merged["rep_old"]).sum())
+        return (
+            pa.Table.from_pandas(new, schema=labels.schema, preserve_index=False),
+            changed,
+        )
+
+    block_refs = pairs_ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_arrow(_nr(id_type).empty_table())
+    parts = [bucketize.options(num_returns=B).remote(r) for r in block_refs]
+    edge_refs, label_refs = [], []
+    for k in range(B):
+        e_ref, l_ref = init_bucket.remote(*[p[k] for p in parts])
+        edge_refs.append(e_ref)
+        label_refs.append(l_ref)
+    for _ in range(max_iters):
+        outs = [
+            step.options(num_returns=B).remote(edge_refs[k], label_refs[k])
+            for k in range(B)
+        ]
+        folded = [
+            fold.remote(label_refs[k], *[outs[j][k] for j in range(B)])
+            for k in range(B)
+        ]
+        label_refs = [f[0] for f in folded]
+        if sum(ray.get([f[1] for f in folded])) == 0:
+            break
+    return rd.from_arrow_refs(label_refs)
 
 
 def minhash_lsh_clusters(
@@ -349,132 +480,9 @@ def minhash_lsh_clusters(
         .map_groups(verify_in_bucket, batch_format="pandas")
     )
 
-    # ---- 3. connected components: hash-to-min propagation --------------
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": _vcat(batch["a"], batch["b"]),
-                "dst": _vcat(batch["b"], batch["a"]),
-            }
-        )
-
-    # components run on O(involved-nodes) TINY rows: a handful of buckets
-    # and a handful of blocks, or the per-iteration sorts drown in
-    # per-block fixed costs (measured 3.8→12.7s/iteration at 256 buckets
-    # spraying hundreds of near-empty blocks into every sort)
-    comp_buckets = 32
-    edges = (
-        verified.map_batches(both_dirs, batch_format="pyarrow")
-        .repartition(8)
-        .materialize()
-    )
-
-    label_empty = typed_empty(node=id_dtype, rep=id_dtype, chg=np.int64)
-
-    # round 0 fused: rep(node) = min(node, min neighbor)
-    def init_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": _vcat(batch["src"], batch["src"]),
-                "rep": _vcat(batch["src"], batch["dst"]),
-            }
-        )
-
-    def min_rep(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("node", as_index=False)["rep"].min()
-        out["chg"] = np.int64(0)
-        return out
-
-    labels = (
-        bucketed_aggregate(
-            edges.map_batches(init_rows, batch_format="pyarrow"),
-            ["node"],
-            min_rep,
-            n_buckets=comp_buckets,
-            empty=label_empty,
-            coalesce_first=False,
-        )
-        .repartition(8)
-        .materialize()
-    )
-
-    def label_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "node": batch["node"],
-                "rep": batch["rep"],
-                "dst": pa.nulls(n, type=batch["node"].type),
-                "__side": pa.array(["l"] * n),
-            }
-        )
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "node": batch["src"],
-                "rep": pa.nulls(n, type=batch["src"].type),
-                "dst": batch["dst"],
-                "__side": pa.array(["e"] * n),
-            }
-        )
-
-    def add_node_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "__nb", _bucket_of(batch["node"].to_pylist(), comp_buckets)
-        )
-
-    def propagate(group: pd.DataFrame) -> pd.DataFrame:
-        """src-bucket pass: emit each node's own (old) label + one message
-        (dst, rep(src)) per outgoing edge."""
-        if group.empty:
-            return typed_empty(node=id_dtype, rep=id_dtype, old=np.int64)
-        lbl = group[group["__side"] == "l"][["node", "rep"]]
-        e = group[group["__side"] == "e"][["node", "dst"]]
-        msgs = e.merge(lbl, on="node")[["dst", "rep"]].rename(columns={"dst": "node"})
-        own = lbl.copy()
-        own["old"] = np.int64(1)
-        msgs["old"] = np.int64(0)
-        out = pd.concat([own, msgs], ignore_index=True)
-        if np.dtype(id_dtype).kind in ("i", "u"):
-            out = out.astype({"node": id_dtype, "rep": id_dtype})
-        return out
-
-    def combine_min(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", as_index=False)["rep"].min()
-        old = df[df["old"] == 1][["node", "rep"]].rename(columns={"rep": "prev"})
-        g = g.merge(old, on="node", how="left")
-        g["chg"] = (g["prev"] != g["rep"]).astype(np.int64)
-        return g[["node", "rep", "chg"]]
-
-    if edges.count() == 0:
-        iters = 0
-    else:
-        iters = max_iters
-    for _ in range(iters):
-        tagged = (
-            labels.map_batches(label_rows, batch_format="pyarrow")
-            .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
-            .map_batches(add_node_bucket, batch_format="pyarrow")
-            .groupby("__nb")
-            .map_groups(propagate, batch_format="pandas")
-        )
-        labels = (
-            bucketed_aggregate(
-                tagged,
-                ["node"],
-                combine_min,
-                n_buckets=comp_buckets,
-                empty=label_empty,
-                coalesce_first=False,
-            )
-            .repartition(8)
-            .materialize()
-        )
-        changed = labels.sum("chg") or 0
-        if changed == 0:
-            break
+    # ---- 3. connected components: BSP hash-to-min over raw Ray tasks ---
+    id_arrow = pa.string() if np.dtype(id_dtype) == object else pa.from_numpy_dtype(np.dtype(id_dtype))
+    labels = _components_bsp(verified, id_arrow, max_iters=max_iters)
 
     # ---- 4. assign: every doc, singletons map to themselves ------------
     def self_rows(batch: pa.Table) -> pa.Table:
