@@ -390,13 +390,46 @@ def decode_page(ink: np.ndarray, codebook) -> str:
         bh, bw = band.shape
         band_ii = np.zeros((bh + 1, bw + 1), dtype=np.int32)
         np.cumsum(np.cumsum(band, axis=0), axis=1, out=band_ii[1:, 1:])
+        # vectorized fast path: the aligned (dy=0, dx=0) read + parity +
+        # margin≥5 accept for ALL glyphs of the line in a handful of
+        # gathers — INTEGER arithmetic identical to _decode_glyph's
+        # short-circuit, so results are bit-for-bit the same; only the
+        # (rare) low-margin / parity-fail / out-of-range glyphs fall back
+        # to the per-glyph alignment search (~25 µs of Python per glyph
+        # saved on the ~95% clean-aligned majority)
+        fast: list[str | None] = [None] * len(boxes)
+        fast_ok = np.zeros(len(boxes), dtype=bool)
+        if bh >= CELL and bw >= CELL:
+            xs0 = np.fromiter((b[0] for b in boxes), np.int64, len(boxes))
+            gx1 = np.minimum(xs0 + GLYPH_W, bw)
+            col_d = band_ii[:, gx1] - band_ii[:, xs0]  # (bh+1, n) cum row sums
+            cnt = col_d[1:] - col_d[:-1]
+            tops = (cnt >= GLYPH_W // 2).argmax(axis=0)  # all-False → 0, as the scan loop
+            ys = tops[None, :] + _BIT_Y[:, None]  # (8, n)
+            xsc = xs0[None, :] + _BIT_X[:, None]
+            valid = ((ys + CELL <= bh) & (xsc + CELL <= bw)).all(axis=0)
+            yc = np.clip(ys, 0, bh - CELL)
+            xc = np.clip(xsc, 0, bw - CELL)
+            s = (
+                band_ii[yc + CELL, xc + CELL]
+                - band_ii[yc, xc + CELL]
+                - band_ii[yc + CELL, xc]
+                + band_ii[yc, xc]
+            )
+            bits = ((s > 4).astype(np.int64) << np.arange(8)[:, None]).sum(axis=0)
+            margin = np.abs(2 * s - 9).min(axis=0)
+            cp = bits & 0x7F
+            parity_ok = (_POPCOUNT7[cp] & 1) == ((bits >> 7) & 1)
+            fast_ok = valid & parity_ok & (margin >= 5)
+            for i in np.nonzero(fast_ok)[0]:
+                fast[i] = chr(0x0900 + int(cp[i]))
         chars: list[str] = []
         prev_end: int | None = None
-        for x0, x1 in boxes:
+        for i, (x0, x1) in enumerate(boxes):
             if prev_end is not None and (x0 - prev_end) >= (PITCH - GLYPH_W) + PITCH // 2:
                 n_spaces = max(1, round((x0 - prev_end - (PITCH - GLYPH_W)) / PITCH))
                 chars.append(" " * n_spaces)
-            ch = _decode_glyph(band, band_ii, bh, bw, x0, codebook)
+            ch = fast[i] if fast_ok[i] else _decode_glyph(band, band_ii, bh, bw, x0, codebook)
             if ch is not None:
                 chars.append(ch)
             prev_end = x1
@@ -407,6 +440,10 @@ def decode_page(ink: np.ndarray, codebook) -> str:
 
 
 _CELL_AREA = float(CELL * CELL)
+#: cell offsets in _decode_glyph's read() order (bit i → row i//2, col i%2)
+_BIT_Y = np.repeat(np.asarray(BIT_ROWS, dtype=np.int64), 2)
+_BIT_X = np.tile(np.asarray(BIT_COLS, dtype=np.int64), 4)
+_POPCOUNT7 = np.asarray([bin(i).count("1") for i in range(128)], dtype=np.int64)
 
 
 def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: int, codebook) -> str | None:
@@ -584,6 +621,37 @@ def _fit_sine(centers: np.ndarray, shifts: np.ndarray, lam: float) -> tuple[np.n
     return coef, sse
 
 
+def _fit_sine_grid(
+    centers: np.ndarray, shifts: np.ndarray, lams: np.ndarray
+) -> tuple[float, np.ndarray, float]:
+    """Fit every candidate λ at once via batched 4×4 normal equations
+    (one ``np.linalg.solve`` over (L,4,4) instead of L serial SVD lstsq
+    calls — measured ~2 ms/page saved on every non-gated page). Returns
+    (best λ, its coef, its SSE)."""
+    L, n = lams.size, centers.size
+    ang = 2.0 * np.pi * centers[None, :] / lams[:, None]
+    X = np.empty((L, n, 4))
+    np.sin(ang, out=X[:, :, 0])
+    np.cos(ang, out=X[:, :, 1])
+    X[:, :, 2] = 1.0
+    X[:, :, 3] = centers[None, :]
+    XtX = np.einsum("lnc,lnd->lcd", X, X)
+    Xty = np.einsum("lnc,n->lc", X, shifts)
+    try:
+        coef = np.linalg.solve(XtX, Xty)
+    except np.linalg.LinAlgError:  # degenerate grid point → robust path
+        best = (None, None, np.inf)
+        for lam in lams:
+            c, sse = _fit_sine(centers, shifts, float(lam))
+            if sse < best[2]:
+                best = (float(lam), c, sse)
+        return best
+    resid = np.einsum("lnc,lc->ln", X, coef) - shifts[None, :]
+    sse = (resid * resid).sum(axis=1)
+    j = int(np.argmin(sse))
+    return float(lams[j]), coef[j], float(sse[j])
+
+
 def dewarp_washboard(ink: np.ndarray, *, min_amp: float = 1.5) -> np.ndarray:
     """Undo a washboard warp (render_text.py:311-331) by PARAMETRIC fit.
 
@@ -612,13 +680,33 @@ def dewarp_washboard(ink: np.ndarray, *, min_amp: float = 1.5) -> np.ndarray:
         centers, shifts = estimate_column_shifts(ink)
         if centers.size < 12:
             break
-        # model selection on the full-page field
-        _, sse_lin = _fit_sine(centers, shifts, 1e9)  # sin/cos ~ degenerate
-        best_lam, best_sse, best_coef = None, np.inf, None
-        for lam in _WASH_LAMBDAS:
-            coef, sse = _fit_sine(centers, shifts, lam)
-            if sse < best_sse:
-                best_lam, best_sse, best_coef = lam, sse, coef
+        # cheap pre-gate on a ROBUST, DETRENDED statistic: this runs
+        # pre-deskew, so rotation alone adds a linear-in-x shift trend
+        # (tan 3° ≈ 17 px across a page) that the model's offset+linear
+        # terms absorb anyway — subtract the LSQ line first, then test
+        # p75(|residual|). Single-strip noise outliers hit 1-2 px on
+        # clean pages (hence a percentile, not max); a washboard at the
+        # synth's A ≥ 2.5 displaces a large fraction of strips (measured
+        # p75 ≥ 0.92 on every washboard fixture page vs median 0.28 /
+        # p90 0.49 elsewhere), so p75 < 0.6 skips the 23-λ lstsq grid
+        # (~6 ms/page) for the unwarped majority; pages above the gate
+        # take the unchanged fit+model-selection path
+        if it == 0:
+            slope, icpt = np.polyfit(centers, shifts, 1)
+            resid = shifts - (icpt + slope * centers)
+            if float(np.percentile(np.abs(resid), 75)) < 0.6:
+                return ink0
+        # model selection on the full-page field; the λ grid runs only in
+        # round 0 — the warp's wavelength is a property of the page, so
+        # refinement rounds refit amplitudes at the SAME λ (halves the
+        # fit cost of warped pages; round-0 selection is unchanged)
+        if it == 0:
+            _, sse_lin = _fit_sine(centers, shifts, 1e9)  # sin/cos ~ degenerate
+            best_lam, best_coef, best_sse = _fit_sine_grid(
+                centers, shifts, _WASH_LAMBDAS
+            )
+        else:
+            best_coef, best_sse = _fit_sine(centers, shifts, best_lam)
         amp = float(np.hypot(best_coef[0], best_coef[1]))
         if it == 0 and (amp < min_amp or best_sse > 0.6 * sse_lin):
             return ink0

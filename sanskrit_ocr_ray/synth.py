@@ -39,10 +39,12 @@ from .util import doc_rng, stable_partition
 
 PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 
-#: bump when synth/glyphs/normalize change fixture bytes — cached fixtures
-#: under /tmp/sxray_fixtures are keyed by this, so stale goldens from a
+#: bump when synth/glyphs/normalize — or the decode path that generation
+#: VERIFIES against (image.py) — change behavior: cached fixtures under
+#: /tmp/sxray_fixtures are keyed by this, so stale goldens from a
 #: previous build can never be silently reused by the driver/bench.
-FIXTURE_VERSION = 4
+#: v5: dewarp λ grid batched + selected once per page (round-0 only).
+FIXTURE_VERSION = 5
 
 # Degradation severity envelope (within the extractor's calibrated range,
 # FIXTURES.md §2), now covering the reference's full postprocessing model
