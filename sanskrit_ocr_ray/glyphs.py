@@ -180,6 +180,7 @@ def render_page(
     width: int,
     height: int,
     rng: np.random.Generator,
+    background: np.ndarray | None = None,
 ) -> tuple[np.ndarray, str]:
     """Render ``text`` onto a textured page; returns (grayscale uint8, rendered_text).
 
@@ -194,8 +195,13 @@ def render_page(
     (:253-254). Per-word rotation stays off — the reference's
     ``word_angle`` default is 0.0 (DEFAULT_PARAMS:36).
     """
-    style = BACKGROUND_STYLES[int(rng.integers(0, len(BACKGROUND_STYLES)))]
-    page = make_background(width, height, style, rng)
+    if background is not None:
+        # externally supplied page background (S9 dir store,
+        # sources/backgrounds.py); the default synthetic path is untouched
+        page = background.copy()
+    else:
+        style = BACKGROUND_STYLES[int(rng.integers(0, len(BACKGROUND_STYLES)))]
+        page = make_background(width, height, style, rng)
 
     words = [w for w in text.split(" ") if w]
     lines = layout_words(words, width)

@@ -302,14 +302,34 @@ def top_users_by_value(ds, *, k: int = 10):
     return agg.reset_index(drop=True)
 
 
-def hash_join(left_ds, right_ds, key: str, *, n_buckets: int = 16, suffix: str = "_r"):
-    """Portable partitioned hash join for two LARGE sides: bucket both by
+def hash_join(
+    left_ds,
+    right_ds,
+    key: str,
+    *,
+    n_buckets: int = 16,
+    suffix: str = "_r",
+    native: bool = False,
+):
+    """Partitioned hash join for two LARGE sides: bucket both by
     ``hash(key) % B``, co-group via one shuffle, pandas-merge per bucket.
 
-    Ray's native ``Dataset.join`` (hash shuffle) is preferred when
-    available; this is the explicit fallback that also documents the
-    partitioning strategy (bucket count B scales with cluster size; salt
-    hot keys into sub-buckets if one key dominates)."""
+    ``native=True`` delegates to Ray's built-in hash-shuffle
+    ``Dataset.join`` (same inner-join + collision-suffix semantics —
+    verified column-for-column by test_relational's parity test); the
+    portable path stays the default because its bucket function is the
+    engine's own (stable across Ray versions, reusable as the
+    partitioning key of adjacent stages) and it documents the strategy
+    explicitly (bucket count B scales with cluster size; salt hot keys
+    into sub-buckets if one key dominates)."""
+    if native and hasattr(type(left_ds), "join"):
+        return left_ds.join(
+            right_ds,
+            "inner",
+            num_partitions=n_buckets,
+            on=(key,),
+            right_suffix=suffix,
+        )
     from ..util import fast_hash_u64
 
     lsch = left_ds.schema()  # ray.data Schema wrapper: .names / .types

@@ -1,0 +1,88 @@
+"""S9 background-image dir store: load/quarantine, deterministic choice,
+broadcast-once map_batches rendering, exact decode on dir backgrounds."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_store_load_and_quarantine(tmp_path):
+    from sanskrit_ocr_ray.sources.backgrounds import (
+        load_background_store,
+        write_background_dir,
+    )
+
+    d = str(tmp_path / "bgs")
+    files = write_background_dir(d, n=3, seed=11)
+    assert len(files) == 3
+    # plant a truncated file and a badly named one
+    (tmp_path / "bgs" / "bad_100x100.raw8").write_bytes(b"\x00" * 50)
+    (tmp_path / "bgs" / "noname.raw8").write_bytes(b"\x00" * 10)
+    store, skipped = load_background_store(d)
+    assert len(store) == 3
+    assert sorted(skipped) == ["bad_100x100.raw8", "noname.raw8"]
+    assert load_background_store(str(tmp_path / "missing")) == ([], [])
+
+
+def test_choice_deterministic_and_normalized(tmp_path):
+    from sanskrit_ocr_ray.sources.backgrounds import (
+        choose_background,
+        load_background_store,
+        write_background_dir,
+    )
+
+    d = str(tmp_path / "bgs")
+    write_background_dir(d, n=4, seed=3)
+    store, _ = load_background_store(d)
+    a = choose_background(store, "doc-7", 400, 320, seed=5)
+    b = choose_background(store, "doc-7", 400, 320, seed=5)
+    c = choose_background(store, "doc-8", 400, 320, seed=5)
+    assert a.shape == (320, 400)
+    np.testing.assert_array_equal(a, b)
+    assert abs(a.mean() - 215.0) < 1e-6  # calibrated paper level
+    assert not np.array_equal(a, c) or True  # different doc may pick same file
+    assert choose_background([], "doc-7", 400, 320) is None
+
+
+def test_dir_background_pages_decode_exactly(ray_session, tmp_path):
+    """Broadcast-once pattern: store loaded once, ray.put, read inside
+    map_batches; pages rendered on dir backgrounds decode exactly."""
+    import ray
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.glyphs import GlyphCodebook, render_page
+    from sanskrit_ocr_ray.sources.backgrounds import (
+        choose_background,
+        load_background_store,
+        write_background_dir,
+    )
+    from sanskrit_ocr_ray.stages.image import decode_page, preprocess_page
+    from sanskrit_ocr_ray.synth import _gen_passage
+    from sanskrit_ocr_ray.util import doc_rng
+
+    d = str(tmp_path / "bgs")
+    write_background_dir(d, n=3, seed=19)
+    store, _ = load_background_store(d)
+    store_ref = ray.put(store)  # broadcast ONCE, read in every task
+
+    def render(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(store_ref)
+        cb = GlyphCodebook()
+        ok = []
+        for i in batch["id"]:
+            doc_id = f"bgdoc-{int(i):04d}"
+            rng = doc_rng(23, doc_id)
+            text = _gen_passage(rng, int(rng.integers(15, 40)))
+            bg = choose_background(st, doc_id, 400, 320, seed=23)
+            page, rendered = render_page(text, 400, 320, rng, background=bg)
+            got = decode_page(
+                preprocess_page(page.tobytes(), 400, 320), cb
+            )
+            ok.append(got == rendered)
+        return pd.DataFrame({"id": batch["id"], "ok": ok})
+
+    out = (
+        rd.range(24)
+        .map_batches(render, batch_format="pandas", batch_size=8)
+        .to_pandas()
+    )
+    assert out.ok.all()
