@@ -242,6 +242,33 @@ def _corpus_mix(sf_dir: str):
     )
 
 
+def _ngram_top(sf_dir: str):
+    from sanskrit_ocr_ray.stages.corpus import ngram_top
+
+    return ngram_top(_tbl(sf_dir, "documents", ["text"]), n=3, k=20)
+
+
+def _asof_view_before_purchase(sf_dir: str):
+    import pyarrow.compute as _pc
+
+    from sanskrit_ocr_ray.stages.relational import asof_join
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(_pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: t.filter(_pc.equal(t["event_type"], "view")),
+        batch_format="pyarrow",
+    )
+    out = asof_join(purchases, views, by="user_id", on="ts")
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_id", "user_id", "view_id", "gap_s"]),
+        batch_format="pyarrow",
+    )
+
+
 def _simhash(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import simhash_batch
 
@@ -520,6 +547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _stratified_sample,
         "pack_sequences": _pack_sequences,
         "corpus_mix": _corpus_mix,
+        "ngram_top": _ngram_top,
+        # as-of join over events (custom operator — Ray Data has none)
+        "asof_view_before_purchase": _asof_view_before_purchase,
         # similarity search over `embeddings`
         "knn_top5": _knn5,
         "knn_ivf": _knn_ivf,
@@ -786,6 +816,30 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, CAST(b * 4294967296 + cum // 256 AS BIGINT) AS pack_id, ntok FROM w
+""",
+        "ngram_top": """
+WITH toks AS (
+  SELECT list_filter(str_split(text, ' '), x -> x <> '') AS t FROM documents
+), g AS (
+  SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+""",
+        "asof_view_before_purchase": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+v AS (SELECT * FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+         CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) // 1000000 AS gap_s,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC
+         ) AS rn
+  FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT purchase_id, user_id, view_id, gap_s FROM j WHERE rn = 1
 """,
         "corpus_mix": """
 WITH d AS (

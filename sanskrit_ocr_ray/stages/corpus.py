@@ -191,6 +191,62 @@ def pack_sequences(
     )
 
 
+def ngram_top(
+    ds,
+    *,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Top-k most frequent word n-grams across the corpus.
+
+    Scale shape: counts partial-aggregate INSIDE each batch (a dict per
+    batch, so the explode never materializes one row per gram occurrence),
+    then one bounded-bucket shuffle sums per gram, each bucket keeps only
+    its own top-k (the global top-k is necessarily inside some bucket's
+    top-k), and the driver merges B×k tiny rows. Ties break by gram text
+    ascending — deterministic and oracle-reproducible.
+
+    Returns a pandas DataFrame (gram, n) of exactly k rows (fewer if the
+    corpus has fewer distinct grams).
+    """
+    from ..stages.dedup import bucketed_aggregate
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            toks = [w for w in (t or "").split(" ") if w]
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {
+                "gram": pa.array(list(counts.keys()), type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    empty = typed_empty(gram=object, n=np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("gram", as_index=False)["n"].sum()
+        agg = agg.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort")
+        return agg.head(k).reset_index(drop=True)
+
+    per_bucket = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        ["gram"],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+        coalesce_first=False,
+    )
+    top = per_bucket.to_pandas()  # B×k tiny rows
+    top = top.sort_values(["n", "gram"], ascending=[False, True], kind="mergesort")
+    return top.head(k).reset_index(drop=True)
+
+
 def corpus_mix(sides, *, permille: dict[str, int] | None = None):
     """Weighted deterministic corpus mixing.
 

@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..util import typed_empty
+
 
 def _cents(arr: np.ndarray) -> np.ndarray:
     """floor(x*100 + 0.5) as int64 — the one rounding rule, mirrored in SQL."""
@@ -300,6 +302,94 @@ def top_users_by_value(ds, *, k: int = 10):
     )
     agg = agg.sort_values(["sum_value_c", "user_id"], ascending=[False, True]).head(k)
     return agg.reset_index(drop=True)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    by: str = "user_id",
+    on: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    n_buckets: int = 64,
+):
+    """As-of join (backward): for each left row, the LATEST right row of
+    the same ``by`` key with ``on`` ≤ the left row's ``on``.
+
+    Ray Data has no native as-of join; the composition is the engine's
+    standard bounded-bucket co-location: both sides shuffle ONCE on
+    ``hash(by) % B``, and each bucket resolves all its keys with one
+    vectorized ``pandas.merge_asof`` (C implementation, no per-key
+    dispatch). Ties on ``on`` break deterministically toward the larger
+    right id (right side pre-sorted by (on, id); merge_asof backward
+    takes the last candidate). Inner semantics: unmatched left rows are
+    dropped.
+
+    Returns (left_id, by, right_id → matched_id, gap_s) with gap_s the
+    whole seconds between the two ``on`` timestamps.
+    """
+    from ..util import fast_hash_u64
+
+    def tag(side: str, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = batch[by].to_numpy()
+            b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+            return pa.table(
+                {
+                    by: batch[by],
+                    "__us": pc.cast(pc.cast(batch[on], pa.timestamp("us")), pa.int64()),
+                    "__id": pc.cast(batch[id_col], pa.int64()),
+                    "__side": pa.array([side] * batch.num_rows),
+                    "__ab": pa.array(b),
+                }
+            )
+
+        return fn
+
+    empty = typed_empty(
+        **{
+            left_id: np.int64,
+            by: np.int64,
+            "matched_id": np.int64,
+            "gap_s": np.int64,
+        }
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        l = group[group["__side"] == "l"].sort_values("__us", kind="mergesort")
+        r = group[group["__side"] == "r"].sort_values(
+            ["__us", "__id"], kind="mergesort"
+        )
+        if not len(l) or not len(r):
+            return empty.copy()
+        m = pd.merge_asof(
+            l[[by, "__us", "__id"]],
+            r[[by, "__us", "__id"]].assign(__rus=r["__us"].to_numpy()),
+            on="__us",
+            by=by,
+            direction="backward",
+            suffixes=("", "_r"),
+        )
+        out = pd.DataFrame(
+            {
+                left_id: m["__id"].to_numpy(),
+                by: m[by].to_numpy(),
+                "matched_id": m["__id_r"].to_numpy(),
+                "gap_s": (m["__us"].to_numpy() - m["__rus"].to_numpy()) // 1_000_000,
+            }
+        )
+        out = out.dropna(subset=["matched_id"])
+        return out.astype(
+            {left_id: np.int64, "matched_id": np.int64, "gap_s": np.int64}
+        )
+
+    tagged = left_ds.map_batches(tag("l", left_id), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r", right_id), batch_format="pyarrow")
+    )
+    return tagged.groupby("__ab").map_groups(per_bucket, batch_format="pandas")
 
 
 def hash_join(

@@ -31,6 +31,8 @@ SUBSET = [
     "stratified_sample",
     "pack_sequences",
     "corpus_mix",
+    "ngram_top",
+    "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",
     "events_tumbling",

@@ -40,3 +40,39 @@ def test_hash_join_native_parity(ray_session):
     a, b = run(False), run(True)
     assert list(a.columns) == ["k", "v", "v_r", "w"]
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_join_backward_with_ties(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import asof_join
+
+    ts = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    left = pd.DataFrame(
+        {
+            "event_id": [100, 101, 102, 103],
+            "user_id": [1, 1, 2, 3],
+            "ts": [ts + 10 * s, ts + 2 * s, ts + 5 * s, ts + 9 * s],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": [7, 8, 9, 10, 11],
+            "user_id": [1, 1, 1, 2, 2],
+            # 8 and 9 tie exactly: the larger event_id must win
+            "ts": [ts + 1 * s, ts + 4 * s, ts + 4 * s, ts + 6 * s, ts + 7 * s],
+        }
+    )
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 1: event 100 (t+10) matches the t+4 TIE -> id 9; event 101 (t+2)
+    # matches t+1 -> id 7. user 2: event 102 (t+5) has no view <= t+5?
+    # right has t+6, t+7 -> no match (dropped). user 3: no right rows.
+    assert out.event_id.tolist() == [100, 101]
+    assert out.matched_id.tolist() == [9, 7]
+    assert out.gap_s.tolist() == [6, 1]
