@@ -76,3 +76,51 @@ def test_asof_join_backward_with_ties(ray_session):
     assert out.event_id.tolist() == [100, 101]
     assert out.matched_id.tolist() == [9, 7]
     assert out.gap_s.tolist() == [6, 1]
+
+
+def test_asof_join_random_vs_naive_model(ray_session):
+    """Randomized parity against an O(n·m) reference model, with
+    deliberately duplicated timestamps to exercise the tie-break."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import asof_join
+
+    rng = np.random.default_rng(29)
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    n_l, n_r = 300, 400
+    # coarse second-resolution stamps force plenty of exact ties
+    lts = base + rng.integers(0, 500, n_l) * 1_000_000
+    rts = base + rng.integers(0, 500, n_r) * 1_000_000
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n_l),
+            "ts": pd.to_datetime(lts, unit="us"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1000 + n_r, dtype=np.int64),
+            "user_id": rng.integers(0, 25, n_r),
+            "ts": pd.to_datetime(rts, unit="us"),
+        }
+    )
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), by="user_id", on="ts")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    expect = {}
+    for _, lr in left.iterrows():
+        cand = right[(right.user_id == lr.user_id) & (right.ts <= lr.ts)]
+        if len(cand):
+            m = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            expect[int(lr.event_id)] = (
+                int(m.event_id),
+                int((lr.ts.value - m.ts.value) // 1_000_000_000),
+            )
+    assert out.event_id.tolist() == sorted(expect)
+    assert [tuple(x) for x in out[["matched_id", "gap_s"]].to_numpy()] == [
+        expect[i] for i in sorted(expect)
+    ]
