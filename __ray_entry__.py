@@ -372,6 +372,22 @@ def _knn_ivf(sf_dir: str):
     )
 
 
+def _knn_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN pinned to its exact-degenerate config
+    (n_planes = 0 ⇒ one bucket ⇒ provably equal brute force) so the
+    driver hash-compares it against the same SQL oracle as knn_top5;
+    approximate configs (n_planes > 0) are pytest recall-verified
+    (tests/test_similarity.py)."""
+    from sanskrit_ocr_ray.stages.similarity import knn_lsh
+
+    return knn_lsh(
+        _tbl(sf_dir, "embeddings"),
+        query_ids=list(range(10)),
+        k=5,
+        n_planes=0,
+    )
+
+
 def _emb_dups(sf_dir: str):
     from sanskrit_ocr_ray.stages.similarity import embedding_dup_pairs
 
@@ -553,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over `embeddings`
         "knn_top5": _knn5,
         "knn_ivf": _knn_ivf,
+        "knn_lsh": _knn_lsh,
         "embedding_dup_pairs": _emb_dups,
         "nearest_centroid": _nearest_centroid,
         # relational / streaming-shaped
@@ -980,4 +997,5 @@ GROUP BY c.c_mktsegment
     }
     # the exact-degenerate IVF config provably equals brute-force top-k
     oracles["knn_ivf"] = oracles["knn_top5"]
+    oracles["knn_lsh"] = oracles["knn_top5"]
     return oracles

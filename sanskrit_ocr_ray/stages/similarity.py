@@ -143,6 +143,104 @@ def kmeans_lite(ds, *, n_centroids: int = 8, n_iter: int = 5, col: str = "embedd
     return cent
 
 
+def knn_lsh(
+    ds,
+    query_ids,
+    *,
+    k: int = 5,
+    n_planes: int = 10,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    seed: int = 42,
+):
+    """LSH-bucketed ANN: seeded random-hyperplane signatures partition
+    the corpus into ``2^n_planes`` cosine buckets; each query scores only
+    rows whose bucket is its own or within ``multiprobe`` bit flips.
+
+    The scale path complementary to :func:`knn_ivf`: no training pass at
+    all (the planes are a seeded constant broadcast with the queries),
+    bucket membership is a per-batch matmul + sign, and the candidate
+    fraction is ~(1 + n_planes·multiprobe)/2^n_planes of the corpus.
+    With ``n_planes = 0`` the single bucket degrades to exact brute
+    search (the driver query pins that config for its DuckDB oracle;
+    approximate configs are pytest recall-verified). Sign is invariant
+    to vector scale, so bucketing uses raw vectors; scoring is
+    normalized float64 like the brute path.
+    """
+    import ray
+
+    q_df = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))),
+        batch_format="pyarrow",
+    ).to_pandas()  # tiny: only the query rows
+    q_ids = q_df[id_col].to_numpy()
+    q_raw = np.stack([np.asarray(v, np.float64) for v in q_df[col]])
+    order = np.argsort(q_ids)
+    q_ids, q_raw = q_ids[order], q_raw[order]
+    q_mat = _normalize_rows(q_raw)
+    dim = q_raw.shape[1]
+    planes = np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        if n_planes == 0:
+            return np.zeros(len(m), dtype=np.int64)
+        bits = (m @ planes.T) > 0  # (n, n_planes)
+        return (bits.astype(np.int64) << np.arange(n_planes)[None, :]).sum(axis=1)
+
+    q_buckets = bucket_of(q_raw)
+    probes = []
+    for b in q_buckets:
+        p = {int(b)}
+        if multiprobe >= 1:
+            p |= {int(b) ^ (1 << j) for j in range(n_planes)}
+        probes.append(p)
+    ref = ray.put((q_ids, q_mat, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qmat, prb = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        raw = _batch_matrix(batch, col)
+        buckets = bucket_of(raw)
+        mat = _normalize_rows(raw)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            in_probe = np.isin(buckets, list(prb[qi]))
+            mask = in_probe & (ids != qids[qi])
+            cand_idx = np.nonzero(mask)[0]
+            if cand_idx.size == 0:
+                continue
+            s = mat[cand_idx] @ qmat[qi]
+            loc = np.lexsort((ids[cand_idx], -s))[:k]
+            out_q.extend([qids[qi]] * len(loc))
+            out_n.extend(ids[cand_idx][loc].tolist())
+            out_s.extend(s[loc].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"],
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def knn_ivf(
     ds,
     query_ids,

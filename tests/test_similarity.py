@@ -73,6 +73,26 @@ def test_knn_ivf_partial_probe_recall(emb_ds):
     assert recall >= 0.4  # approximate path returns sane results
 
 
+def test_knn_lsh_zero_planes_equals_brute(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute, knn_lsh
+
+    brute = knn_brute(emb_ds, query_ids=[0, 3], k=5).to_pandas()
+    lsh = knn_lsh(emb_ds, query_ids=[0, 3], k=5, n_planes=0).to_pandas()
+    cols = ["query_id", "rank", "neighbor_id"]
+    a = brute[cols].sort_values(cols).reset_index(drop=True)
+    b = lsh[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_knn_lsh_bucketed_recall(emb_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute, knn_lsh
+
+    brute = knn_brute(emb_ds, query_ids=[0], k=5).to_pandas()
+    lsh = knn_lsh(emb_ds, query_ids=[0], k=5, n_planes=6, multiprobe=1).to_pandas()
+    recall = len(set(lsh.neighbor_id) & set(brute.neighbor_id)) / 5
+    assert recall >= 0.4  # approximate path returns sane results
+
+
 def test_embedding_dup_pairs_finds_planted(emb_ds):
     from sanskrit_ocr_ray.stages.similarity import embedding_dup_pairs
 
