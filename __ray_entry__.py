@@ -46,9 +46,14 @@ _N_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 600}
 
 
 def _tbl(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from sanskrit_ocr_ray.sources.tables import read_table
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    # Lance-or-Parquet dispatch (sources/tables.py): the driver's testdata
+    # is Parquet; a .lance dataset at the same path reads identically
+    lance_path = os.path.join(sf_dir, f"{name}.lance")
+    if os.path.isdir(lance_path):
+        return read_table(lance_path, columns=columns)
+    return read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
 def _pdf(sf_dir: str, name: str, columns=None):
