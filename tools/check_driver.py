@@ -4,6 +4,12 @@
 Runs every ``queries()`` entry at sf0.01 (or $SF_DIR) and compares
 row-count + column names + order-insensitive values against the matching
 ``oracle_sql()`` via DuckDB. Prints one line per query and a summary.
+
+Note: the ``extract_e2e`` and ``multimodal_features`` oracles read the
+sf0.01 fixture's golden parquet by ABSOLUTE path (the driver's
+correctness scale), so running this checker with SF_DIR at any other
+scale reports exactly those two as shape mismatches — expected, not a
+regression (sf0.1 sweep: 35/37 pass + those two).
 """
 
 from __future__ import annotations
