@@ -16,7 +16,7 @@ Exact-match discipline (why the queries look the way they do):
 - every hash is md5-derived so DuckDB reproduces it exactly
   (``('0x'||substr(md5(x),1,16))::UBIGINT`` ≡ ``util.md5_u64``);
 - top-k orders carry explicit deterministic tie-breaks;
-- every one of the 29 queries has a DuckDB oracle: the extraction queries
+- every query has a DuckDB oracle: the extraction queries
   compare against the fixture's golden tables by absolute path, the IVF
   query is pinned to its exact-degenerate config, the Karp-Rabin hash
   folds code points in HUGEINT, and LSH clustering is reproduced with a
@@ -272,6 +272,50 @@ def _asof_view_before_purchase(sf_dir: str):
         lambda t: t.rename_columns(["purchase_id", "user_id", "view_id", "gap_s"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# web-document main-content extraction (stages/webdoc.py): HTML boilerplate
+# strip, DOM heuristics, layout reading order — the north rule's extraction
+# parenthetical. Each query synthesizes a deterministic boilerplate-heavy
+# page per document (pure SQL-expressible function of (doc_id, text),
+# mirrored in _HTML_SYNTH_SQL below) and extracts from it.
+# ---------------------------------------------------------------------------
+
+
+def _html_pages(sf_dir: str):
+    from sanskrit_ocr_ray.stages.webdoc import synth_html_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth_html_batch, batch_format="pyarrow"
+    )
+
+
+def _html_strip(sf_dir: str):
+    from sanskrit_ocr_ray.stages.webdoc import strip_html_batch
+
+    return _html_pages(sf_dir).map_batches(strip_html_batch, batch_format="pyarrow")
+
+
+def _html_main(sf_dir: str):
+    from sanskrit_ocr_ray.stages.webdoc import main_content_batch
+
+    return _html_pages(sf_dir).map_batches(main_content_batch, batch_format="pyarrow")
+
+
+def _html_spans(sf_dir: str):
+    from sanskrit_ocr_ray.stages.webdoc import html_spans_batch
+
+    return _html_pages(sf_dir).map_batches(html_spans_batch, batch_format="pyarrow")
+
+
+def _layout_reading_order(sf_dir: str):
+    from sanskrit_ocr_ray.stages.webdoc import layout_scatter_batch, reading_order
+
+    toks = _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        layout_scatter_batch, batch_format="pyarrow"
+    )
+    return reading_order(toks)
 
 
 def _simhash(sf_dir: str):
@@ -569,6 +613,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _pack_sequences,
         "corpus_mix": _corpus_mix,
         "ngram_top": _ngram_top,
+        # web-document main-content extraction (north rule's parenthetical)
+        "html_strip": _html_strip,
+        "html_main_content": _html_main,
+        "html_spans": _html_spans,
+        "layout_reading_order": _layout_reading_order,
         # as-of join over events (custom operator — Ray Data has none)
         "asof_view_before_purchase": _asof_view_before_purchase,
         # similarity search over `embeddings`
@@ -592,7 +641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles (identical column names + arithmetic as the Ray
-    side) — one per queries() entry, 29/29.
+    side) — one per queries() entry, with no rows-only exceptions.
 
     The extraction oracles read the deterministic fixture's golden/media
     tables by absolute path (ground truth by construction; the driver's
@@ -618,6 +667,30 @@ WITH tok AS (
 )
 """
     clean_expr = "trim(nfc_normalize(regexp_replace(lower(text), '[^a-z ]', '', 'g')))"
+    # verbatim SQL mirror of webdoc.synth_html_batch (change both together)
+    html_synth = """
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || doc_id || '</title>'
+    || '<style>p {margin:0} a {color:blue}</style></head><body>'
+    || '<div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div>'
+    || '<p>' || substr(text, 1, length(text) // 2) || '</p>'
+    || '<img src="media/' || doc_id || '.png"/>'
+    || '<p>' || substr(text, length(text) // 2 + 1) || '</p>'
+    || '<div>Share this: <a href="/t">Tweet</a> &amp; <a href="/l">Like</a></div>'
+    || '<div>&copy; 2026 example.com &mdash; <a href="/tos">Terms &amp; Conditions</a></div>'
+    || '</body></html>' AS html
+  FROM documents
+)
+"""
+    # webdoc._strip_fragment as SQL: tags → ' ', entity chain (&amp; last),
+    # squeeze, trim
+    strip_expr = (
+        r"trim(regexp_replace(replace(replace(replace(replace("
+        r"regexp_replace({src}, '<[^>]*>', ' ', 'g'),"
+        r" '&copy;', '(c)'), '&mdash;', '-'), '&nbsp;', ' '), '&amp;', '&'),"
+        r" '\s+', ' ', 'g'))"
+    )
     oracles = {
         # golden.parquet IS the expected extractor output by construction
         # (synth.py); flatten its per-doc seq exactly like reassemble.flatten_out
@@ -849,6 +922,52 @@ WITH toks AS (
 )
 SELECT gram, CAST(count(*) AS BIGINT) AS n
 FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+""",
+        "html_strip": html_synth
+        + f"""
+SELECT doc_id,
+       {strip_expr.format(src="regexp_replace(html, '<style>.*?</style>|<script>.*?</script>', '', 'g')")} AS text_stripped
+FROM h
+""",
+        "html_main_content": html_synth
+        + f"""
+, b AS (
+  SELECT doc_id, regexp_extract_all(html, '<p>.*?</p>|<div>.*?</div>') AS blocks FROM h
+), e AS (
+  SELECT doc_id, len(blocks) AS n_blocks,
+    list_transform(blocks, x -> {strip_expr.format(src="x")}) AS btxt,
+    list_transform(blocks,
+      x -> COALESCE(length(array_to_string(regexp_extract_all(x, '<a [^>]*>(.*?)</a>', 1), '')), 0)) AS llen
+  FROM b
+), k AS (
+  SELECT doc_id, n_blocks,
+    list_filter(btxt, (x, i) -> length(x) >= 25 AND 2 * llen[i] < length(x)) AS kept
+  FROM e
+)
+SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS main_text,
+       CAST(n_blocks AS BIGINT) AS n_blocks, CAST(len(kept) AS BIGINT) AS n_kept
+FROM k
+""",
+        "html_spans": html_synth
+        + r"""
+, tk AS (
+  SELECT doc_id, regexp_extract_all(html, '<p>.*?</p>|<img src="[^"]*"/>') AS toks FROM h
+), u AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM tk
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+  CASE WHEN tok LIKE '<img%' THEN 'image' ELSE 'text' END AS kind,
+  CASE WHEN tok LIKE '<img%' THEN ''
+       ELSE trim(regexp_replace(regexp_replace(tok, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) END AS text,
+  CASE WHEN tok LIKE '<img%' THEN regexp_extract(tok, '<img src="([^"]*)"/>', 1) ELSE '' END AS media_ref
+FROM u
+""",
+        # the layout scatter is seeded-jitter-invertible by construction, so
+        # reconstruction must round-trip the token sequence exactly
+        "layout_reading_order": r"""
+SELECT doc_id, array_to_string(regexp_extract_all(text, '\S+'), ' ') AS text_rebuilt
+FROM documents
+WHERE len(regexp_extract_all(text, '\S+')) > 0
 """,
         "asof_view_before_purchase": """
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
