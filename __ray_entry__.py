@@ -318,6 +318,94 @@ def _layout_reading_order(sf_dir: str):
     return reading_order(toks)
 
 
+def _views_before_purchase_1h(sf_dir: str):
+    """Banded range join (custom operator): per purchase, count same-user
+    views in the preceding hour."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from sanskrit_ocr_ray.stages.relational import range_join_count
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(_pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: t.filter(_pc.equal(t["event_type"], "view")),
+        batch_format="pyarrow",
+    )
+    out = range_join_count(
+        purchases, views, by="user_id", on="ts", window_s=3600, out_col="n_views_1h"
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["purchase_id", "user_id", "n_views_1h"]),
+        batch_format="pyarrow",
+    )
+
+
+def _customers_no_orders(sf_dir: str):
+    """Distributed ANTI join: customers without any RECENT order (the
+    right side is filtered at the read so the shuffle ships only
+    qualifying keys)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import hash_join
+
+    cutoff = np.datetime64("2001-06-01")
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        m = batch["o_orderdate"].to_numpy() >= cutoff
+        return pa.table({"c_custkey": batch["o_custkey"].filter(pa.array(m))})
+
+    customer = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pyarrow"
+    )
+    return hash_join(customer, orders, key="c_custkey", how="anti")
+
+
+def _value_quantiles(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_exact
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return quantiles_exact(ds, "value_c")
+
+
+def _top2_events_per_user(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import grouped_top_k
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "value_c": pa.array(c),
+            }
+        )
+
+    ds = _tbl(sf_dir, "events", ["user_id", "event_id", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_top_k(
+        ds, group="user_id", order_col="value_c", id_col="event_id", k=2
+    )
+
+
 def _simhash(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import simhash_batch
 
@@ -618,8 +706,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": _html_main,
         "html_spans": _html_spans,
         "layout_reading_order": _layout_reading_order,
-        # as-of join over events (custom operator — Ray Data has none)
+        # as-of / range joins over events (custom operators — Ray Data has none)
         "asof_view_before_purchase": _asof_view_before_purchase,
+        "views_before_purchase_1h": _views_before_purchase_1h,
+        "customers_no_orders": _customers_no_orders,
+        "value_quantiles": _value_quantiles,
+        "top2_events_per_user": _top2_events_per_user,
         # similarity search over `embeddings`
         "knn_top5": _knn5,
         "knn_ivf": _knn_ivf,
@@ -981,6 +1073,42 @@ j AS (
   FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
 )
 SELECT purchase_id, user_id, view_id, gap_s FROM j WHERE rn = 1
+""",
+        "views_before_purchase_1h": """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+       CAST(COALESCE(SUM(CASE WHEN v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_views_1h
+FROM p LEFT JOIN v ON v.user_id = p.user_id
+GROUP BY p.event_id, p.user_id
+""",
+        "customers_no_orders": """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-06-01'
+)
+""",
+        "value_quantiles": """
+WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c FROM events),
+s AS (SELECT value_c, row_number() OVER (ORDER BY value_c) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v)
+SELECT CAST(q.q_pm AS BIGINT) AS q_pm, s.value_c AS value_c
+FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+JOIN s ON s.rn = CAST(ceil(q.q_pm * s.n / 1000.0) AS BIGINT)
+""",
+        "top2_events_per_user": """
+SELECT user_id, rank, event_id, value_c FROM (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, event_id
+         ) AS rank
+  FROM events
+) WHERE rank <= 2
 """,
         "corpus_mix": """
 WITH d AS (

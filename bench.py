@@ -110,6 +110,10 @@ def run_bench() -> dict:
         "minhash_lsh_clusters",
         "revenue_by_nation",
         "mktsegment_join",
+        "html_main_content",
+        "layout_reading_order",
+        "views_before_purchase_1h",
+        "top2_events_per_user",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:

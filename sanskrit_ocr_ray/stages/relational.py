@@ -414,6 +414,217 @@ def asof_join(
     return tagged.groupby("__ab").map_groups(per_bucket, batch_format="pandas")
 
 
+def range_join_count(
+    left_ds,
+    right_ds,
+    *,
+    by: str = "user_id",
+    on: str = "ts",
+    left_id: str = "event_id",
+    window_s: int = 3600,
+    n_buckets: int = 64,
+    out_col: str = "n_in_window",
+):
+    """Banded range join: for each left row, COUNT right rows of the same
+    ``by`` key with ``on`` in ``[left.on − window_s, left.on)``.
+
+    Ray Data has no range join; the composition is the engine's standard
+    bounded-bucket co-location (both sides shuffle ONCE on
+    ``hash(by) % B``) plus a vectorized cumulative-count trick per bucket:
+    right rows are sorted by (by, on) and numbered; two backward
+    ``merge_asof`` probes (at ``on − 1µs`` strictness and ``on − window``)
+    give the count below each band edge, and their difference is the band
+    count — two C-kernel passes, no per-key or per-row dispatch. Left rows
+    with no in-band partner are kept with count 0 (left semantics).
+    """
+    from ..util import fast_hash_u64
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = batch[by].to_numpy()
+            b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+            cols = {
+                by: batch[by],
+                "__us": pc.cast(pc.cast(batch[on], pa.timestamp("us")), pa.int64()),
+                "__id": pc.cast(
+                    batch[left_id] if side == "l" else batch[by], pa.int64()
+                ),
+                "__side": pa.array([side] * batch.num_rows),
+                "__rb": pa.array(b),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    empty = typed_empty(
+        **{left_id: np.int64, by: np.int64, out_col: np.int64}
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        l = group[group["__side"] == "l"].sort_values("__us", kind="mergesort")
+        if not len(l):
+            return empty.copy()
+        r = group[group["__side"] == "r"].sort_values(
+            [by, "__us"], kind="mergesort"
+        )
+        if not len(r):
+            return pd.DataFrame(
+                {
+                    left_id: l["__id"].to_numpy(),
+                    by: l[by].to_numpy(),
+                    out_col: np.zeros(len(l), dtype=np.int64),
+                }
+            )
+        rr = pd.DataFrame(
+            {
+                by: r[by].to_numpy(),
+                "__us": r["__us"].to_numpy(),
+                # per-key running count: rows-so-far within this by key
+                "__cum": r.groupby(by, sort=False).cumcount().to_numpy() + 1,
+            }
+        ).sort_values("__us", kind="mergesort")
+        probe = l[[by, "__us"]].copy()
+
+        def count_below(ts: np.ndarray) -> np.ndarray:
+            """#right rows of the same key with __us ≤ ts, per probe row
+            (in l's row order)."""
+            p = probe.assign(__us=ts).sort_values("__us", kind="mergesort")
+            m = pd.merge_asof(
+                p,
+                rr,
+                on="__us",
+                by=by,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            counts = pd.Series(m["__cum"].fillna(0).to_numpy(np.int64), index=p.index)
+            return counts.reindex(probe.index).to_numpy(dtype=np.int64)
+
+        us = l["__us"].to_numpy()
+        # band [us − w, us): count(< us) − count(< us − w), each via a ≤
+        # probe one microsecond below the open edge
+        upper = count_below(us - 1)
+        lower = count_below(us - window_s * 1_000_000 - 1)
+        return pd.DataFrame(
+            {
+                left_id: l["__id"].to_numpy(),
+                by: l[by].to_numpy(),
+                out_col: (upper - lower).astype(np.int64),
+            }
+        )
+
+    tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r"), batch_format="pyarrow")
+    )
+    return tagged.groupby("__rb").map_groups(per_bucket, batch_format="pandas")
+
+
+def quantiles_exact(ds, column: str, *, q_pm: list[int] | None = None):
+    """Exact distributed quantiles of an integer column via a value
+    histogram: per-batch value-counts (partial aggregate), one small
+    groupby over DISTINCT values, then a driver-side cumsum over the
+    histogram.
+
+    Quantile definition (mirrored in the SQL oracle): ``q`` per-mille →
+    the value at 1-based sorted position ``ceil(q·n/1000)``.
+
+    Scale assumption (documented): the DISTINCT value cardinality is
+    ≪ row count (integer cents, token counts, scores). The shuffle and
+    the driver merge are O(#distinct); for genuinely continuous data,
+    pre-bin to fixed-width integer bins first (same code path) or use a
+    sketch (t-digest) where exactness isn't required."""
+    from ray.data.aggregate import Sum
+
+    q_pm = q_pm or [250, 500, 750, 900, 990]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy()
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(#distinct) rows only
+        .sort_values("v")
+    )
+    counts = hist["n"].to_numpy()
+    vals = hist["v"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q: list[int] = []
+    out_v: list[int] = []
+    for q in q_pm:
+        k = -(-q * n // 1000)  # ceil(q·n/1000), integer-exact
+        idx = int(np.searchsorted(cum, k, side="left"))
+        out_q.append(q)
+        out_v.append(int(vals[idx]))
+    return pd.DataFrame(
+        {"q_pm": np.asarray(out_q, np.int64), column: np.asarray(out_v, np.int64)}
+    )
+
+
+def grouped_top_k(
+    ds,
+    *,
+    group: str,
+    order_col: str,
+    id_col: str,
+    k: int = 2,
+    n_buckets: int = 64,
+):
+    """Top-k rows per group (order_col desc, id asc tie-break) — the
+    per-group window query (``row_number() OVER (PARTITION BY …)``)
+    without per-group dispatch: one bounded-bucket shuffle on
+    ``hash(group) % B``, then each bucket ranks ALL its groups with one
+    vectorized sort + cumcount."""
+    from ..util import fast_hash_u64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy()
+        b = (fast_hash_u64(g) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                group: batch[group],
+                order_col: batch[order_col],
+                id_col: batch[id_col],
+                "__gb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(
+        **{group: np.int64, "rank": np.int64, id_col: np.int64, order_col: np.int64}
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        s = df.sort_values(
+            [group, order_col, id_col], ascending=[True, False, True], kind="mergesort"
+        )
+        rank = s.groupby(group, sort=False).cumcount().to_numpy() + 1
+        keep = rank <= k
+        return pd.DataFrame(
+            {
+                group: s[group].to_numpy()[keep],
+                "rank": rank[keep].astype(np.int64),
+                id_col: s[id_col].to_numpy()[keep],
+                order_col: s[order_col].to_numpy()[keep],
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def hash_join(
     left_ds,
     right_ds,
@@ -422,6 +633,7 @@ def hash_join(
     n_buckets: int = 16,
     suffix: str = "_r",
     native: bool = False,
+    how: str = "inner",
 ):
     """Partitioned hash join for two LARGE sides: bucket both by
     ``hash(key) % B``, co-group via one shuffle, pandas-merge per bucket.
@@ -433,8 +645,15 @@ def hash_join(
     engine's own (stable across Ray versions, reusable as the
     partitioning key of adjacent stages) and it documents the strategy
     explicitly (bucket count B scales with cluster size; salt hot keys
-    into sub-buckets if one key dominates)."""
-    if native and hasattr(type(left_ds), "join"):
+    into sub-buckets if one key dominates).
+
+    ``how``: 'inner' (default), 'semi' (left rows WITH a right match) or
+    'anti' (left rows WITHOUT one) — semi/anti return the left columns
+    only and need just the right side's KEY column shipped through the
+    shuffle."""
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how={how!r}")
+    if native and how == "inner" and hasattr(type(left_ds), "join"):
         return left_ds.join(
             right_ds,
             "inner",
@@ -447,13 +666,15 @@ def hash_join(
     lsch = left_ds.schema()  # ray.data Schema wrapper: .names / .types
     rsch = right_ds.schema()
     lcols = list(lsch.names)
-    rcols_orig = [c for c in rsch.names if c != key]
+    rcols_orig = (
+        [] if how in ("semi", "anti") else [c for c in rsch.names if c != key]
+    )
     rename = {c: (c + suffix if c in lcols else c) for c in rcols_orig}
     rcols = [key] + [rename[c] for c in rcols_orig]
     all_cols = lcols + [c for c in rcols if c not in lcols]
     types = dict(zip(lsch.names, lsch.types))
     for c, t in zip(rsch.names, rsch.types):
-        if c != key:
+        if c in rename:  # semi/anti ship only the right KEY column
             types[rename[c]] = t
     # typed empty join result for the empty groups the sort-based groupby
     # emits (schema-less blocks otherwise — the round-1 executor warnings)
@@ -489,7 +710,11 @@ def hash_join(
             return empty_out.copy()
         l = group[group["__side"] == "l"][lcols]
         r = group[group["__side"] == "r"][rcols]
-        out = l.merge(r, on=key)
+        if how in ("semi", "anti"):
+            hit = l[key].isin(r[key].unique())
+            out = l[hit] if how == "semi" else l[~hit]
+        else:
+            out = l.merge(r, on=key)
         if not len(out):
             return empty_out.copy()
         # the union pads each side's missing columns with nulls, which

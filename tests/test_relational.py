@@ -124,3 +124,109 @@ def test_asof_join_random_vs_naive_model(ray_session):
     assert [tuple(x) for x in out[["matched_id", "gap_s"]].to_numpy()] == [
         expect[i] for i in sorted(expect)
     ]
+
+
+def test_semi_anti_join_partition(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame(
+        {"k": np.arange(100, dtype=np.int64), "v": rng.integers(0, 9, 100)}
+    )
+    right = pd.DataFrame({"k": np.arange(0, 100, 3, dtype=np.int64), "w": 1})
+
+    semi = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", how="semi", n_buckets=8
+    ).to_pandas()
+    anti = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", how="anti", n_buckets=8
+    ).to_pandas()
+    # semi ∪ anti partitions the left exactly; columns are left-only
+    assert sorted(semi.columns) == ["k", "v"] == sorted(anti.columns)
+    assert len(semi) + len(anti) == len(left)
+    assert set(semi.k) == set(range(0, 100, 3))
+    assert set(anti.k).isdisjoint(semi.k)
+
+
+def test_range_join_count_random_vs_naive(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import range_join_count
+
+    rng = np.random.default_rng(17)
+    n_l, n_r, W = 300, 900, 50
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    l = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n_l),
+            "ts": base + rng.integers(0, 5000, n_l).astype("timedelta64[s]"),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "event_id": np.arange(n_r, dtype=np.int64) + 10_000,
+            "user_id": rng.integers(0, 12, n_r),
+            "ts": base + rng.integers(0, 5000, n_r).astype("timedelta64[s]"),
+        }
+    )
+    out = (
+        range_join_count(
+            rd.from_pandas(l), rd.from_pandas(r), by="user_id", on="ts",
+            window_s=W, n_buckets=5, out_col="n",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n_l  # left semantics: every purchase kept
+    lo = l.sort_values("event_id").reset_index(drop=True)
+    for i in rng.choice(n_l, 40, replace=False):
+        u, t = lo.user_id[i], lo.ts[i]
+        naive = int(
+            ((r.user_id == u) & (r.ts >= t - np.timedelta64(W, "s")) & (r.ts < t)).sum()
+        )
+        assert int(out.n[i]) == naive, (i, u, t)
+
+
+def test_grouped_top_k_ties_and_exactness(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import grouped_top_k
+
+    df = pd.DataFrame(
+        {
+            "g": np.int64([1, 1, 1, 2, 2, 3]),
+            "val": np.int64([5, 5, 3, 9, 9, 1]),
+            "id": np.int64([11, 10, 12, 20, 21, 30]),
+        }
+    )
+    out = (
+        grouped_top_k(
+            rd.from_pandas(df), group="g", order_col="val", id_col="id", k=2,
+            n_buckets=3,
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    # ties on val break toward the smaller id
+    assert out.values.tolist() == [
+        [1, 1, 10, 5], [1, 2, 11, 5], [2, 1, 20, 9], [2, 2, 21, 9], [3, 1, 30, 1],
+    ]
+
+
+def test_quantiles_exact_definition(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_exact
+
+    vals = np.repeat(np.arange(10, dtype=np.int64), 10)  # 100 rows, 0..9
+    out = quantiles_exact(
+        rd.from_pandas(pd.DataFrame({"x": vals})), "x", q_pm=[10, 250, 500, 1000]
+    )
+    # value at 1-based position ceil(q*n/1000) of the sorted 100 rows
+    assert out.x.tolist() == [0, 2, 4, 9]
+    assert out.q_pm.tolist() == [10, 250, 500, 1000]
