@@ -247,6 +247,14 @@ def _corpus_mix(sf_dir: str):
     )
 
 
+def _kmv_distinct(sf_dir: str):
+    """KMV distinct-count sketch over 3-gram shingles — deterministic
+    estimator, exactly reproduced by the oracle."""
+    from sanskrit_ocr_ray.stages.sketch import kmv_distinct
+
+    return kmv_distinct(_tbl(sf_dir, "documents", ["text"]), k=256, ngram=3)
+
+
 def _ngram_top(sf_dir: str):
     from sanskrit_ocr_ray.stages.corpus import ngram_top
 
@@ -701,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _pack_sequences,
         "corpus_mix": _corpus_mix,
         "ngram_top": _ngram_top,
+        "kmv_distinct": _kmv_distinct,
         # web-document main-content extraction (north rule's parenthetical)
         "html_strip": _html_strip,
         "html_main_content": _html_main,
@@ -1073,6 +1082,26 @@ j AS (
   FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
 )
 SELECT purchase_id, user_id, view_id, gap_s FROM j WHERE rn = 1
+""",
+        # KMV sketch: k smallest distinct shingle hashes → integer estimator
+        "kmv_distinct": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), s AS (
+  SELECT ('0x' || substr(md5(g), 1, 16))::UBIGINT AS hv,
+         row_number() OVER (ORDER BY ('0x' || substr(md5(g), 1, 16))::UBIGINT) AS rn,
+         COUNT(*) OVER () AS n
+  FROM sh
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(CASE WHEN max(n) < 256 THEN max(n)
+                 ELSE (CAST(255 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT))
+                      // CAST(max(CASE WHEN rn = 256 THEN hv END) AS HUGEINT)
+            END AS BIGINT) AS n_distinct_est
+FROM s
 """,
         "views_before_purchase_1h": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

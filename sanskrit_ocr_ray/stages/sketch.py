@@ -1,0 +1,77 @@
+"""Distributed sketches for corpus-scale statistics.
+
+``kmv_distinct``: K-Minimum-Values distinct-count sketch (Bar-Yossef et
+al. 2002) over the corpus' 3-gram shingles. Unlike HLL, the KMV estimate
+is a PURE function of the k smallest distinct md5 hashes — deterministic
+and therefore reproducible value-for-value by the DuckDB oracle
+(``row_number() OVER (ORDER BY hv)`` + the same integer estimator), so a
+sketch — normally "approximate" — still gets an exact correctness gate.
+
+Estimator: with h_k the k-th smallest distinct 64-bit hash (1-based),
+``n̂ = (k−1) · 2⁶⁴ // h_k``; when fewer than k distinct hashes exist the
+sketch IS the exact distinct count.
+
+Scale shape: per-batch partial = the batch's k smallest DISTINCT hashes
+(the global k smallest are necessarily a subset of the union of
+per-batch k smallest), the union is deduplicated with one small groupby
+(≤ #batches·k rows, never the corpus), and a distributed sort+limit(k)
+leaves k rows for the driver. Heavy-hitter counterparts are exact in
+this engine (``corpus.ngram_top``), so no CountMin is needed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..util import md5_u64
+
+_TWO64 = 1 << 64
+
+
+def _shingle_hashes(texts: list[str | None], n: int) -> np.ndarray:
+    """Distinct md5_u64 hashes of all n-token shingles in the given texts
+    (space-split tokens, shingles joined with ' ' — the ngram_top/oracle
+    convention)."""
+    seen: set[str] = set()
+    for t in texts:
+        toks = [w for w in (t or "").split(" ") if w]
+        for i in range(len(toks) - n + 1):
+            seen.add(" ".join(toks[i : i + n]))
+    if not seen:
+        return np.empty(0, dtype=np.uint64)
+    hv = np.fromiter((md5_u64(s) for s in seen), np.uint64, len(seen))
+    return np.unique(hv)
+
+
+def kmv_distinct(ds, *, column: str = "text", k: int = 256, ngram: int = 3):
+    """Dataset of documents → one-row DataFrame (k, n_distinct_est):
+    estimated number of distinct ``ngram``-token shingles."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hv = _shingle_hashes(batch[column].to_pylist(), ngram)
+        # k smallest (np.unique sorts); stored ORDER-PRESERVINGLY in int64
+        # (sign-bit flip) — uint64 round-trips badly through the pandas
+        # blocks inside groupby/sort
+        hs = (hv[:k] ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"hv": pa.array(hs)})
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hv")  # dedup across batches: ≤ #batches·k rows shuffled
+        .aggregate(Count(alias_name="n"))
+        .sort("hv")
+        .limit(k)
+    )
+    top = cand.to_pandas()  # ≤ k tiny rows
+    h = top["hv"].to_numpy(dtype=np.int64)
+    if len(h) < k:
+        est = len(h)
+    else:
+        h_k = int(h[k - 1]) + (1 << 63)  # undo the sign-bit flip
+        est = (k - 1) * _TWO64 // h_k
+    return pd.DataFrame(
+        {"k": np.asarray([k], np.int64), "n_distinct_est": np.asarray([est], np.int64)}
+    )

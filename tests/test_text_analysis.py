@@ -67,3 +67,33 @@ def test_fingerprints():
     # rolling hash: prefix property sanity + determinism
     assert rolling_fingerprint("abc") == rolling_fingerprint("abc")
     assert rolling_fingerprint("abc") != rolling_fingerprint("abd")
+
+
+def test_kmv_distinct_exact_and_estimator_paths(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import kmv_distinct
+
+    # < k distinct shingles → the sketch IS the exact count
+    # distinct shingles: "a b c", "b c d", "c d e" → exactly 3
+    docs = pd.DataFrame({"text": ["a b c d", "b c d e"]})
+    out = kmv_distinct(rd.from_pandas(docs), k=256, ngram=3)
+    assert out.n_distinct_est.tolist() == [3]
+
+    # ≥ k distinct → estimator within 3σ ≈ 3/sqrt(k) relative error
+    n_docs, k = 60, 64
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(str(rng.integers(0, 10**9)) for _ in range(40)) for _ in range(n_docs)
+    ]
+    truth = len(
+        {
+            " ".join(t.split(" ")[i : i + 3])
+            for t in texts
+            for i in range(len(t.split(" ")) - 2)
+        }
+    )
+    est = kmv_distinct(rd.from_pandas(pd.DataFrame({"text": texts})), k=k, ngram=3)
+    rel = abs(est.n_distinct_est[0] - truth) / truth
+    assert rel < 3 / np.sqrt(k), (est.n_distinct_est[0], truth)
