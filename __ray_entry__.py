@@ -261,6 +261,71 @@ def _ngram_top(sf_dir: str):
     return ngram_top(_tbl(sf_dir, "documents", ["text"]), n=3, k=20)
 
 
+def _split_docs(sf_dir: str, want_val: bool):
+    """documents filtered to the train/val hash split side (the
+    train_val_split convention: md5(doc_id) % 1000 < 100 → val)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.util import md5_u64_many
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = md5_u64_many([str(v) for v in batch["doc_id"].to_pylist()])
+        m = (h % np.uint64(1000)) < 100
+        return batch.filter(pa.array(m if want_val else ~m))
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+def _contamination(sf_dir: str):
+    """8-gram train→val contamination over the hash split."""
+    from sanskrit_ocr_ray.stages.hygiene import contamination
+
+    return contamination(
+        _split_docs(sf_dir, want_val=False), _split_docs(sf_dir, want_val=True),
+        ngram=8,
+    )
+
+
+def _salient_terms(sf_dir: str):
+    from sanskrit_ocr_ray.stages.hygiene import salient_terms
+
+    return salient_terms(_tbl(sf_dir, "documents", ["doc_id", "text"]), k=3)
+
+
+def _keyword_search(sf_dir: str):
+    from sanskrit_ocr_ray.stages.hygiene import keyword_search
+
+    return keyword_search(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), ["join", "hash"], k=10
+    )
+
+
+_SNAPSHOT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def _incremental_dedup(sf_dir: str):
+    """New crawl (src5..src19) deduped against the snapshot (src0..src4)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from sanskrit_ocr_ray.stages.hygiene import incremental_dedup
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    in_snap = lambda t: _pc.is_in(  # noqa: E731
+        t["source"], value_set=pa.array(list(_SNAPSHOT_SOURCES))
+    )
+    snap = docs.map_batches(
+        lambda t: t.filter(in_snap(t)), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        lambda t: t.filter(_pc.invert(in_snap(t))), batch_format="pyarrow"
+    )
+    return incremental_dedup(new, snap)
+
+
 def _asof_view_before_purchase(sf_dir: str):
     import pyarrow.compute as _pc
 
@@ -710,6 +775,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _corpus_mix,
         "ngram_top": _ngram_top,
         "kmv_distinct": _kmv_distinct,
+        "contamination": _contamination,
+        "salient_terms": _salient_terms,
+        "keyword_search": _keyword_search,
+        "incremental_dedup": _incremental_dedup,
         # web-document main-content extraction (north rule's parenthetical)
         "html_strip": _html_strip,
         "html_main_content": _html_main,
@@ -1102,6 +1171,69 @@ SELECT CAST(256 AS BIGINT) AS k,
                       // CAST(max(CASE WHEN rn = 256 THEN hv END) AS HUGEINT)
             END AS BIGINT) AS n_distinct_est
 FROM s
+""",
+        # 8-gram train→val contamination over the md5 hash split
+        "contamination": """
+WITH d AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT % 1000 AS h
+  FROM documents
+), tok AS (
+  SELECT doc_id, h, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM d
+), g AS (
+  SELECT doc_id, h,
+         ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS gram
+  FROM tok, unnest(range(1, len(ts) - 6)) AS r(i)
+), ev AS (SELECT DISTINCT gram FROM g WHERE h < 100),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE h >= 100)
+SELECT tr.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id
+""",
+        # integer TF-IDF top-3 terms per doc (score = tf*1e6 // df)
+        "salient_terms": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), s AS (
+  SELECT doc_id, term, tf, df, tf * 1000000 // df AS score_x1m,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tf * 1000000 // df DESC, term ASC
+         ) AS rnk
+  FROM tf JOIN dft USING (term)
+)
+SELECT doc_id, term, tf, df, score_x1m, CAST(rnk AS BIGINT) AS rnk
+FROM s WHERE rnk <= 3
+""",
+        # conjunctive keyword search: docs with ALL terms, by total tf
+        "keyword_search": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok WHERE w IN ('join', 'hash')
+  GROUP BY 1, 2
+), ok AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM tf
+  GROUP BY doc_id HAVING count(DISTINCT w) = 2
+)
+SELECT doc_id, score FROM ok ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        # new crawl (src5..19) anti-joined against the snapshot (src0..4)
+        "incremental_dedup": """
+WITH newd AS (
+  SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents
+  WHERE source NOT IN ('src0','src1','src2','src3','src4')
+), snap AS (
+  SELECT DISTINCT substr(md5(text), 1, 16) AS fingerprint FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4')
+)
+SELECT min(doc_id) AS doc_id, fingerprint FROM newd
+WHERE fingerprint NOT IN (SELECT fingerprint FROM snap)
+GROUP BY fingerprint
 """,
         "views_before_purchase_1h": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

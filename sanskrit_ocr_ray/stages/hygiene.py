@@ -1,0 +1,324 @@
+"""Corpus-hygiene operators: contamination, salience, search, incremental dedup.
+
+The checks a training-data pipeline runs between "deduplicated corpus"
+and "shippable dataset": does any training document leak the eval set
+(n-gram contamination), what are each document's distinguishing terms
+(TF-IDF), which documents match an ad-hoc keyword query, and which of a
+new crawl's documents are already in the previous snapshot. None exist
+in the reference (its pipeline ends at parquet shards,
+datagen/augmentations/generate_dataset.py); all follow this engine's
+house rules:
+
+- ranking scores are INTEGER (``tf * 1_000_000 // df``) and every hash
+  is md5-derived, so each operator has an exact DuckDB oracle;
+- high-cardinality grouping (grams, terms, fingerprints, doc ids) goes
+  through :func:`..stages.dedup.bucketed_aggregate` — one bounded-bucket
+  shuffle, vectorized pandas combine per bucket, never per-key dispatch;
+- the only driver-side state is final top-k merges of ≤ buckets×k rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import md5_hex16, typed_empty
+
+#: per-mille integer scale for TF-IDF-style scores (int64-safe: tf ≤ 10⁹)
+SCORE_SCALE = 1_000_000
+
+
+def _tokens(text: str | None) -> list[str]:
+    """Space-split, empty-dropped tokens — the corpus-wide convention
+    shared with lang_id/ngram_top and the oracles' str_split CTEs."""
+    return [w for w in (text or "").split(" ") if w]
+
+
+# ---------------------------------------------------------------------------
+# train/eval n-gram contamination
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    train_ds,
+    eval_ds,
+    *,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Training docs that share at least one ``ngram``-token shingle with
+    the eval corpus → (doc_id, n_contaminated) with the count of DISTINCT
+    leaked shingles per doc (GPT-3-style 8-gram overlap check).
+
+    Scale shape: both sides shingle per batch (train keeps distinct
+    (gram, doc) pairs — a doc is one row, so per-batch dedup is exact;
+    eval keeps distinct grams), union, ONE bucketed shuffle on the gram
+    routes every copy of a shingle to one bucket where membership is a
+    vectorized isin; per-bucket partial hit-counts then sum in a second
+    (doc-keyed, tiny) bucketed shuffle. The eval side is never
+    materialized on the driver — at 100 TB the "eval set" may itself be
+    a corpus.
+    """
+    from .dedup import bucketed_aggregate
+
+    def grams(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            out_g: list[str] = []
+            out_d: list[int] = []
+            seen_eval: set[str] = set()
+            for did, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                toks = _tokens(t)
+                gs = {
+                    " ".join(toks[i : i + ngram])
+                    for i in range(len(toks) - ngram + 1)
+                }
+                if side == 0:
+                    out_g.extend(gs)
+                    out_d.extend([did] * len(gs))
+                else:
+                    seen_eval.update(gs)
+            if side == 1:
+                out_g = list(seen_eval)
+                out_d = [-1] * len(out_g)
+            return pa.table(
+                {
+                    "gram": pa.array(out_g, type=pa.string()),
+                    "doc_id": pa.array(out_d, type=pa.int64()),
+                    "side": pa.array([side] * len(out_g), type=pa.int8()),
+                }
+            )
+
+        return fn
+
+    both = train_ds.map_batches(grams(0), batch_format="pyarrow").union(
+        eval_ds.map_batches(grams(1), batch_format="pyarrow")
+    )
+
+    empty_hits = typed_empty(doc_id=np.int64, n_contaminated=np.int64)
+
+    def bucket_hits(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df.loc[df["side"] == 1, "gram"]
+        hits = df[(df["side"] == 0) & df["gram"].isin(set(ev))]
+        if hits.empty:
+            return empty_hits.copy()
+        out = hits.groupby("doc_id", as_index=False).size()
+        return out.rename(columns={"size": "n_contaminated"}).astype(np.int64)
+
+    partial = bucketed_aggregate(
+        both, ["gram"], bucket_hits, n_buckets=n_buckets, empty=empty_hits
+    )
+
+    def sum_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False)["n_contaminated"].sum()
+
+    return bucketed_aggregate(
+        partial, ["doc_id"], sum_doc, n_buckets=n_buckets, empty=empty_hits,
+        coalesce_first=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document salient terms (TF-IDF, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def salient_terms(
+    ds,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Top-``k`` salient terms per document by integer TF-IDF:
+    ``score_x1m = tf * 1_000_000 // df`` (df = number of docs containing
+    the term; ties break by term ascending). Returns
+    (doc_id, term, tf, df, score_x1m, rnk).
+
+    Scale shape: the (doc, term, tf) inverted-index explode is the data
+    itself (Σ per-doc distinct terms rows). ONE bucketed shuffle on the
+    term computes df AND joins it back within the bucket (every row of a
+    term is in that bucket — no second pass over the corpus for the
+    join); a second bucketed shuffle on the doc ranks each doc's terms
+    with one vectorized sort + cumcount per bucket. N never enters the
+    score (constant factor per corpus), so df alone makes it exact.
+    """
+    from .dedup import bucketed_aggregate
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in _tokens(t):
+                counts[w] = counts.get(w, 0) + 1
+            ids.extend([did] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    empty_sc = typed_empty(
+        doc_id=np.int64, term=object, tf=np.int64, df=np.int64, score_x1m=np.int64
+    )
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = df.groupby("term")["doc_id"].size()  # rows are (doc,term)-distinct
+        out = df.copy()
+        out["df"] = out["term"].map(dfreq).astype(np.int64)
+        out["score_x1m"] = out["tf"] * SCORE_SCALE // out["df"]
+        return out[["doc_id", "term", "tf", "df", "score_x1m"]]
+
+    scored = bucketed_aggregate(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        ["term"],
+        score_bucket,
+        n_buckets=n_buckets,
+        empty=empty_sc,
+    )
+
+    empty_rk = typed_empty(
+        doc_id=np.int64, term=object, tf=np.int64, df=np.int64,
+        score_x1m=np.int64, rnk=np.int64,
+    )
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["doc_id", "score_x1m", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        r = g.groupby("doc_id").cumcount()
+        out = g[r < k].copy()
+        out["rnk"] = (r[r < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_aggregate(
+        scored, ["doc_id"], rank_bucket, n_buckets=n_buckets, empty=empty_rk,
+        coalesce_first=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# conjunctive keyword search, global top-k
+# ---------------------------------------------------------------------------
+
+
+def keyword_search(
+    ds,
+    terms: list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Docs containing ALL of ``terms`` (as whole tokens), ranked by total
+    term frequency (ties: doc_id ascending) → top-``k`` (doc_id, score).
+
+    Scale shape: shuffle-free — terms are a broadcast constant folded
+    into the task closure, each batch emits its own ≤ k best candidates,
+    and the driver merges #blocks × k tiny rows (the knn_brute partial
+    top-k pattern).
+    """
+    tset = list(dict.fromkeys(terms))
+    nterms = len(tset)
+
+    def best_of_batch(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        scores: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            hit = dict.fromkeys(tset, 0)
+            for w in _tokens(t):
+                if w in hit:
+                    hit[w] += 1
+            if all(v > 0 for v in hit.values()):
+                ids.append(did)
+                scores.append(sum(hit.values()))
+        if ids:
+            df = pd.DataFrame({"doc_id": ids, "score": scores}).astype(np.int64)
+            df = df.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        else:
+            df = typed_empty(doc_id=np.int64, score=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = ds.map_batches(best_of_batch, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    return cand.head(k).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a corpus snapshot
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_ds,
+    snapshot_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+):
+    """New docs surviving dedup against an existing snapshot → (doc_id,
+    fingerprint): drop any new doc whose content md5 already exists in
+    the snapshot, then keep min(doc_id) per fingerprint among the
+    remaining new docs (the daily-crawl-vs-yesterday's-corpus op).
+
+    Scale shape: both sides reduce to 16-hex-char fingerprints at the
+    map stage (text never shuffles), ONE bucketed shuffle co-locates
+    equal fingerprints, and the anti-join + first-wins collapse are
+    vectorized per bucket. The snapshot streams like any other dataset —
+    no driver-side fingerprint set.
+    """
+    from .dedup import bucketed_aggregate
+
+    def fp(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            return pa.table(
+                {
+                    "fingerprint": pa.array(
+                        [md5_hex16(t or "") for t in texts], type=pa.string()
+                    ),
+                    "doc_id": pc.cast(batch[id_col], pa.int64())
+                    if side == 0
+                    else pa.array([-1] * len(texts), type=pa.int64()),
+                    "side": pa.array([side] * len(texts), type=pa.int8()),
+                }
+            )
+
+        return fn
+
+    both = new_ds.map_batches(fp(0), batch_format="pyarrow").union(
+        snapshot_ds.map_batches(fp(1), batch_format="pyarrow")
+    )
+
+    empty = typed_empty(doc_id=np.int64, fingerprint=object)
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        snap = set(df.loc[df["side"] == 1, "fingerprint"])
+        new = df[(df["side"] == 0) & ~df["fingerprint"].isin(snap)]
+        if new.empty:
+            return empty.copy()
+        out = new.groupby("fingerprint", as_index=False)["doc_id"].min()
+        return out[["doc_id", "fingerprint"]]
+
+    return bucketed_aggregate(
+        both, ["fingerprint"], survivors, n_buckets=n_buckets, empty=empty
+    )

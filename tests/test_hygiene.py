@@ -1,0 +1,132 @@
+"""Corpus-hygiene operators: planted-case semantics tests."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from sanskrit_ocr_ray.stages.hygiene import (
+    contamination,
+    incremental_dedup,
+    keyword_search,
+    salient_terms,
+)
+
+
+def test_contamination_planted(ray_session):
+    eval_docs = pd.DataFrame(
+        {"doc_id": [100, 101], "text": ["a b c d", "x y z w"]}
+    )
+    train = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "p q a b c d r",      # leaks "a b c d"
+                "a b c x y z w d",    # leaks "x y z w" only (a b c d split)
+                "totally clean text here",
+                "a b c d and also a b c d again",  # distinct grams count once
+            ],
+        }
+    )
+    out = (
+        contamination(
+            rd.from_pandas(train), rd.from_pandas(eval_docs), ngram=4, n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [1, 2, 4]
+    assert out.n_contaminated.tolist() == [1, 1, 1]
+
+
+def test_contamination_multi_gram_count(ray_session):
+    # doc leaking two DISTINCT eval grams counts 2
+    ev = pd.DataFrame({"doc_id": [9], "text": ["a b c d e"]})  # grams: abcd, bcde
+    tr = pd.DataFrame({"doc_id": [1], "text": ["a b c d e"]})
+    out = contamination(rd.from_pandas(tr), rd.from_pandas(ev), ngram=4, n_buckets=4)
+    df = out.to_pandas()
+    assert df.n_contaminated.tolist() == [2]
+
+
+def test_salient_terms_ranking(ray_session):
+    # "rare" appears twice in doc 1 only → df=1, score 2e6: top term.
+    # "common" appears in all docs → df=3, lower score.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "rare rare common alpha",
+                "common beta beta",
+                "common gamma",
+            ],
+        }
+    )
+    out = salient_terms(rd.from_pandas(docs), k=2, n_buckets=4).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("rnk")
+    assert d1.term.tolist() == ["rare", "alpha"]
+    assert d1.score_x1m.tolist() == [2_000_000, 1_000_000]
+    assert d1.df.tolist() == [1, 1]
+    # every doc has exactly k (or fewer) rows, ranks 1..k
+    for did, g in out.groupby("doc_id"):
+        assert sorted(g.rnk.tolist()) == list(range(1, len(g) + 1))
+        assert len(g) <= 2
+
+
+def test_salient_terms_tie_break(ray_session):
+    # equal tf and df → ties break by term ascending
+    docs = pd.DataFrame({"doc_id": [1], "text": ["zeta alpha"]})
+    out = salient_terms(rd.from_pandas(docs), k=2, n_buckets=2).to_pandas()
+    assert out.sort_values("rnk").term.tolist() == ["alpha", "zeta"]
+
+
+def test_keyword_search_conjunctive_topk(ray_session):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "cat dog cat",        # both, score 3
+                "cat only here",      # missing dog
+                "dog cat dog dog",    # both, score 4
+                "neither word",
+                "cat dog",            # both, score 2
+            ],
+        }
+    )
+    out = keyword_search(rd.from_pandas(docs), ["cat", "dog"], k=2)
+    assert out.doc_id.tolist() == [3, 1]
+    assert out.score.tolist() == [4, 3]
+    # k larger than matches → all matches, deterministic order
+    out_all = keyword_search(rd.from_pandas(docs), ["cat", "dog"], k=10)
+    assert out_all.doc_id.tolist() == [3, 1, 5]
+
+
+def test_incremental_dedup_planted(ray_session):
+    snap = pd.DataFrame({"doc_id": [100, 101], "text": ["old one", "old two"]})
+    new = pd.DataFrame(
+        {
+            "doc_id": [5, 2, 3, 4],
+            "text": [
+                "old one",      # already in snapshot → dropped
+                "fresh text",   # kept
+                "fresh text",   # within-new dup → min(doc_id)=2 kept
+                "another new",  # kept
+            ],
+        }
+    )
+    out = (
+        incremental_dedup(rd.from_pandas(new), rd.from_pandas(snap), n_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [2, 4]
+    # fingerprints are 16-hex of md5
+    assert all(len(f) == 16 for f in out.fingerprint)
+
+
+def test_incremental_dedup_empty_snapshot(ray_session):
+    snap = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                         "text": pd.Series([], dtype=object)})
+    new = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "a"]})
+    out = incremental_dedup(rd.from_pandas(new), rd.from_pandas(snap), n_buckets=4)
+    assert out.to_pandas().doc_id.tolist() == [1]
