@@ -303,6 +303,64 @@ def _keyword_search(sf_dir: str):
     )
 
 
+def _customer_order_counts(sf_dir: str):
+    """Left-outer join: every customer with their order count (0 kept)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.dedup import bucketed_aggregate
+    from sanskrit_ocr_ray.stages.relational import hash_join
+    from sanskrit_ocr_ray.util import typed_empty
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(cust, orders, "c_custkey", how="left", n_buckets=16)
+
+    empty = typed_empty(c_custkey=np.int64, n_orders=np.int64)
+
+    def count_orders(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("c_custkey", as_index=False)["o_orderkey"].count()
+        return out.rename(columns={"o_orderkey": "n_orders"}).astype(np.int64)
+
+    return bucketed_aggregate(
+        joined, ["c_custkey"], count_orders, n_buckets=16, empty=empty,
+        coalesce_first=False,
+    )
+
+
+def _user_running_value(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import running_agg
+
+    return running_agg(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def _docs_lang_pivot(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import pivot_counts
+
+    return pivot_counts(
+        _tbl(sf_dir, "documents", ["source", "lang"]),
+        row="source",
+        col="lang",
+        col_values=["de", "en", "es", "fr", "zh"],
+    )
+
+
+def _revenue_rollup(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import rollup_aggregate
+
+    return rollup_aggregate(
+        _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"]),
+        keys=["l_returnflag", "l_linestatus"],
+        value="l_extendedprice",
+    )
+
+
 _SNAPSHOT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -779,6 +837,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
         "incremental_dedup": _incremental_dedup,
+        "customer_order_counts": _customer_order_counts,
+        "user_running_value": _user_running_value,
+        "docs_lang_pivot": _docs_lang_pivot,
+        "revenue_rollup": _revenue_rollup,
         # web-document main-content extraction (north rule's parenthetical)
         "html_strip": _html_strip,
         "html_main_content": _html_main,
@@ -1234,6 +1296,39 @@ WITH newd AS (
 SELECT min(doc_id) AS doc_id, fingerprint FROM newd
 WHERE fingerprint NOT IN (SELECT fingerprint FROM snap)
 GROUP BY fingerprint
+""",
+        # left-outer join: customers keep their zero order counts
+        "customer_order_counts": """
+SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+        # per-user cumulative value (cents), ties broken by event_id
+        "user_running_value": """
+SELECT event_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_c
+FROM events
+""",
+        # long→wide count pivot: source rows × fixed lang columns
+        "docs_lang_pivot": """
+SELECT source,
+       CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+       CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+       CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+       CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+       CAST(sum(CASE WHEN lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS other
+FROM documents GROUP BY source
+""",
+        # GROUP BY ROLLUP with 'ALL' standing in for the rolled-up NULL
+        "revenue_rollup": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
         "views_before_purchase_1h": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

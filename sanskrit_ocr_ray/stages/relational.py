@@ -647,11 +647,13 @@ def hash_join(
     explicitly (bucket count B scales with cluster size; salt hot keys
     into sub-buckets if one key dominates).
 
-    ``how``: 'inner' (default), 'semi' (left rows WITH a right match) or
-    'anti' (left rows WITHOUT one) — semi/anti return the left columns
-    only and need just the right side's KEY column shipped through the
-    shuffle."""
-    if how not in ("inner", "semi", "anti"):
+    ``how``: 'inner' (default), 'left' (left-outer: unmatched left rows
+    keep nulls in the right columns, which come back as NULLABLE arrow
+    ints — never silently floated), 'semi' (left rows WITH a right
+    match) or 'anti' (left rows WITHOUT one) — semi/anti return the left
+    columns only and need just the right side's KEY column shipped
+    through the shuffle."""
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}")
     if native and how == "inner" and hasattr(type(left_ds), "join"):
         return left_ds.join(
@@ -714,20 +716,192 @@ def hash_join(
             hit = l[key].isin(r[key].unique())
             out = l[hit] if how == "semi" else l[~hit]
         else:
-            out = l.merge(r, on=key)
+            out = l.merge(r, on=key, how="left" if how == "left" else "inner")
         if not len(out):
             return empty_out.copy()
         # the union pads each side's missing columns with nulls, which
         # floats int64 columns in pandas blocks; the inner merge keeps only
         # real values, so cast back losslessly (dtype drift otherwise
-        # breaks bucket hashing in a chained second join)
+        # breaks bucket hashing in a chained second join). A left merge
+        # keeps REAL nulls on unmatched rows — those int columns go to
+        # pandas' nullable Int64 (→ nullable Arrow int64), never float.
         for c in out.columns:
             want = empty_out[c].dtype
             if out[c].dtype != want and want.kind in ("i", "u"):
-                out[c] = out[c].astype(want)
+                if out[c].isna().any():
+                    out[c] = out[c].astype("Int64")
+                else:
+                    out[c] = out[c].astype(want)
         return out
 
     tagged = left_ds.map_batches(tag("l"), batch_format="pyarrow").union(
         right_ds.map_batches(tag("r"), batch_format="pyarrow")
     )
     return tagged.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def running_agg(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    n_buckets: int = 64,
+):
+    """Per-group cumulative sum — ``SUM(value) OVER (PARTITION BY group
+    ORDER BY order, id ROWS UNBOUNDED PRECEDING)`` — as (id, running_c).
+
+    Scale shape: the same bounded-bucket window formulation as
+    ``grouped_top_k``/``sessionize`` — one shuffle on ``hash(group) % B``,
+    then each bucket orders ALL its groups with one mergesort and runs a
+    single vectorized ``groupby(...).cumsum`` (never a Python call per
+    group). Ties on the order column break by id, so the prefix sums are
+    deterministic and oracle-reproducible. Values enter as floor-cents.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = (fast_hash_u64(batch[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group: batch[group],
+                "__us": pc.cast(pc.cast(batch[order], pa.timestamp("us")), pa.int64()),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "__c": pa.array(_cents(batch[value].to_numpy())),
+                "__wb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(**{id_col: np.int64, "running_c": np.int64})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        g = g.sort_values([group, "__us", id_col], kind="mergesort")
+        run = g.groupby(group, sort=False)["__c"].cumsum()
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "running_c": run.to_numpy()}
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def pivot_counts(
+    ds,
+    *,
+    row: str,
+    col: str,
+    col_values: list[str],
+    n_buckets: int = 32,
+):
+    """Long→wide count pivot: one output row per ``row`` value, one int64
+    column per entry of ``col_values`` (the pivot's column set is an
+    explicit argument — discovering it would be a separate tiny
+    distinct pass — so the output schema is static and oracle-checkable).
+
+    Scale shape: each batch partial-aggregates to its own crosstab
+    (#rows-in-batch distinct row keys × fixed columns), then one bounded
+    bucketed shuffle on the row key sums the partials. ``col`` values
+    outside ``col_values`` are counted under ``other``.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    cset = list(dict.fromkeys(col_values))
+    out_cols = cset + ["other"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {row: batch[row].to_pylist(), col: batch[col].to_pylist()}
+        )
+        df[col] = df[col].where(df[col].isin(cset), "other")
+        ct = (
+            df.groupby([row, col], as_index=False)
+            .size()
+            .pivot(index=row, columns=col, values="size")
+        )
+        for c in out_cols:
+            if c not in ct.columns:
+                ct[c] = 0
+        ct = ct[out_cols].fillna(0).astype(np.int64).reset_index()
+        return pa.Table.from_pandas(ct, preserve_index=False)
+
+    empty = typed_empty(**{row: object, **{c: np.int64 for c in out_cols}})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(row, as_index=False)[out_cols].sum()
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [row],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+        coalesce_first=False,
+    )
+
+
+def rollup_aggregate(
+    ds,
+    *,
+    keys: list[str],
+    value: str,
+    sentinel: str = "ALL",
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys...)`` — the base aggregate plus every
+    prefix-level subtotal and the grand total, with ``sentinel`` standing
+    in for SQL's rolled-up NULL (null-free outputs hash exactly).
+
+    Scale shape: the full-granularity aggregate reduces per batch first
+    (floor-cents partial sums), one bounded-bucket shuffle finishes it,
+    and every coarser level derives from the BASE aggregate on the
+    driver — the rollup of an aggregate is an aggregate of the
+    aggregate, so the corpus is read and shuffled exactly once and the
+    driver only ever sees the (small by definition) result table.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: batch[k].to_pylist() for k in keys})
+        df["value_c"] = _cents(batch[value].to_numpy())
+        return pa.Table.from_pandas(
+            df.groupby(keys, as_index=False)["value_c"].sum(),
+            preserve_index=False,
+        )
+
+    empty = typed_empty(**{**{k: object for k in keys}, "value_c": np.int64})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)["value_c"].sum()
+
+    base = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+    ).to_pandas()  # small by definition: one row per distinct key tuple
+
+    levels = [base]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        lv = (
+            base.groupby(kept, as_index=False)["value_c"].sum()
+            if kept
+            else pd.DataFrame({"value_c": [base["value_c"].sum()]})
+        )
+        for k in keys[depth:]:
+            lv[k] = sentinel
+        levels.append(lv[keys + ["value_c"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["value_c"] = out["value_c"].astype(np.int64)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)

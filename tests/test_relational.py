@@ -230,3 +230,98 @@ def test_quantiles_exact_definition(ray_session):
     # value at 1-based position ceil(q*n/1000) of the sorted 100 rows
     assert out.x.tolist() == [0, 2, 4, 9]
     assert out.q_pm.tolist() == [10, 250, 500, 1000]
+
+
+def test_hash_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hash_join
+
+    left = pd.DataFrame({"k": np.int64([1, 2, 3]), "lv": np.int64([10, 20, 30])})
+    right = pd.DataFrame({"k": np.int64([1, 1, 3]), "rv": np.int64([7, 8, 9])})
+    out = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", how="left",
+                  n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "rv"])
+        .reset_index(drop=True)
+    )
+    # k=1 matches twice, k=2 keeps a null rv, k=3 matches once
+    assert len(out) == 4
+    assert out.k.tolist() == [1, 1, 2, 3]
+    assert out.rv.tolist()[:2] == [7, 8]
+    assert pd.isna(out.rv.iloc[2])
+    assert out.rv.iloc[3] == 9
+    # matched left values never floated
+    assert out.lv.tolist() == [10, 10, 20, 30]
+
+
+def test_running_agg_cumsum_and_ties(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import running_agg
+
+    ev = pd.DataFrame(
+        {
+            "event_id": np.int64([1, 2, 3, 4, 5]),
+            "user_id": np.int64([7, 7, 7, 8, 8]),
+            # event 2 and 3 tie on ts → order falls back to event_id
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                 "2024-01-01 01:00:00", "2024-01-01 00:30:00",
+                 "2024-01-01 00:10:00"]
+            ),
+            "value": [1.0, 2.0, 4.0, 10.0, 20.0],
+        }
+    )
+    out = (
+        running_agg(rd.from_pandas(ev), n_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out.running_c.tolist() == [100, 300, 700, 3000, 2000]
+
+
+def test_pivot_counts_fixed_columns(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "a", "a", "b", "b"],
+            "lang": ["en", "en", "de", "zz", "en"],
+        }
+    )
+    out = (
+        pivot_counts(rd.from_pandas(df), row="src", col="lang",
+                     col_values=["de", "en"], n_buckets=4)
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["src", "de", "en", "other"]
+    assert out.values.tolist() == [["a", 1, 2, 0], ["b", 0, 1, 1]]
+
+
+def test_rollup_aggregate_levels(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import rollup_aggregate
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y"],
+            "b": ["p", "q", "p"],
+            "v": [1.0, 2.0, 4.0],
+        }
+    )
+    out = rollup_aggregate(
+        rd.from_pandas(df), keys=["a", "b"], value="v", n_buckets=4
+    )
+    got = {(r.a, r.b): r.value_c for r in out.itertuples()}
+    assert got == {
+        ("x", "p"): 100, ("x", "q"): 200, ("y", "p"): 400,
+        ("x", "ALL"): 300, ("y", "ALL"): 400, ("ALL", "ALL"): 700,
+    }
