@@ -303,6 +303,15 @@ def _keyword_search(sf_dir: str):
     )
 
 
+def _repetition_scores(sf_dir: str):
+    """Gopher-style intra-doc repetition per-mille (shuffle-free map)."""
+    from sanskrit_ocr_ray.stages.text_analysis import repetition_scores_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_scores_batch, batch_format="pyarrow"
+    )
+
+
 def _customer_order_counts(sf_dir: str):
     """Left-outer join: every customer with their order count (0 kept)."""
     import numpy as np
@@ -825,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _quality,
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
+        "repetition_scores": _repetition_scores,
         # training-corpus assembly
         "train_val_split": _train_val_split,
         "redact_pii": _redact_pii,
@@ -923,6 +933,21 @@ WITH h AS (
         r" '&copy;', '(c)'), '&mdash;', '-'), '&nbsp;', ' '), '&amp;', '&'),"
         r" '\s+', ' ', 'g'))"
     )
+    knn5_sql = """
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10
+), al AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, al.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.e, al.e) DESC, al.vec_id
+         ) AS rank
+  FROM q, al WHERE al.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
     oracles = {
         # golden.parquet IS the expected extractor output by construction
         # (synth.py); flatten its per-doc seq exactly like reassemble.flatten_out
@@ -1093,6 +1118,32 @@ FROM t
 """,
         "fingerprint_md5": """
 SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents
+""",
+        # Gopher-style repetition: docs with <3 space-split tokens emit no
+        # row (no trigram support), integer per-mille arithmetic
+        "repetition_scores": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), ok AS (
+  SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) >= 3
+), bg AS (
+  SELECT doc_id, ts[r.i] || ' ' || ts[r.i + 1] AS b
+  FROM ok, unnest(range(1, n)) AS r(i)
+), bgmax AS (
+  SELECT doc_id, MAX(c) AS maxc
+  FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+  GROUP BY doc_id
+), tg AS (
+  SELECT doc_id, COUNT(DISTINCT t3) AS d
+  FROM (SELECT doc_id, ts[r.i] || ' ' || ts[r.i + 1] || ' ' || ts[r.i + 2] AS t3
+        FROM ok, unnest(range(1, n - 1)) AS r(i))
+  GROUP BY doc_id
+)
+SELECT ok.doc_id,
+       1000 * bgmax.maxc // (ok.n - 1) AS top_bigram_permille,
+       1000 * (ok.n - 2 - tg.d) // (ok.n - 2) AS dup_trigram_permille
+FROM ok JOIN bgmax USING (doc_id) JOIN tg USING (doc_id)
 """,
         "train_val_split": """
 SELECT doc_id,
@@ -1378,21 +1429,11 @@ WITH d AS (
 )
 SELECT * FROM d UNION ALL SELECT * FROM e
 """,
-        "knn_top5": """
-WITH q AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 10
-), al AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-)
-SELECT query_id, rank, neighbor_id FROM (
-  SELECT q.vec_id AS query_id, al.vec_id AS neighbor_id,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY list_cosine_similarity(q.e, al.e) DESC, al.vec_id
-         ) AS rank
-  FROM q, al WHERE al.vec_id <> q.vec_id
-) WHERE rank <= 5
-""",
+        "knn_top5": knn5_sql,
+        # exact-degenerate ANN configs (nprobe=n_centroids / n_planes=0)
+        # are provably equal to brute force → same oracle
+        "knn_ivf": knn5_sql,
+        "knn_lsh": knn5_sql,
         "embedding_dup_pairs": """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) AS cos_x1e6

@@ -114,6 +114,10 @@ def run_bench() -> dict:
         "layout_reading_order",
         "views_before_purchase_1h",
         "top2_events_per_user",
+        "salient_terms",
+        "contamination",
+        "customer_order_counts",
+        "user_running_value",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:

@@ -167,3 +167,43 @@ def rolling_fingerprint_batch(batch: pa.Table, column: str = "text") -> pa.Table
     texts = batch[column].to_pylist()
     fp = pa.array([f"{rolling_fingerprint(t or ''):016x}" for t in texts], type=pa.string())
     return pa.table({"doc_id": batch["doc_id"], "kr_fingerprint": fp})
+
+
+def repetition_scores_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Gopher/RefinedWeb-style intra-document repetition signals, integer
+    per-mille (the "remove documents that repeat themselves" quality
+    rules of large-corpus curation):
+
+    - ``top_bigram_permille``: share of bigram slots taken by the single
+      most frequent bigram — high for boilerplate loops;
+    - ``dup_trigram_permille``: share of trigram slots whose trigram
+      already appeared earlier in the doc (1 − distinct/total).
+
+    Docs with < 3 space-split tokens emit NO row (no trigram support —
+    the oracle's token CTE filters identically). Shuffle-free: each
+    doc's text is a single row, so the scores are a pure map.
+    """
+    ids: list = []
+    top_bg: list[int] = []
+    dup_tg: list[int] = []
+    for did, t in zip(batch["doc_id"].to_pylist(), batch[column].to_pylist()):
+        toks = [w for w in (t or "").split(" ") if w]
+        if len(toks) < 3:
+            continue
+        bg: dict[tuple[str, str], int] = {}
+        for i in range(len(toks) - 1):
+            key = (toks[i], toks[i + 1])
+            bg[key] = bg.get(key, 0) + 1
+        n_bg = len(toks) - 1
+        tg = {(toks[i], toks[i + 1], toks[i + 2]) for i in range(len(toks) - 2)}
+        n_tg = len(toks) - 2
+        ids.append(did)
+        top_bg.append(1000 * max(bg.values()) // n_bg)
+        dup_tg.append(1000 * (n_tg - len(tg)) // n_tg)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=batch["doc_id"].type),
+            "top_bigram_permille": pa.array(top_bg, type=pa.int64()),
+            "dup_trigram_permille": pa.array(dup_tg, type=pa.int64()),
+        }
+    )

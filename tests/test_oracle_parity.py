@@ -22,6 +22,7 @@ SUBSET = [
     "quality_score",
     "fingerprint_md5",
     "kr_fingerprint",
+    "repetition_scores",
     "simhash64",
     "minhash_sig",
     "knn_top5",
