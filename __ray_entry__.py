@@ -312,6 +312,21 @@ def _repetition_scores(sf_dir: str):
     )
 
 
+def _kgram_dup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al.-style): per-doc count
+    of 8-token windows that recur anywhere in the corpus."""
+    from sanskrit_ocr_ray.stages.dedup import kgram_dup_spans
+
+    return kgram_dup_spans(_tbl(sf_dir, "documents", ["doc_id", "text"]), k=8)
+
+
+def _vocab_build(sf_dir: str):
+    """Frequency-ranked token vocabulary (min_count=5, deterministic ids)."""
+    from sanskrit_ocr_ray.stages.corpus import vocab_build
+
+    return vocab_build(_tbl(sf_dir, "documents", ["text"]), min_count=5)
+
+
 def _customer_order_counts(sf_dir: str):
     """Left-outer join: every customer with their order count (0 kept)."""
     import numpy as np
@@ -847,6 +862,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
         "incremental_dedup": _incremental_dedup,
+        "kgram_dup_spans": _kgram_dup_spans,
+        "vocab_build": _vocab_build,
         "customer_order_counts": _customer_order_counts,
         "user_running_value": _user_running_value,
         "docs_lang_pivot": _docs_lang_pivot,
@@ -1144,6 +1161,31 @@ SELECT ok.doc_id,
        1000 * bgmax.maxc // (ok.n - 1) AS top_bigram_permille,
        1000 * (ok.n - 2 - tg.d) // (ok.n - 2) AS dup_trigram_permille
 FROM ok JOIN bgmax USING (doc_id) JOIN tg USING (doc_id)
+""",
+        # duplicated 8-token windows; docs with none emit no row
+        "kgram_dup_spans": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), ok AS (
+  SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) >= 8
+), kg AS (
+  SELECT doc_id, array_to_string(ts[r.i : r.i + 7], ' ') AS g
+  FROM ok, unnest(range(1, n - 8 + 2)) AS r(i)
+), dup AS (
+  SELECT g FROM kg GROUP BY g HAVING COUNT(*) >= 2
+)
+SELECT doc_id, COUNT(*) AS dup_kgrams FROM kg JOIN dup USING (g) GROUP BY doc_id
+""",
+        "vocab_build": """
+WITH tok AS (
+  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t FROM documents
+), c AS (
+  SELECT t AS token, COUNT(*) AS freq FROM tok GROUP BY t HAVING COUNT(*) >= 5
+)
+SELECT token, freq,
+       row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id
+FROM c
 """,
         "train_val_split": """
 SELECT doc_id,

@@ -282,3 +282,68 @@ def corpus_mix(sides, *, permille: dict[str, int] | None = None):
         )
         out = part if out is None else out.union(part)
     return out
+
+
+def vocab_build(
+    ds,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Frequency-ranked token vocabulary induction — the vocab pass of a
+    word-level / WordPiece-style tokenizer build: corpus-wide token
+    frequencies, floor-filtered, with contiguous ``token_id``s assigned
+    by (freq desc, token asc) so id assignment is deterministic and
+    oracle-reproducible (``row_number() OVER (ORDER BY freq DESC, token)``).
+
+    Scale shape: counts partial-aggregate INSIDE each batch (one dict per
+    batch — the explode never materializes a row per occurrence), one
+    bounded-bucket shuffle sums per token and applies the ``min_count``
+    floor. The post-filter vocab is small by construction (Heaps' law +
+    the frequency floor keeps it at 10^5–10^7 rows even at web scale), so
+    the final global rank coalesces it into ONE block for the argsort;
+    everything upstream streams.
+    """
+    from ..stages.dedup import bucketed_aggregate
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for w in (t or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), type=pa.string()),
+                "freq": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    empty = typed_empty(token=object, freq=np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("token", as_index=False)["freq"].sum()
+        return agg[agg["freq"] >= min_count]
+
+    vocab = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        ["token"],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+        coalesce_first=False,
+    )
+
+    def assign_ids(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["freq", "token"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        df["token_id"] = np.arange(len(df), dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # one block: the global rank needs a total order over the (small) vocab
+    return vocab.repartition(1).map_batches(
+        assign_ids, batch_format="pyarrow", batch_size=None
+    )

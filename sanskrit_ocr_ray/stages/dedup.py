@@ -695,3 +695,89 @@ def ngram_jaccard_pairs(
         )
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (k-token windows)
+# ---------------------------------------------------------------------------
+
+
+def kgram_dup_spans(
+    ds,
+    *,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Exact duplicated-substring detection — the "remove repeated spans"
+    pass of corpus dedup (Lee et al. 2022, *Deduplicating Training Data
+    Makes Language Models Better*, done there with suffix arrays): count,
+    per document, the k-token window positions whose window text recurs
+    anywhere in the corpus (>= 2 occurrences, multiplicity counted,
+    same-document repeats included). Documents with zero duplicated
+    windows emit no row.
+
+    Scale shape: windows ship as 64-bit rolling polynomial hashes over
+    per-token siphashes (a fixed 8-byte shuffle key per position — the
+    window TEXT never leaves the mapper; at 10^12-window scale widen the
+    same fold to 128 bits to keep the collision budget negligible). One
+    bounded-bucket shuffle groups by window hash — each window value lands
+    wholly in one bucket, so the >=2 test is exact — and per-doc partial
+    counts come back per bucket; a second, tiny, shuffle sums them per
+    doc. No driver-side state; per-task structures are O(rows-in-bucket).
+    """
+    dtypes = _pd_dtypes(ds)
+    P = np.uint64(1099511628211)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        idx_chunks: list[np.ndarray] = []
+        h_chunks: list[np.ndarray] = []
+        texts = batch[text_col].to_pylist()
+        for row, t in enumerate(texts):
+            toks = [w for w in (t or "").split(" ") if w]
+            n = len(toks)
+            if n < k:
+                continue
+            th = fast_hash_u64(toks)
+            m = n - k + 1
+            g = np.zeros(m, dtype=np.uint64)
+            for j in range(k):  # k vectorized folds per doc, not per window
+                g = g * P + th[j : j + m]
+            idx_chunks.append(np.full(m, row, dtype=np.int64))
+            h_chunks.append(g)
+        if not idx_chunks:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "gh": pa.array([], type=pa.uint64()),
+                }
+            )
+        ids = batch[id_col].take(pa.array(np.concatenate(idx_chunks)))
+        return pa.table({id_col: ids, "gh": pa.array(np.concatenate(h_chunks))})
+
+    empty = typed_empty(**{id_col: dtypes[id_col], "dup_kgrams": np.int64})
+
+    def dup_partials(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("gh")["gh"].transform("size")
+        sub = df[sizes >= 2]
+        if sub.empty:
+            return empty.copy()
+        out = sub.groupby(id_col).size().reset_index(name="dup_kgrams")
+        return out.astype({"dup_kgrams": np.int64})
+
+    partials = bucketed_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["gh"],
+        dup_partials,
+        n_buckets=n_buckets,
+        empty=empty,
+    )
+    return bucketed_aggregate(
+        partials,
+        [id_col],
+        lambda df: df.groupby(id_col, as_index=False)["dup_kgrams"].sum(),
+        n_buckets=max(8, n_buckets // 8),
+        empty=empty,
+        coalesce_first=False,
+    )

@@ -135,3 +135,33 @@ def test_corpus_mix_growth_invariant(ray_session):
     ).to_pandas()
     assert set(a.rec_id) == set(b[b.rec_id < 100].rec_id)
     assert 0.3 < len(b) / 250 < 0.5
+
+
+def test_vocab_build_rank_and_floor(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import vocab_build
+
+    rows = [
+        {"text": "b b b a a a"},  # a×3+2=5, b×3
+        {"text": "a a c c c c"},
+        {"text": "d"},  # below floor
+    ]
+    out = vocab_build(rd.from_items(rows), min_count=3).to_pandas()
+    # freq: a=5, c=4, b=3; d=1 dropped; ties none
+    assert list(out.token) == ["a", "c", "b"]
+    assert list(out.freq) == [5, 4, 3]
+    assert list(out.token_id) == [0, 1, 2]
+
+
+def test_vocab_build_tie_break_alphabetical(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import vocab_build
+
+    out = vocab_build(
+        rd.from_items([{"text": "z y z y x"}]), min_count=1
+    ).to_pandas()
+    # z=2, y=2 tie → alphabetical; x=1 last
+    assert list(out.token) == ["y", "z", "x"]
+    assert list(out.token_id) == [0, 1, 2]

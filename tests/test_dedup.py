@@ -99,3 +99,59 @@ def test_minhash_lsh_high_dup_rate_10k(ray_session):
     assert len(out) == n
     rep = dict(zip(out.doc_id, out.cluster_rep))
     assert all(rep[i] == (i // group) * group for i in range(n))
+
+
+def test_kgram_dup_spans_planted(ray_session):
+    """Hand-computable window-dup counts, incl. same-doc repeats."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import kgram_dup_spans
+
+    rows = [
+        # 1 & 2 share the exact 6-token prefix "a b c d e f" (one k=4
+        # window dup at positions 0,1,2 of each)
+        {"doc_id": 1, "text": "a b c d e f x y"},
+        {"doc_id": 2, "text": "a b c d e f p q"},
+        # 3 repeats its own 4-gram "r r r r" twice (positions 0 and 4)
+        {"doc_id": 3, "text": "r r r r r r r r"},
+        # 4 too short for any window
+        {"doc_id": 4, "text": "u v w"},
+        # 5 has unique windows only
+        {"doc_id": 5, "text": "m n o p q s t"},
+    ]
+    out = kgram_dup_spans(rd.from_items(rows), k=4).to_pandas()
+    got = dict(zip(out.doc_id, out.dup_kgrams))
+    # doc 3: all five windows are "r r r r" → every position duplicated
+    assert got == {1: 3, 2: 3, 3: 5}
+
+
+def test_kgram_dup_spans_matches_naive_model(ray_session):
+    """Randomized parity vs an in-memory counter model."""
+    import collections
+    import random
+
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import kgram_dup_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 30)))}
+        for i in range(60)
+    ]
+    k = 5
+    counts: collections.Counter = collections.Counter()
+    per_doc: dict[int, list[tuple]] = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        grams = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_doc[r["doc_id"]] = grams
+        counts.update(grams)
+    expect = {
+        d: sum(counts[g] >= 2 for g in grams)
+        for d, grams in per_doc.items()
+        if sum(counts[g] >= 2 for g in grams)
+    }
+    out = kgram_dup_spans(rd.from_items(rows), k=k).to_pandas()
+    assert dict(zip(out.doc_id, out.dup_kgrams)) == expect

@@ -23,6 +23,8 @@ SUBSET = [
     "fingerprint_md5",
     "kr_fingerprint",
     "repetition_scores",
+    "kgram_dup_spans",
+    "vocab_build",
     "simhash64",
     "minhash_sig",
     "knn_top5",
