@@ -312,6 +312,88 @@ def _repetition_scores(sf_dir: str):
     )
 
 
+def _latest_order_per_customer(sf_dir: str):
+    """Latest-record-per-key dedup (the CDC/versioned-table compaction
+    op): newest order per customer, ties broken by min order key —
+    grouped_top_k with k=1 over epoch-integer dates."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sanskrit_ocr_ray.stages.relational import grouped_top_k
+
+    def epoch(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64())
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_date_us": us,
+            }
+        )
+
+    ds = _tbl(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"]).map_batches(
+        epoch, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_top_k(
+        ds, group="o_custkey", order_col="o_date_us", id_col="o_orderkey", k=1
+    )
+
+
+def _table_checksum(sf_dir: str):
+    """Order-independent corpus checksum (mod-2^64 sum of per-row md5
+    hashes of doc_id||':'||text) — the cheap equality witness for
+    verifying a 100-TB copy/migration without moving the data: per-batch
+    partial sums, one tiny driver-side fold, no shuffle."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.util import md5_u64
+
+    M = 1 << 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = 0
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            acc = (acc + md5_u64(f"{did}:{t or ''}")) % M
+        return pa.table({"partial": pa.array([f"{acc:020d}"], type=pa.string())})
+
+    parts = (
+        _tbl(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    total = sum(int(p) for p in parts["partial"]) % M
+    return pd.DataFrame({"checksum": [f"{total:016x}"]})
+
+
+def _chunk_documents(sf_dir: str):
+    """Token-window chunking (32-token windows, stride 24) — RAG/context
+    chunk preparation; pure flat map, no shuffle."""
+    from sanskrit_ocr_ray.stages.corpus import chunk_documents
+
+    return chunk_documents(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=32, stride=24
+    )
+
+
+def _quantiles_by_type(sf_dir: str):
+    """Per-event-type exact value quantiles (histogram formulation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import grouped_quantiles_exact
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_quantiles_exact(ds, "event_type", "value_c")
+
+
 def _kgram_dup_spans(sf_dir: str):
     """Exact duplicated-substring spans (Lee et al.-style): per-doc count
     of 8-token windows that recur anywhere in the corpus."""
@@ -864,6 +946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _incremental_dedup,
         "kgram_dup_spans": _kgram_dup_spans,
         "vocab_build": _vocab_build,
+        "chunk_documents": _chunk_documents,
+        "table_checksum": _table_checksum,
         "customer_order_counts": _customer_order_counts,
         "user_running_value": _user_running_value,
         "docs_lang_pivot": _docs_lang_pivot,
@@ -878,6 +962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "views_before_purchase_1h": _views_before_purchase_1h,
         "customers_no_orders": _customers_no_orders,
         "value_quantiles": _value_quantiles,
+        "quantiles_by_type": _quantiles_by_type,
+        "latest_order_per_customer": _latest_order_per_customer,
         "top2_events_per_user": _top2_events_per_user,
         # similarity search over `embeddings`
         "knn_top5": _knn5,
@@ -1162,6 +1248,19 @@ SELECT ok.doc_id,
        1000 * (ok.n - 2 - tg.d) // (ok.n - 2) AS dup_trigram_permille
 FROM ok JOIN bgmax USING (doc_id) JOIN tg USING (doc_id)
 """,
+        # 32-token windows every 24 tokens; final window may be short
+        "chunk_documents": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), ok AS (
+  SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0
+)
+SELECT doc_id, CAST(r.s // 24 AS BIGINT) AS chunk_id,
+       array_to_string(ts[r.s + 1 : r.s + 32], ' ') AS chunk,
+       CAST(least(32, n - r.s) AS BIGINT) AS ntok
+FROM ok, unnest(range(0, n, 24)) AS r(s)
+""",
         # duplicated 8-token windows; docs with none emit no row
         "kgram_dup_spans": """
 WITH tok AS (
@@ -1445,6 +1544,35 @@ s AS (SELECT value_c, row_number() OVER (ORDER BY value_c) AS rn,
              COUNT(*) OVER () AS n
       FROM v)
 SELECT CAST(q.q_pm AS BIGINT) AS q_pm, s.value_c AS value_c
+FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+JOIN s ON s.rn = CAST(ceil(q.q_pm * s.n / 1000.0) AS BIGINT)
+""",
+        "latest_order_per_customer": """
+SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_date_us FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY epoch_us(o_orderdate) DESC, o_orderkey
+         ) AS rank
+  FROM orders
+) WHERE rank <= 1
+""",
+        # mod-2^64 sum of per-row 64-bit md5 prefixes, hex-formatted
+        "table_checksum": """
+SELECT lpad(lower(hex(CAST(
+         SUM(('0x' || substr(md5(doc_id::VARCHAR || ':' || coalesce(text, '')), 1, 16))::UBIGINT::HUGEINT)
+         % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT))), 16, '0') AS checksum
+FROM documents
+""",
+        "quantiles_by_type": """
+WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+           FROM events),
+s AS (SELECT event_type, value_c,
+             row_number() OVER (PARTITION BY event_type ORDER BY value_c) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+SELECT s.event_type, CAST(q.q_pm AS BIGINT) AS q_pm, s.value_c AS value_c
 FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
 JOIN s ON s.rn = CAST(ceil(q.q_pm * s.n / 1000.0) AS BIGINT)
 """,

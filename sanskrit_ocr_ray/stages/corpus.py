@@ -347,3 +347,51 @@ def vocab_build(
     return vocab.repartition(1).map_batches(
         assign_ids, batch_format="pyarrow", batch_size=None
     )
+
+
+def chunk_documents(
+    ds,
+    *,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token-window document chunking with overlap — the context-window
+    chunking op of RAG indexing / training-sequence preparation: windows
+    of ``chunk_tokens`` space-split tokens starting every ``stride``
+    tokens (``chunk_tokens - stride`` tokens of overlap). The final
+    window may be short; empty docs emit nothing; ``chunk_id`` is the
+    window ordinal. Pure flat map over batches — no shuffle, so it
+    streams at any corpus size.
+    """
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows: list[int] = []
+        cids: list[int] = []
+        chunks: list[str] = []
+        ntoks: list[int] = []
+        for row, t in enumerate(batch[text_col].to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                w = toks[start : start + chunk_tokens]
+                rows.append(row)
+                cids.append(ci)
+                chunks.append(" ".join(w))
+                ntoks.append(len(w))
+        ids = (
+            batch[id_col].take(pa.array(rows, type=pa.int64()))
+            if rows
+            else pa.chunked_array([], type=batch[id_col].type)
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_id": pa.array(cids, type=pa.int64()),
+                "chunk": pa.array(chunks, type=pa.string()),
+                "ntok": pa.array(ntoks, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -905,3 +905,65 @@ def rollup_aggregate(
     out = pd.concat(levels, ignore_index=True)
     out["value_c"] = out["value_c"].astype(np.int64)
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_quantiles_exact(
+    ds,
+    key: str,
+    column: str,
+    *,
+    q_pm: list[int] | None = None,
+    n_buckets: int = 32,
+):
+    """Per-group exact quantiles of an integer column — the histogram
+    formulation of ``quantiles_exact``, per group: per-batch (key, value)
+    counts partial-aggregate inside the mapper, ONE bounded-bucket
+    shuffle sums the per-group histograms (each key lands wholly in one
+    bucket), and the quantile scan runs vectorized inside the bucket —
+    never on the driver, never one UDF call per group.
+
+    Quantile definition (mirrored in the SQL oracle): ``q`` per-mille →
+    the value at 1-based sorted position ``ceil(q·n/1000)`` within the
+    group. Scale assumption: per-group DISTINCT value cardinality ≪
+    group row count (integer cents / scores / token counts); the number
+    of GROUPS is unbounded (bucketed shuffle).
+    """
+    from ..stages.dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    q_pm = q_pm or [250, 500, 750, 900, 990]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, column]).to_pandas()
+        agg = df.groupby([key, column], as_index=False).size()
+        agg = agg.rename(columns={column: "v", "size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
+    key_dtype = np.int64 if pa.types.is_integer(key_type) else object
+    empty = typed_empty(**{key: key_dtype, "q_pm": np.int64, column: np.int64})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby([key, "v"], as_index=False)["n"].sum()
+        h = h.sort_values([key, "v"], kind="mergesort").reset_index(drop=True)
+        cum = h.groupby(key)["n"].cumsum()
+        tot = h.groupby(key)["n"].transform("sum")
+        parts: list[pd.DataFrame] = []
+        for q in q_pm:
+            kq = -(-q * tot // 1000)  # ceil per row, integer-exact
+            sel = h[cum >= kq].groupby(key, as_index=False).first()[[key, "v"]]
+            sel = sel.rename(columns={"v": column})
+            sel["q_pm"] = np.int64(q)
+            parts.append(sel)
+        out = pd.concat(parts, ignore_index=True)
+        return out[[key, "q_pm", column]].astype({"q_pm": np.int64, column: np.int64})
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+    )

@@ -165,3 +165,30 @@ def test_vocab_build_tie_break_alphabetical(ray_session):
     # z=2, y=2 tie → alphabetical; x=1 last
     assert list(out.token) == ["y", "z", "x"]
     assert list(out.token_id) == [0, 1, 2]
+
+
+def test_chunk_documents_windows_and_tail(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    rows = [
+        {"doc_id": 1, "text": " ".join(toks)},  # 10 tokens
+        {"doc_id": 2, "text": ""},  # nothing emitted
+        {"doc_id": 3, "text": "solo"},
+    ]
+    out = (
+        chunk_documents(rd.from_items(rows), chunk_tokens=4, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    d1 = out[out.doc_id == 1]
+    # starts 0,3,6,9 → windows of 4,4,4,1 tokens with 1-token overlap
+    assert list(d1.chunk_id) == [0, 1, 2, 3]
+    assert list(d1.ntok) == [4, 4, 4, 1]
+    assert d1.iloc[0].chunk == "t0 t1 t2 t3"
+    assert d1.iloc[1].chunk == "t3 t4 t5 t6"
+    assert d1.iloc[3].chunk == "t9"
+    assert 2 not in set(out.doc_id)
+    assert list(out[out.doc_id == 3].chunk) == ["solo"]

@@ -25,6 +25,10 @@ SUBSET = [
     "repetition_scores",
     "kgram_dup_spans",
     "vocab_build",
+    "chunk_documents",
+    "quantiles_by_type",
+    "latest_order_per_customer",
+    "table_checksum",
     "simhash64",
     "minhash_sig",
     "knn_top5",

@@ -325,3 +325,21 @@ def test_rollup_aggregate_levels(ray_session):
         ("x", "p"): 100, ("x", "q"): 200, ("y", "p"): 400,
         ("x", "ALL"): 300, ("y", "ALL"): 400, ("ALL", "ALL"): 700,
     }
+
+
+def test_grouped_quantiles_exact_hand_computed(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import grouped_quantiles_exact
+
+    rows = [{"k": "a", "v": i} for i in range(1, 11)]  # 1..10
+    rows += [{"k": "b", "v": 5}] * 4  # constant group
+    out = grouped_quantiles_exact(
+        rd.from_items(rows), "k", "v", q_pm=[250, 500, 1000]
+    ).to_pandas()
+    got = {(r.k, r.q_pm): r.v for r in out.itertuples()}
+    # group a (n=10): ceil(0.25·10)=3rd → 3; ceil(0.5·10)=5th → 5; max → 10
+    assert got[("a", 250)] == 3
+    assert got[("a", 500)] == 5
+    assert got[("a", 1000)] == 10
+    assert got[("b", 250)] == got[("b", 1000)] == 5
