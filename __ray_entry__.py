@@ -897,6 +897,92 @@ def _mktsegment_join(sf_dir: str):
     )
 
 
+def _event_gaps(sf_dir: str):
+    """Per-user inter-arrival time (LAG window): gap in µs to the
+    previous event, -1 for each user's first event."""
+    from sanskrit_ocr_ray.stages.relational import lag_gaps
+
+    return lag_gaps(_tbl(sf_dir, "events", ["event_id", "ts", "user_id"]))
+
+
+def _user_event_paths(sf_dir: str):
+    """Ordered per-user event-type path (string_agg window) — the
+    user-journey / sequence-assembly op."""
+    from sanskrit_ocr_ray.stages.relational import grouped_concat
+
+    return grouped_concat(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    )
+
+
+def _daily_active_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per UTC day — two bounded shuffles over
+    distinct (day, user) pairs, never a co-located per-day set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sanskrit_ocr_ray.stages.relational import distinct_count_by
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"day": pc.divide(us, US_PER_DAY), "user_id": batch["user_id"]}
+        )
+
+    ds = _tbl(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        day_of, batch_format="pyarrow", batch_size=None
+    )
+    return distinct_count_by(ds, "day", "user_id", out_col="dau")
+
+
+def _fuzzy_dedup(sf_dir: str):
+    """End-to-end fuzzy dedup: surviving doc per MinHash+LSH near-dup
+    component (min doc_id keeper) with its cluster size."""
+    from sanskrit_ocr_ray.stages.dedup import fuzzy_dedup_survivors
+
+    return fuzzy_dedup_survivors(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _props_k_by_type(sf_dir: str):
+    """Semi-structured projection + aggregate: extract integer ``$.k``
+    from the JSON props blob (vectorized regex, no per-row json.loads),
+    then per-event-type count / sum / integer-permille mean."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+    from sanskrit_ocr_ray.stages.text_analysis import json_int_field_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = json_int_field_batch(batch, column="props", key="k")
+        df = pd.DataFrame(
+            {"event_type": t["event_type"].to_pylist(), "k": t["k"].to_numpy()}
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum")
+        )
+        return pa.Table.from_pandas(g.astype({"n": np.int64, "sum_k": np.int64}),
+                                    preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy()
+        s = batch["sum_k"].to_numpy()
+        return batch.append_column(
+            "mean_k_pm", pa.array(1000 * s // n, type=pa.int64())
+        )
+
+    return (
+        _tbl(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"))
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -944,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
         "incremental_dedup": _incremental_dedup,
+        "fuzzy_dedup_survivors": _fuzzy_dedup,
         "kgram_dup_spans": _kgram_dup_spans,
         "vocab_build": _vocab_build,
         "chunk_documents": _chunk_documents,
@@ -964,6 +1051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _value_quantiles,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
+        "event_gaps": _event_gaps,
+        "user_event_paths": _user_event_paths,
+        "daily_active_users": _daily_active_users,
+        "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         # similarity search over `embeddings`
         "knn_top5": _knn5,
@@ -1713,8 +1804,42 @@ SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
+        "event_gaps": """
+SELECT event_id, user_id,
+       CAST(coalesce(
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+         -1) AS BIGINT) AS gap_us
+FROM events
+""",
+        "user_event_paths": """
+SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""",
+        "daily_active_users": """
+SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1
+""",
+        "props_k_by_type": """
+WITH v AS (
+  SELECT event_type,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(1000 * SUM(k) // COUNT(*) AS BIGINT) AS mean_k_pm
+FROM v GROUP BY event_type
+""",
     }
     # the exact-degenerate IVF config provably equals brute-force top-k
     oracles["knn_ivf"] = oracles["knn_top5"]
     oracles["knn_lsh"] = oracles["knn_top5"]
+    # survivors: same recursive components, collapsed to (keeper, size)
+    oracles["fuzzy_dedup_survivors"] = oracles["minhash_lsh_clusters"].replace(
+        "SELECT node AS doc_id, MIN(r) AS cluster_rep FROM walk GROUP BY node",
+        ", comp AS (SELECT node, MIN(r) AS rep FROM walk GROUP BY node)\n"
+        "SELECT rep AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+        "FROM comp GROUP BY rep",
+    )
     return oracles

@@ -781,3 +781,49 @@ def kgram_dup_spans(
         empty=empty,
         coalesce_first=False,
     )
+
+def fuzzy_dedup_survivors(
+    ds,
+    *,
+    n_perm: int = 8,
+    band_size: int = 2,
+    threshold_pm: int = 700,
+    column: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_bucket: int = 256,
+):
+    """End-to-end fuzzy dedup: the docs that SURVIVE MinHash+LSH
+    near-dedup — one row ``(doc_id, cluster_size)`` per kept doc, where
+    the keeper is the min-id member of each verified near-dup component
+    (singletons survive with size 1). This is the operator a corpus
+    curator actually runs ("give me the deduplicated corpus"), layered on
+    :func:`minhash_lsh_clusters`' (doc_id, cluster_rep) assignment.
+
+    Scale shape: the cluster assignment already emits rep = min(doc_id)
+    per component, so survivor selection is ONE extra bounded-bucket
+    shuffle keyed on ``cluster_rep`` (each component lands wholly in one
+    bucket) with a vectorized per-rep size count — no driver state.
+    """
+    clusters = minhash_lsh_clusters(
+        ds,
+        n_perm=n_perm,
+        band_size=band_size,
+        threshold_pm=threshold_pm,
+        column=column,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        max_bucket=max_bucket,
+    )
+    dtypes = _pd_dtypes(ds)
+    empty = typed_empty(**{id_col: dtypes[id_col], "cluster_size": np.int64})
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_rep", as_index=False).size()
+        out = g.rename(columns={"cluster_rep": id_col, "size": "cluster_size"})
+        out["cluster_size"] = out["cluster_size"].astype(np.int64)
+        return out[[id_col, "cluster_size"]]
+
+    return bucketed_aggregate(
+        clusters, ["cluster_rep"], collapse, n_buckets=n_buckets, empty=empty
+    )

@@ -967,3 +967,177 @@ def grouped_quantiles_exact(
         n_buckets=n_buckets,
         empty=empty,
     )
+
+def lag_gaps(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+):
+    """Per-group gap to the previous row — ``order_us -
+    LAG(order_us) OVER (PARTITION BY group ORDER BY order, id)`` — as
+    (id, group, gap_us); the first row of each group gets ``-1``.
+
+    The inter-arrival-time op of behavioral/event analysis (bot
+    detection, retention, rate estimation). Same bounded-bucket window
+    shape as ``running_agg``: one shuffle on ``hash(group) % B``, one
+    vectorized mergesort + ``groupby(...).shift`` per bucket — never a
+    Python call per group, so group cardinality is unbounded.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = (fast_hash_u64(batch[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group: batch[group],
+                "__us": pc.cast(pc.cast(batch[order], pa.timestamp("us")), pa.int64()),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "__wb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(**{id_col: np.int64, group: np.int64, "gap_us": np.int64})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        g = g.sort_values([group, "__us", id_col], kind="mergesort")
+        prev = g.groupby(group, sort=False)["__us"].shift(1)
+        gap = (g["__us"] - prev).fillna(-1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                group: g[group].to_numpy(),
+                "gap_us": gap.to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def grouped_concat(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    token: str = "event_type",
+    sep: str = ">",
+    n_buckets: int = 64,
+):
+    """Ordered per-group token concatenation — ``string_agg(token, sep
+    ORDER BY order, id)`` — as (group, path, n). The
+    session-path/sequence-building op (user journeys, clickstreams,
+    training-sequence assembly from events).
+
+    Scale shape: one ``hash(group) % B`` shuffle; inside each bucket one
+    mergesort orders ALL groups, then the concatenation runs as a single
+    pandas ``groupby(...).agg(join)`` pass. The join callable is a
+    per-group cython dispatch (not a per-group RAY call — the pathology
+    this module avoids); group count per bucket is corpus/B-bounded.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = (fast_hash_u64(batch[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group: batch[group],
+                "__us": pc.cast(pc.cast(batch[order], pa.timestamp("us")), pa.int64()),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                token: pc.cast(batch[token], pa.string()),
+                "__wb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(**{group: np.int64, "path": object, "n": np.int64})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        g = g.sort_values([group, "__us", id_col], kind="mergesort")
+        agg = g.groupby(group, sort=False)[token].agg([(sep.join), "size"])
+        agg.columns = ["path", "n"]
+        agg = agg.reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg[[group, "path", "n"]]
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def distinct_count_by(
+    ds,
+    group: str,
+    value: str,
+    *,
+    out_col: str = "n_distinct",
+    n_buckets: int = 64,
+):
+    """Exact ``COUNT(DISTINCT value) GROUP BY group`` — the
+    daily-active-users / unique-visitors op — with NO assumption that a
+    group's distinct set fits anywhere:
+
+    1. per-batch ``drop_duplicates`` partial (free dedup, no shuffle);
+    2. ONE bucketed shuffle on ``hash(group, value) % B`` — each distinct
+       (group, value) PAIR lands wholly in one bucket, so an in-bucket
+       dedup + per-group count is an exact PARTIAL count (a hot group's
+       distinct set is spread across many buckets — never co-located);
+    3. a second bounded shuffle on ``hash(group)`` sums the B partials.
+
+    Both shuffles move O(distinct pairs), not O(rows).
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([group, value]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[group]
+    key_dtype = np.int64 if pa.types.is_integer(key_type) else object
+    empty = typed_empty(**{group: key_dtype, out_col: np.int64})
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([group, value])
+        out = d.groupby(group, as_index=False)[value].count()
+        out = out.rename(columns={value: out_col})
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    partials = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group, value],
+        count_pairs,
+        n_buckets=n_buckets,
+        empty=empty,
+    )
+
+    def sum_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(group, as_index=False)[out_col].sum()
+        out[out_col] = out[out_col].astype(np.int64)
+        return out
+
+    return bucketed_aggregate(
+        partials,
+        [group],
+        sum_partials,
+        n_buckets=min(n_buckets, 16),
+        empty=empty,
+        coalesce_first=False,
+    )

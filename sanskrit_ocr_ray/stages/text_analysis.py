@@ -207,3 +207,34 @@ def repetition_scores_batch(batch: pa.Table, column: str = "text") -> pa.Table:
             "dup_trigram_permille": pa.array(dup_tg, type=pa.int64()),
         }
     )
+
+
+def json_int_field_batch(
+    batch: pa.Table,
+    *,
+    column: str = "props",
+    key: str = "k",
+    out: str | None = None,
+    missing: int = -1,
+) -> pa.Table:
+    """Extract an integer field from a JSON-string column — the
+    semi-structured projection op of event/clickstream ELT ("pull
+    ``$.k`` out of the props blob"). Vectorized: one compiled-regex
+    ``Series.str.extract`` pass over the batch (no per-row json.loads —
+    the field grammar ``"key": int`` is regular). Rows where the key is
+    absent / non-integer get ``missing``. Shuffle-free pure map; the
+    JSON column is dropped on output (projection narrows the stream).
+    """
+    import pandas as pd
+
+    out = out or key
+    pat = re.compile(r'"' + re.escape(key) + r'"\s*:\s*(-?\d+)')
+    s = pd.Series(batch[column].to_pylist(), dtype=object).fillna("")
+    vals = (
+        s.str.extract(pat, expand=False)
+        .fillna(str(missing))
+        .astype(np.int64)
+        .to_numpy()
+    )
+    keep = [n for n in batch.column_names if n != column]
+    return batch.select(keep).append_column(out, pa.array(vals, type=pa.int64()))

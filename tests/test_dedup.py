@@ -155,3 +155,12 @@ def test_kgram_dup_spans_matches_naive_model(ray_session):
     }
     out = kgram_dup_spans(rd.from_items(rows), k=k).to_pandas()
     assert dict(zip(out.doc_id, out.dup_kgrams)) == expect
+
+
+def test_fuzzy_dedup_survivors_planted(docs_ds):
+    from sanskrit_ocr_ray.stages.dedup import fuzzy_dedup_survivors
+
+    out = fuzzy_dedup_survivors(docs_ds, threshold_pm=700).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_size))
+    # {1,2,3} near-dup component → keeper 1 size 3; {4,5} → 4 size 2; 6 solo
+    assert got == {1: 3, 4: 2, 6: 1}

@@ -29,6 +29,11 @@ SUBSET = [
     "quantiles_by_type",
     "latest_order_per_customer",
     "table_checksum",
+    "event_gaps",
+    "user_event_paths",
+    "daily_active_users",
+    "props_k_by_type",
+    "fuzzy_dedup_survivors",
     "simhash64",
     "minhash_sig",
     "knn_top5",

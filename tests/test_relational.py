@@ -343,3 +343,57 @@ def test_grouped_quantiles_exact_hand_computed(ray_session):
     assert got[("a", 500)] == 5
     assert got[("a", 1000)] == 10
     assert got[("b", 250)] == got[("b", 1000)] == 5
+
+
+def test_lag_gaps_first_row_and_ties(ray_session):
+    import ray.data as rd
+    import pandas as pd
+
+    from sanskrit_ocr_ray.stages.relational import lag_gaps
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": ts},
+        {"event_id": 2, "user_id": 7, "ts": ts},  # tie on ts → ordered by id
+        {"event_id": 3, "user_id": 7, "ts": ts + pd.Timedelta(seconds=5)},
+        {"event_id": 4, "user_id": 9, "ts": ts},  # other user: first → -1
+    ]
+    out = lag_gaps(rd.from_items(rows)).to_pandas()
+    gap = dict(zip(out.event_id, out.gap_us))
+    assert gap == {1: -1, 2: 0, 3: 5_000_000, 4: -1}
+
+
+def test_grouped_concat_order_and_ties(ray_session):
+    import ray.data as rd
+    import pandas as pd
+
+    from sanskrit_ocr_ray.stages.relational import grouped_concat
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        {"event_id": 2, "user_id": 7, "ts": ts, "event_type": "b"},
+        {"event_id": 1, "user_id": 7, "ts": ts, "event_type": "a"},  # tie → by id
+        {"event_id": 3, "user_id": 7, "ts": ts + pd.Timedelta(1, "s"), "event_type": "c"},
+        {"event_id": 4, "user_id": 9, "ts": ts, "event_type": "z"},
+    ]
+    out = grouped_concat(rd.from_items(rows)).to_pandas()
+    got = {r.user_id: (r.path, r.n) for r in out.itertuples()}
+    assert got == {7: ("a>b>c", 3), 9: ("z", 1)}
+
+
+def test_distinct_count_by_cross_batch(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import distinct_count_by
+
+    # duplicates spread across many input blocks must still count once
+    rows = [{"g": i % 3, "v": (i * 7) % 10} for i in range(300)]
+    out = distinct_count_by(
+        rd.from_items(rows).repartition(16), "g", "v"
+    ).to_pandas()
+    got = dict(zip(out.g, out.n_distinct))
+    import collections
+    exp = collections.defaultdict(set)
+    for r in rows:
+        exp[r["g"]].add(r["v"])
+    assert got == {g: len(s) for g, s in exp.items()}

@@ -97,3 +97,21 @@ def test_kmv_distinct_exact_and_estimator_paths(ray_session):
     est = kmv_distinct(rd.from_pandas(pd.DataFrame({"text": texts})), k=k, ngram=3)
     rel = abs(est.n_distinct_est[0] - truth) / truth
     assert rel < 3 / np.sqrt(k), (est.n_distinct_est[0], truth)
+
+
+def test_json_int_field_batch_extracts_and_defaults():
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.text_analysis import json_int_field_batch
+
+    batch = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "props": pa.array(
+                ['{"k": 42}', '{"k": -7, "x": 1}', '{"x": 5}', None]
+            ),
+        }
+    )
+    out = json_int_field_batch(batch, column="props", key="k")
+    assert out.column_names == ["event_id", "k"]
+    assert out["k"].to_pylist() == [42, -7, -1, -1]
