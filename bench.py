@@ -118,6 +118,8 @@ def run_bench() -> dict:
         "contamination",
         "customer_order_counts",
         "user_running_value",
+        "fuzzy_dedup_survivors",
+        "daily_active_users",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:
