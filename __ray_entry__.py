@@ -937,6 +937,105 @@ def _daily_active_users(sf_dir: str):
     return distinct_count_by(ds, "day", "user_id", out_col="dau")
 
 
+def _sliding_distinct_users(sf_dir: str):
+    """Distinct users per sliding 1h window (30m stride) — rolling
+    uniques: vectorized window fan-out, then the exact distinct-count
+    machinery (hot windows never co-located)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sanskrit_ocr_ray.stages.relational import distinct_count_by
+
+    window_s, step_s = 3600, 1800
+    k = window_s // step_s
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        s = (
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+            // 1_000_000
+        )
+        base = (s // step_s) * step_s
+        users = batch["user_id"].to_numpy()
+        frames = [
+            pd.DataFrame({"window_start_s": base - i * step_s, "user_id": users})
+            for i in range(k)
+        ]
+        df = pd.concat(frames, ignore_index=True).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = _tbl(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        fan_out, batch_format="pyarrow", batch_size=None
+    )
+    return distinct_count_by(ds, "window_start_s", "user_id", out_col="n_users")
+
+
+def _dod_retention(sf_dir: str):
+    """Day-over-day retention: per day, how many users were also active
+    the previous day — exact distinct (day, user) pairs, one semi-join
+    shuffle against the pairs shifted +1 day, tiny per-day count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+    from sanskrit_ocr_ray.stages.relational import exact_distinct, hash_join
+
+    US_PER_DAY = 86_400_000_000
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {"day": pc.divide(us, US_PER_DAY), "user_id": batch["user_id"]}
+        )
+
+    pairs = exact_distinct(
+        _tbl(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            day_of, batch_format="pyarrow", batch_size=None
+        ),
+        ["day", "user_id"],
+    )
+
+    def key_today(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "k": pa.array(
+                    df["day"].astype(str) + ":" + df["user_id"].astype(str)
+                ),
+                "day": pa.array(df["day"].to_numpy(np.int64)),
+            }
+        )
+
+    def key_shifted(batch: pa.Table) -> pa.Table:
+        # a pair active on day d makes day d+1 a "returning" day
+        df = batch.to_pandas()
+        return pa.table(
+            {
+                "k": pa.array(
+                    (df["day"] + 1).astype(str) + ":" + df["user_id"].astype(str)
+                )
+            }
+        )
+
+    today = pairs.map_batches(key_today, batch_format="pyarrow")
+    prev = pairs.map_batches(key_shifted, batch_format="pyarrow")
+    returning = hash_join(today, prev, "k", how="semi")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("day", as_index=False).size()
+        g = g.rename(columns={"size": "returning_users"})
+        return g.astype({"day": np.int64, "returning_users": np.int64})
+
+    return (
+        returning.map_batches(partial, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("returning_users", alias_name="returning_users"))
+    )
+
+
 def _fuzzy_dedup(sf_dir: str):
     """End-to-end fuzzy dedup: surviving doc per MinHash+LSH near-dup
     component (min doc_id keeper) with its cluster size."""
@@ -1054,6 +1153,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _event_gaps,
         "user_event_paths": _user_event_paths,
         "daily_active_users": _daily_active_users,
+        "sliding_distinct_users": _sliding_distinct_users,
+        "dod_retention": _dod_retention,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         # similarity search over `embeddings`
@@ -1820,6 +1921,26 @@ FROM events GROUP BY user_id
 SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
 FROM events GROUP BY 1
+""",
+        "sliding_distinct_users": """
+WITH x AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s, user_id FROM events
+), w AS (
+  SELECT (s // 1800) * 1800 AS window_start_s, user_id FROM x
+  UNION ALL
+  SELECT (s // 1800) * 1800 - 1800 AS window_start_s, user_id FROM x
+)
+SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY window_start_s
+""",
+        "dod_retention": """
+WITH du AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+)
+SELECT a.day, CAST(COUNT(*) AS BIGINT) AS returning_users
+FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day - 1
+GROUP BY a.day
 """,
         "props_k_by_type": """
 WITH v AS (

@@ -1141,3 +1141,39 @@ def distinct_count_by(
         empty=empty,
         coalesce_first=False,
     )
+
+
+def exact_distinct(ds, cols: list[str], *, n_buckets: int = 64):
+    """Exact DISTINCT over ``cols`` — per-batch ``drop_duplicates``
+    partial (free, no shuffle) then ONE bucketed shuffle on
+    ``hash(cols) % B`` with an in-bucket dedup. Every distinct tuple
+    lands wholly in one bucket, so the result is exact; the shuffle
+    moves O(distinct tuples), not O(rows). The set-normalization
+    front-half of distinct-count / retention / co-occurrence analyses.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    empty = typed_empty(
+        **{
+            c: (np.int64 if pa.types.is_integer(types[c]) else object)
+            for c in cols
+        }
+    )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols)
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        cols,
+        dedup,
+        n_buckets=n_buckets,
+        empty=empty,
+    )

@@ -32,6 +32,8 @@ SUBSET = [
     "event_gaps",
     "user_event_paths",
     "daily_active_users",
+    "sliding_distinct_users",
+    "dod_retention",
     "props_k_by_type",
     "fuzzy_dedup_survivors",
     "simhash64",

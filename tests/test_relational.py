@@ -397,3 +397,17 @@ def test_distinct_count_by_cross_batch(ray_session):
     for r in rows:
         exp[r["g"]].add(r["v"])
     assert got == {g: len(s) for g, s in exp.items()}
+
+
+def test_exact_distinct_cross_batch(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import exact_distinct
+
+    rows = [{"a": i % 4, "b": (i * 3) % 5} for i in range(200)]
+    out = exact_distinct(
+        rd.from_items(rows).repartition(16), ["a", "b"]
+    ).to_pandas()
+    got = set(zip(out.a, out.b))
+    assert got == {(r["a"], r["b"]) for r in rows}
+    assert len(out) == len(got)  # no duplicate rows survive
