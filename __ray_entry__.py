@@ -937,6 +937,70 @@ def _daily_active_users(sf_dir: str):
     return distinct_count_by(ds, "day", "user_id", out_col="dau")
 
 
+def _value_percent_rank(sf_dir: str):
+    """Global percentile-rank score per event (min-rank ties) — two
+    streaming passes over a broadcast value histogram, no global sort."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import percent_rank_map
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"], "value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["event_id", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return percent_rank_map(ds, "value_c")
+
+
+def _value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values ($5 bins): per-batch
+    partials + one tiny groupby — the distribution-profiling op."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"bin": c // 500, "n_events": np.int64(1), "sum_value_c": c})
+        return pa.Table.from_pandas(
+            df.groupby("bin", as_index=False).sum(), preserve_index=False
+        )
+
+    return (
+        _tbl(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_c", alias_name="sum_value_c"),
+        )
+    )
+
+
+def _lineitem_corr_moments(sf_dir: str):
+    """Single-pass correlation moments of (quantity cents, discount
+    permille) over lineitem — mergeable sufficient statistics."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import corr_moments
+
+    def ints(batch: pa.Table) -> pa.Table:
+        q = np.floor(batch["l_quantity"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        d = np.floor(batch["l_discount"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        return pa.table({"x": pa.array(q), "y": pa.array(d)})
+
+    ds = _tbl(sf_dir, "lineitem", ["l_quantity", "l_discount"]).map_batches(
+        ints, batch_format="pyarrow", batch_size=None
+    )
+    return corr_moments(ds, "x", "y")
+
+
 def _sliding_distinct_users(sf_dir: str):
     """Distinct users per sliding 1h window (30m stride) — rolling
     uniques: vectorized window fan-out, then the exact distinct-count
@@ -1155,6 +1219,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _daily_active_users,
         "sliding_distinct_users": _sliding_distinct_users,
         "dod_retention": _dod_retention,
+        "value_percent_rank": _value_percent_rank,
+        "value_histogram": _value_histogram,
+        "lineitem_corr_moments": _lineitem_corr_moments,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         # similarity search over `embeddings`
@@ -1941,6 +2008,33 @@ WITH du AS (
 SELECT a.day, CAST(COUNT(*) AS BIGINT) AS returning_users
 FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day - 1
 GROUP BY a.day
+""",
+        "value_percent_rank": """
+WITH v AS (
+  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c FROM events
+)
+SELECT event_id, value_c,
+       CAST(1000 * (rank() OVER (ORDER BY value_c) - 1)
+            // greatest((SELECT COUNT(*) FROM v) - 1, 1) AS BIGINT) AS pr_pm
+FROM v
+""",
+        "value_histogram": """
+WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c FROM events)
+SELECT value_c // 500 AS bin, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+FROM v GROUP BY 1
+""",
+        "lineitem_corr_moments": """
+WITH v AS (
+  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+         CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx, CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy
+FROM v
 """,
         "props_k_by_type": """
 WITH v AS (

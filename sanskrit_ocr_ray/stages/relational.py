@@ -1177,3 +1177,81 @@ def exact_distinct(ds, cols: list[str], *, n_buckets: int = 64):
         n_buckets=n_buckets,
         empty=empty,
     )
+
+
+def percent_rank_map(ds, column: str, *, out_col: str = "pr_pm"):
+    """Global percent-rank scoring of an integer column: every row gets
+    ``1000·(#rows with a strictly smaller value) // (n-1)`` (min-rank tie
+    semantics, matching SQL ``rank() OVER (ORDER BY col)``) — the
+    percentile-normalization op of quality-score calibration.
+
+    Two streaming passes, NO global sort: (1) the same O(#distinct)
+    value-histogram as :func:`quantiles_exact` (per-batch ``np.unique``
+    partials, one small groupby, driver cumsum — documented
+    bounded-distinct assumption); (2) the cumulative table is broadcast
+    via ``ray.put`` and every batch binary-searches its own ranks.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy()
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(#distinct) rows only
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    smaller = np.concatenate([[0], np.cumsum(counts)[:-1]])  # rank-1 per value
+    n = int(counts.sum())
+    ref = ray.put((vals, smaller, max(n - 1, 1)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        v, sm, denom = ray.get(ref)
+        x = batch[column].to_numpy()
+        idx = np.searchsorted(v, x)
+        pr = 1000 * sm[idx] // denom
+        return batch.append_column(out_col, pa.array(pr.astype(np.int64)))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def corr_moments(ds, x: str, y: str):
+    """Single-pass distributed correlation moments of two integer
+    columns: one row (n, sum_x, sum_y, sum_xx, sum_yy, sum_xy) — the
+    mergeable sufficient statistics for Pearson r / least-squares fits,
+    computed as per-batch int64 partial sums + one tiny driver fold
+    (same shape as ``corpus_stats``; no shuffle).
+
+    Accumulation is int64: callers keep ``x·y`` products within int64
+    range at their row count (pre-scale the cents, or fold the partials
+    with arbitrary-precision ints as ``table_checksum`` does, when
+    pushing toward 10^12 rows × large magnitudes).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xv = batch[x].to_numpy().astype(np.int64)
+        yv = batch[y].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(xv)], type=pa.int64()),
+                "sum_x": pa.array([int(xv.sum())], type=pa.int64()),
+                "sum_y": pa.array([int(yv.sum())], type=pa.int64()),
+                "sum_xx": pa.array([int((xv * xv).sum())], type=pa.int64()),
+                "sum_yy": pa.array([int((yv * yv).sum())], type=pa.int64()),
+                "sum_xy": pa.array([int((xv * yv).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    )
+    return parts.sum().to_frame().T.astype("int64")

@@ -34,6 +34,9 @@ SUBSET = [
     "daily_active_users",
     "sliding_distinct_users",
     "dod_retention",
+    "value_percent_rank",
+    "value_histogram",
+    "lineitem_corr_moments",
     "props_k_by_type",
     "fuzzy_dedup_survivors",
     "simhash64",

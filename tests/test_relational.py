@@ -411,3 +411,27 @@ def test_exact_distinct_cross_batch(ray_session):
     got = set(zip(out.a, out.b))
     assert got == {(r["a"], r["b"]) for r in rows}
     assert len(out) == len(got)  # no duplicate rows survive
+
+
+def test_percent_rank_map_ties_min_rank(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import percent_rank_map
+
+    # values 10,10,20,30,30,30 → smaller-counts 0,0,2,3,3,3 ; n-1 = 5
+    rows = [{"id": i, "v": v} for i, v in enumerate([10, 10, 20, 30, 30, 30])]
+    out = percent_rank_map(rd.from_items(rows), "v").to_pandas()
+    got = dict(zip(out.id, out.pr_pm))
+    assert got == {0: 0, 1: 0, 2: 400, 3: 600, 4: 600, 5: 600}
+
+
+def test_corr_moments_hand_computed(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import corr_moments
+
+    rows = [{"x": 1, "y": 2}, {"x": 3, "y": 4}, {"x": 5, "y": 6}]
+    out = corr_moments(rd.from_items(rows).repartition(2), "x", "y")
+    r = out.iloc[0]
+    assert (r.n, r.sum_x, r.sum_y) == (3, 9, 12)
+    assert (r.sum_xx, r.sum_yy, r.sum_xy) == (35, 56, 44)
