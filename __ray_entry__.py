@@ -937,6 +937,48 @@ def _daily_active_users(sf_dir: str):
     return distinct_count_by(ds, "day", "user_id", out_col="dau")
 
 
+def _inverted_index(sf_dir: str):
+    """Corpus inverted index: (term, doc_id, tf) explode — shuffle-free."""
+    from sanskrit_ocr_ray.stages.hygiene import inverted_index
+
+    return inverted_index(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _token_doc_freq(sf_dir: str):
+    """Per-term document frequency + total term frequency."""
+    from sanskrit_ocr_ray.stages.hygiene import token_doc_freq
+
+    return token_doc_freq(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _value_iqr_outliers(sf_dir: str):
+    """Tukey-fence outliers (1.5×IQR, all-integer arithmetic): exact
+    q25/q75 via the value histogram, bounds broadcast, one filter pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_exact
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_id": batch["event_id"], "value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["event_id", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    q = quantiles_exact(ds, "value_c", q_pm=[250, 750])
+    q25, q75 = (int(q[q.q_pm == p].value_c.iloc[0]) for p in (250, 750))
+    iqr = q75 - q25
+    lo, hi = q25 - 3 * iqr // 2, q75 + 3 * iqr // 2
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = batch["value_c"].to_numpy()
+        m = (v < lo) | (v > hi)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def _value_percent_rank(sf_dir: str):
     """Global percentile-rank score per event (min-rank ties) — two
     streaming passes over a broadcast value histogram, no global sort."""
@@ -1221,7 +1263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dod_retention": _dod_retention,
         "value_percent_rank": _value_percent_rank,
         "value_histogram": _value_histogram,
+        "value_iqr_outliers": _value_iqr_outliers,
         "lineitem_corr_moments": _lineitem_corr_moments,
+        "inverted_index": _inverted_index,
+        "token_doc_freq": _token_doc_freq,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         # similarity search over `embeddings`
@@ -2023,6 +2068,41 @@ WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c FROM event
 SELECT value_c // 500 AS bin, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(value_c) AS BIGINT) AS sum_value_c
 FROM v GROUP BY 1
+""",
+        "inverted_index": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+FROM tok GROUP BY term, doc_id
+""",
+        "token_doc_freq": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+), ti AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM ti GROUP BY term
+""",
+        "value_iqr_outliers": """
+WITH v AS (
+  SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c FROM events
+), s AS (
+  SELECT value_c, row_number() OVER (ORDER BY value_c) AS rn,
+         COUNT(*) OVER () AS n
+  FROM v
+), q AS (
+  SELECT MAX(CASE WHEN rn = CAST(ceil(250 * n / 1000.0) AS BIGINT) THEN value_c END) AS q25,
+         MAX(CASE WHEN rn = CAST(ceil(750 * n / 1000.0) AS BIGINT) THEN value_c END) AS q75
+  FROM s
+)
+SELECT v.event_id, v.value_c
+FROM v, q
+WHERE v.value_c < q.q25 - 3 * (q.q75 - q.q25) // 2
+   OR v.value_c > q.q75 + 3 * (q.q75 - q.q25) // 2
 """,
         "lineitem_corr_moments": """
 WITH v AS (

@@ -322,3 +322,59 @@ def incremental_dedup(
     return bucketed_aggregate(
         both, ["fingerprint"], survivors, n_buckets=n_buckets, empty=empty
     )
+
+
+def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus inverted-index explode: one row (term, doc_id, tf) per
+    distinct term per document — the index-construction op behind
+    search / TF-IDF / contamination. Term frequency is doc-local, so
+    this is a pure flat map (no shuffle); the posting-list grouping, if
+    wanted downstream, is :func:`token_doc_freq`'s bucketed shuffle or a
+    sort on ``term``. Token-less docs emit nothing.
+    """
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            counts: dict[str, int] = {}
+            for w in _tokens(t):
+                counts[w] = counts.get(w, 0) + 1
+            ids.extend([did] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                id_col: pa.array(ids, type=pa.int64()),
+                "tf": pa.array(tfs, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tf_rows, batch_format="pyarrow")
+
+
+def token_doc_freq(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Document frequency per term: (term, df, total_tf) — the
+    vocabulary-statistics op (df drives TF-IDF, stopword discovery,
+    boilerplate detection). One bucketed shuffle over the inverted-index
+    rows; each term lands wholly in one bucket, so the per-bucket count
+    is exact and the shuffle moves O(postings), never O(corpus bytes).
+    """
+    from .dedup import bucketed_aggregate
+
+    empty = typed_empty(term=object, df=np.int64, total_tf=np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", as_index=False).agg(
+            df=(id_col, "size"), total_tf=("tf", "sum")
+        )
+        return out.astype({"df": np.int64, "total_tf": np.int64})
+
+    return bucketed_aggregate(
+        inverted_index(ds, id_col=id_col, text_col=text_col),
+        ["term"],
+        combine,
+        empty=empty,
+    )

@@ -130,3 +130,22 @@ def test_incremental_dedup_empty_snapshot(ray_session):
     new = pd.DataFrame({"doc_id": [1, 2], "text": ["a", "a"]})
     out = incremental_dedup(rd.from_pandas(new), rd.from_pandas(snap), n_buckets=4)
     assert out.to_pandas().doc_id.tolist() == [1]
+
+
+def test_inverted_index_and_doc_freq(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import inverted_index, token_doc_freq
+
+    rows = [
+        {"doc_id": 1, "text": "a b a"},
+        {"doc_id": 2, "text": "b c"},
+        {"doc_id": 3, "text": ""},  # token-less: emits nothing
+    ]
+    ds = rd.from_items(rows)
+    inv = inverted_index(ds).to_pandas()
+    got = {(r.term, r.doc_id): r.tf for r in inv.itertuples()}
+    assert got == {("a", 1): 2, ("b", 1): 1, ("b", 2): 1, ("c", 2): 1}
+    dfreq = token_doc_freq(ds).to_pandas()
+    got2 = {r.term: (r.df, r.total_tf) for r in dfreq.itertuples()}
+    assert got2 == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}

@@ -36,7 +36,10 @@ SUBSET = [
     "dod_retention",
     "value_percent_rank",
     "value_histogram",
+    "value_iqr_outliers",
     "lineitem_corr_moments",
+    "inverted_index",
+    "token_doc_freq",
     "props_k_by_type",
     "fuzzy_dedup_survivors",
     "simhash64",
