@@ -897,6 +897,44 @@ def _mktsegment_join(sf_dir: str):
     )
 
 
+def _mktsegment_join_skew(sf_dir: str):
+    """The mktsegment join routed through the skew-salted join with a
+    deliberately low hot threshold, so popular customers take the
+    replicate-and-salt path — proves the skew machinery end-to-end
+    against the same oracle as the plain partitioned join."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+    from sanskrit_ocr_ray.stages.relational import _cents, skew_join
+
+    customer = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+    orders = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = skew_join(orders, customer, "o_custkey", n_salts=4, hot_threshold=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": df["c_mktsegment"],
+                "n_orders": np.int64(1),
+                "revenue_c": _cents(df["o_totalprice"].to_numpy()),
+            }
+        )
+        return df.groupby("c_mktsegment", as_index=False).sum()
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_c", alias_name="revenue_c"),
+        )
+    )
+
+
 def _event_gaps(sf_dir: str):
     """Per-user inter-arrival time (LAG window): gap in µs to the
     previous event, -1 for each user's first event."""
@@ -1269,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": _token_doc_freq,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
+        "mktsegment_join_skew": _mktsegment_join_skew,
         # similarity search over `embeddings`
         "knn_top5": _knn5,
         "knn_ivf": _knn_ivf,
@@ -2130,6 +2169,8 @@ FROM v GROUP BY event_type
     # the exact-degenerate IVF config provably equals brute-force top-k
     oracles["knn_ivf"] = oracles["knn_top5"]
     oracles["knn_lsh"] = oracles["knn_top5"]
+    # the skew-salted join computes the same relation as the plain join
+    oracles["mktsegment_join_skew"] = oracles["mktsegment_join"]
     # survivors: same recursive components, collapsed to (keeper, size)
     oracles["fuzzy_dedup_survivors"] = oracles["minhash_lsh_clusters"].replace(
         "SELECT node AS doc_id, MIN(r) AS cluster_rep FROM walk GROUP BY node",

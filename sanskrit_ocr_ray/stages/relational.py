@@ -1255,3 +1255,114 @@ def corr_moments(ds, x: str, y: str):
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     )
     return parts.sum().to_frame().T.astype("int64")
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    key: str,
+    *,
+    n_buckets: int = 16,
+    n_salts: int = 8,
+    hot_threshold: int = 100_000,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Skew-aware partitioned join: :func:`hash_join` semantics, but keys
+    whose LEFT-side row count exceeds ``hot_threshold`` are salted across
+    ``n_salts`` sub-partitions so one hot key can never pin a whole
+    bucket on one task (the explicit-skew-handling requirement of the
+    north rule).
+
+    Three passes, all bounded:
+
+    1. exact hot-key census: per-batch partial counts → one bucketed
+       shuffle → keys over the threshold. The hot SET is small by
+       construction (≤ corpus/threshold keys) and is broadcast via
+       ``ray.put``;
+    2. salt rewrite: left hot rows get a round-robin salt (result is
+       salt-assignment-invariant: every salt sees the full right side for
+       that key); right hot rows REPLICATE once per salt — extra shuffle
+       volume is ``n_salts × |right hot rows|``, the classic trade;
+    3. delegate to ``hash_join`` on the namespaced salted key
+       (``k:<key>`` vs ``h:<key>:<salt>`` — no cross-namespace
+       collisions), then drop the helper columns.
+    """
+    import ray
+
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key]).to_pandas()
+        g = df.groupby(key, as_index=False).size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    lsch = left_ds.schema()
+    key_type = dict(zip(lsch.names, lsch.types))[key]
+    key_dtype = np.int64 if pa.types.is_integer(key_type) else object
+    empty_c = typed_empty(**{key: key_dtype, "n": np.int64})
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, as_index=False)["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    census = bucketed_aggregate(
+        left_ds.map_batches(count_partial, batch_format="pyarrow"),
+        [key],
+        sum_counts,
+        n_buckets=n_buckets,
+        empty=empty_c,
+        coalesce_first=False,
+    )
+    hot_df = census.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], hot_threshold)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hot = frozenset(hot_df[key].tolist())
+    hot_ref = ray.put(hot)
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        ks = batch[key].to_pylist()
+        salts = np.arange(len(ks)) % max(n_salts, 1)
+        sk = [
+            f"h:{k}:{s}" if k in hs else f"k:{k}"
+            for k, s in zip(ks, salts)
+        ]
+        return batch.append_column("__sk", pa.array(sk, type=pa.string()))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        ks = batch[key].to_pylist()
+        take: list[int] = []
+        sk: list[str] = []
+        for i, k in enumerate(ks):
+            if k in hs:
+                for s in range(n_salts):
+                    take.append(i)
+                    sk.append(f"h:{k}:{s}")
+            else:
+                take.append(i)
+                sk.append(f"k:{k}")
+        t = batch.take(pa.array(take, type=pa.int64()))
+        return t.append_column("__sk", pa.array(sk, type=pa.string()))
+
+    left_s = left_ds.map_batches(salt_left, batch_format="pyarrow")
+    if how in ("semi", "anti"):
+        right_s = right_ds.map_batches(salt_right, batch_format="pyarrow").select_columns(
+            ["__sk"]
+        )
+    else:
+        # the right's key column would collide with the left's as a
+        # payload column; it is redundant (equal to the left's on every
+        # matched row), so ship everything BUT it
+        right_s = right_ds.map_batches(salt_right, batch_format="pyarrow").drop_columns(
+            [key]
+        )
+    joined = hash_join(
+        left_s, right_s, "__sk", n_buckets=n_buckets, suffix=suffix, how=how
+    )
+    return joined.drop_columns(["__sk"])

@@ -40,6 +40,7 @@ SUBSET = [
     "lineitem_corr_moments",
     "inverted_index",
     "token_doc_freq",
+    "mktsegment_join_skew",
     "props_k_by_type",
     "fuzzy_dedup_survivors",
     "simhash64",

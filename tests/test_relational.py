@@ -435,3 +435,25 @@ def test_corr_moments_hand_computed(ray_session):
     r = out.iloc[0]
     assert (r.n, r.sum_x, r.sum_y) == (3, 9, 12)
     assert (r.sum_xx, r.sum_yy, r.sum_xy) == (35, 56, 44)
+
+
+def test_skew_join_equals_hash_join_on_skewed_data(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hash_join, skew_join
+
+    # one key holds 80% of the left side
+    left = [{"k": 1 if i < 160 else i % 20, "lv": i} for i in range(200)]
+    right = [{"k": j, "rv": j * 10} for j in range(20)]
+    lds, rds = rd.from_items(left).repartition(8), rd.from_items(right)
+    for how in ("inner", "left", "semi", "anti"):
+        a = (
+            skew_join(lds, rds, "k", n_salts=4, hot_threshold=50, how=how)
+            .to_pandas()
+        )
+        b = hash_join(lds, rds, "k", how=how).to_pandas()
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns), how
+        pa_ = a[cols].sort_values(cols).reset_index(drop=True).astype(str)
+        pb_ = b[cols].sort_values(cols).reset_index(drop=True).astype(str)
+        assert pa_.equals(pb_), how
