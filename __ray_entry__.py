@@ -367,6 +367,21 @@ def _table_checksum(sf_dir: str):
     return pd.DataFrame({"checksum": [f"{total:016x}"]})
 
 
+def _encode_documents(sf_dir: str):
+    """Tokenizer application: encode docs to token-id sequences under
+    the induced vocab (broadcast dictionary apply; OOV → -1)."""
+    from sanskrit_ocr_ray.stages.corpus import encode_documents
+
+    return encode_documents(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _pmi_collocations(sf_dir: str):
+    """Top-20 bigram collocations by integer lift (exp-PMI ranking)."""
+    from sanskrit_ocr_ray.stages.corpus import pmi_collocations
+
+    return pmi_collocations(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _chunk_documents(sf_dir: str):
     """Token-window chunking (32-token windows, stride 24) — RAG/context
     chunk preparation; pure flat map, no shuffle."""
@@ -1277,6 +1292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kgram_dup_spans": _kgram_dup_spans,
         "vocab_build": _vocab_build,
         "chunk_documents": _chunk_documents,
+        "encode_documents": _encode_documents,
+        "pmi_collocations": _pmi_collocations,
         "table_checksum": _table_checksum,
         "customer_order_counts": _customer_order_counts,
         "user_running_value": _user_running_value,
@@ -1628,6 +1645,40 @@ WITH tok AS (
 SELECT token, freq,
        row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id
 FROM c
+""",
+        "encode_documents": """
+WITH ts AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord FROM ts
+), c AS (
+  SELECT tok AS token, COUNT(*) AS freq FROM tok GROUP BY tok HAVING COUNT(*) >= 5
+), v AS (
+  SELECT token, row_number() OVER (ORDER BY freq DESC, token) - 1 AS token_id FROM c
+)
+SELECT tok.doc_id,
+       string_agg(CAST(coalesce(v.token_id, -1) AS VARCHAR), ' ' ORDER BY tok.ord) AS ids,
+       CAST(COUNT(*) AS BIGINT) AS ntok,
+       CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM tok LEFT JOIN v ON v.token = tok.tok
+GROUP BY tok.doc_id
+""",
+        "pmi_collocations": """
+WITH ts AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord FROM ts
+), big AS (
+  SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c_xy
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), uni AS (
+  SELECT tok AS t, COUNT(*) AS c FROM tok GROUP BY tok
+), n AS (SELECT SUM(c) AS total FROM uni)
+SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(CAST(1000000 AS HUGEINT) * c_xy * n.total // (u1.c * u2.c) AS BIGINT) AS score_x1m
+FROM big JOIN uni u1 ON u1.t = big.w1 JOIN uni u2 ON u2.t = big.w2, n
+ORDER BY score_x1m DESC, w1, w2 LIMIT 20
 """,
         "train_val_split": """
 SELECT doc_id,

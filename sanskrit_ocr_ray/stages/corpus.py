@@ -395,3 +395,152 @@ def chunk_documents(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def encode_documents(
+    ds,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+    n_buckets: int = 64,
+):
+    """Tokenizer APPLICATION: encode every document to its token-id
+    sequence under the :func:`vocab_build` vocabulary (same
+    ``min_count`` floor; OOV tokens map to ``oov_id``) — the
+    text→training-sequence step that follows vocab induction. Returns
+    (doc_id, ids [space-joined], ntok, n_oov); token-less docs emit no
+    row (the corpus-wide convention).
+
+    Scale shape: the induced vocab is small by construction (Heaps' law
+    + the floor — the same bound vocab_build documents), so it is
+    collected ONCE, broadcast via ``ray.put``, and applied in a
+    shuffle-free map pass. The encode is the classic
+    broadcast-dictionary-apply; the heavy lifting (corpus-wide counts)
+    already streamed inside vocab_build.
+    """
+    import ray
+
+    vdf = vocab_build(
+        ds, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+    ).to_pandas()
+    vref = ray.put(dict(zip(vdf["token"], vdf["token_id"].astype(int))))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vmap = ray.get(vref)
+        ids_out: list[str] = []
+        doc_ids: list = []
+        ntoks: list[int] = []
+        noovs: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            if not toks:
+                continue
+            enc = [vmap.get(w, oov_id) for w in toks]
+            doc_ids.append(did)
+            ids_out.append(" ".join(str(i) for i in enc))
+            ntoks.append(len(enc))
+            noovs.append(sum(1 for i in enc if i == oov_id))
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids, type=batch[id_col].type),
+                "ids": pa.array(ids_out, type=pa.string()),
+                "ntok": pa.array(ntoks, type=pa.int64()),
+                "n_oov": pa.array(noovs, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    ds,
+    *,
+    min_pair: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Top-``k`` bigram collocations by integer lift —
+    ``score_x1m = 10^6 · c_xy · N // (c_x · c_y)`` (N = total tokens;
+    the exp-of-PMI, monotone in PMI, so the ranking is identical while
+    staying integer-exact). Ties break by (w1, w2) ascending. Bigrams
+    never cross document boundaries.
+
+    Scale shape: bigram counts partial-aggregate per batch (dict per
+    batch, never a row per occurrence) → one bounded-bucket shuffle sums
+    per pair and applies the ``min_pair`` floor; unigram counts reuse
+    vocab_build's streamed census and are broadcast (bounded-vocab
+    assumption, as documented there). Scoring runs over the post-floor
+    pair table with PYTHON ints (the 10^6·c_xy·N product overflows
+    int64 exactly where corpora get interesting); the final top-k
+    coalesces the floored pair table — small by the same Heaps bound —
+    into one block for the argsort.
+    """
+    import ray
+
+    from ..stages.dedup import bucketed_aggregate
+
+    def big_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for t in batch[text_col].to_pylist():
+            toks = [w for w in (t or "").split(" ") if w]
+            for i in range(len(toks) - 1):
+                key = (toks[i], toks[i + 1])
+                counts[key] = counts.get(key, 0) + 1
+        w1s = [a for a, _ in counts]
+        w2s = [b for _, b in counts]
+        return pa.table(
+            {
+                "w1": pa.array(w1s, type=pa.string()),
+                "w2": pa.array(w2s, type=pa.string()),
+                "c_xy": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    empty = typed_empty(w1=object, w2=object, c_xy=np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["w1", "w2"], as_index=False)["c_xy"].sum()
+        agg["c_xy"] = agg["c_xy"].astype(np.int64)
+        return agg[agg["c_xy"] >= min_pair]
+
+    pairs = bucketed_aggregate(
+        ds.map_batches(big_counts, batch_format="pyarrow"),
+        ["w1", "w2"],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+    )
+
+    uni = vocab_build(ds, min_count=1, text_col=text_col, n_buckets=n_buckets).to_pandas()
+    total = int(uni["freq"].sum())
+    uref = ray.put((dict(zip(uni["token"], uni["freq"].astype(int))), total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        umap, n_tok = ray.get(uref)
+        scores = [
+            int(1_000_000 * cxy * n_tok // (umap[a] * umap[b]))
+            for a, b, cxy in zip(
+                batch["w1"].to_pylist(),
+                batch["w2"].to_pylist(),
+                batch["c_xy"].to_pylist(),
+            )
+        ]
+        return batch.append_column("score_x1m", pa.array(scores, type=pa.int64()))
+
+    def top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["score_x1m", "w1", "w2"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+    return (
+        pairs.map_batches(score, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(top, batch_format="pyarrow", batch_size=None)
+    )

@@ -192,3 +192,36 @@ def test_chunk_documents_windows_and_tail(ray_session):
     assert d1.iloc[3].chunk == "t9"
     assert 2 not in set(out.doc_id)
     assert list(out[out.doc_id == 3].chunk) == ["solo"]
+
+
+def test_encode_documents_oov_and_order(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import encode_documents
+
+    # "a" x5 passes the floor; "b" x5 too; "z" once → OOV
+    rows = [{"doc_id": i, "text": "a b"} for i in range(1, 6)]
+    rows.append({"doc_id": 6, "text": "z a"})
+    rows.append({"doc_id": 7, "text": ""})  # token-less: no row
+    out = encode_documents(rd.from_items(rows)).to_pandas()
+    got = {r.doc_id: (r.ids, r.ntok, r.n_oov) for r in out.itertuples()}
+    # a freq 6, b freq 5 → ids a=0, b=1; z OOV → -1
+    assert got[1] == ("0 1", 2, 0)
+    assert got[6] == ("-1 0", 2, 1)
+    assert 7 not in got
+
+
+def test_pmi_collocations_ranking(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import pmi_collocations
+
+    # "x y" always together (lift high); "a b" common words co-occurring
+    rows = [{"doc_id": i, "text": "x y"} for i in range(5)]
+    rows += [{"doc_id": 10 + i, "text": "a b a c a b"} for i in range(5)]
+    out = pmi_collocations(
+        rd.from_items(rows), min_pair=5, k=3
+    ).to_pandas()
+    assert list(out.iloc[0][["w1", "w2"]]) == ["x", "y"]  # exclusive pair wins
+    # N=40 tokens, c_xy=5, c_x=c_y=5 → 10^6·5·40//25 = 8_000_000
+    assert out.iloc[0].score_x1m == 8_000_000

@@ -26,6 +26,8 @@ SUBSET = [
     "kgram_dup_spans",
     "vocab_build",
     "chunk_documents",
+    "encode_documents",
+    "pmi_collocations",
     "quantiles_by_type",
     "latest_order_per_customer",
     "table_checksum",
