@@ -341,7 +341,7 @@ def vocab_build(
             ["freq", "token"], ascending=[False, True], kind="mergesort"
         ).reset_index(drop=True)
         df["token_id"] = np.arange(len(df), dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     # one block: the global rank needs a total order over the (small) vocab
     return vocab.repartition(1).map_batches(
@@ -537,7 +537,7 @@ def pmi_collocations(
             ascending=[False, True, True],
             kind="mergesort",
         ).head(k)
-        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+        return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False).replace_schema_metadata(None)
 
     return (
         pairs.map_batches(score, batch_format="pyarrow")

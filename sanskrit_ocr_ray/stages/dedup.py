@@ -244,7 +244,7 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
     @ray.remote
     def bucketize(block) -> list:
         if isinstance(block, pd.DataFrame):
-            block = pa.Table.from_pandas(block, preserve_index=False)
+            block = pa.Table.from_pandas(block, preserve_index=False).replace_schema_metadata(None)
         sch = edge_sch
         if "a" not in block.column_names:  # schema-less empty group block
             block = sch.empty_table().rename_columns(["a", "b"])
@@ -257,7 +257,7 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
         )
         bb = _bids(e["src"].to_numpy()) if len(e) else np.array([], dtype=np.int64)
         return [
-            pa.Table.from_pandas(e[bb == k], schema=sch, preserve_index=False)
+            pa.Table.from_pandas(e[bb == k], schema=sch, preserve_index=False).replace_schema_metadata(None)
             for k in range(B)
         ]
 
@@ -279,7 +279,7 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
                 .groupby("node", as_index=False)["rep"]
                 .min()
             )
-        return e, pa.Table.from_pandas(lbl, schema=_nr(id_type), preserve_index=False)
+        return e, pa.Table.from_pandas(lbl, schema=_nr(id_type), preserve_index=False).replace_schema_metadata(None)
 
     @ray.remote
     def step(edges, labels) -> list:
@@ -294,7 +294,7 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
         bb = _bids(msgs["node"].to_numpy()) if len(msgs) else np.array([], dtype=np.int64)
         sch = labels.schema
         return [
-            pa.Table.from_pandas(msgs[bb == k], schema=sch, preserve_index=False)
+            pa.Table.from_pandas(msgs[bb == k], schema=sch, preserve_index=False).replace_schema_metadata(None)
             for k in range(B)
         ]
 
@@ -312,7 +312,7 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
         merged = new.merge(lbl, on="node", how="left", suffixes=("", "_old"))
         changed = int((merged["rep"] != merged["rep_old"]).sum())
         return (
-            pa.Table.from_pandas(new, schema=labels.schema, preserve_index=False),
+            pa.Table.from_pandas(new, schema=labels.schema, preserve_index=False).replace_schema_metadata(None),
             changed,
         )
 

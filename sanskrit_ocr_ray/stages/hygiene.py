@@ -253,7 +253,7 @@ def keyword_search(
             ).head(k)
         else:
             df = typed_empty(doc_id=np.int64, score=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     cand = ds.map_batches(best_of_batch, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(

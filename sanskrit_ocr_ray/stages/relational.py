@@ -53,7 +53,7 @@ def q1_pricing(ds, *, cutoff: str = "1998-09-02"):
             }
         )
         part = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -93,7 +93,7 @@ def revenue_by_nation(orders_ds, customer_df: pd.DataFrame, nation_df: pd.DataFr
         df = pd.DataFrame({"n_nationkey": nk, "revenue_c": _cents(price)})
         return pa.Table.from_pandas(
             df.groupby("n_nationkey", as_index=False).sum(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     agg = (
         orders_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -127,7 +127,7 @@ def revenue_by_brand(lineitem_ds, part_df: pd.DataFrame):
         )
         return pa.Table.from_pandas(
             df.groupby("p_brand", as_index=False).sum(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     return (
         lineitem_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -157,7 +157,7 @@ def events_tumbling(ds, *, window_s: int = 3600):
         return pa.Table.from_pandas(
             df.groupby(["window_start_s", "event_type"], as_index=False).sum(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -200,7 +200,7 @@ def events_sliding(ds, *, window_s: int = 3600, step_s: int = 1800):
         return pa.Table.from_pandas(
             df.groupby(["window_start_s", "event_type"], as_index=False).sum(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -300,7 +300,7 @@ def top_users_by_value(ds, *, k: int = 10, n_buckets: int = 64):
         )
         return pa.Table.from_pandas(
             df.groupby("user_id", as_index=False).sum(), preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     empty = typed_empty(user_id=np.int64, sum_value_c=np.int64)
 
@@ -831,7 +831,7 @@ def pivot_counts(
             if c not in ct.columns:
                 ct[c] = 0
         ct = ct[out_cols].fillna(0).astype(np.int64).reset_index()
-        return pa.Table.from_pandas(ct, preserve_index=False)
+        return pa.Table.from_pandas(ct, preserve_index=False).replace_schema_metadata(None)
 
     empty = typed_empty(**{row: object, **{c: np.int64 for c in out_cols}})
 
@@ -876,7 +876,7 @@ def rollup_aggregate(
         return pa.Table.from_pandas(
             df.groupby(keys, as_index=False)["value_c"].sum(),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     empty = typed_empty(**{**{k: object for k in keys}, "value_c": np.int64})
 
@@ -938,7 +938,7 @@ def grouped_quantiles_exact(
         agg = df.groupby([key, column], as_index=False).size()
         agg = agg.rename(columns={column: "v", "size": "n"})
         agg["n"] = agg["n"].astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
 
     sch = ds.schema()
     key_type = dict(zip(sch.names, sch.types))[key]
@@ -1106,7 +1106,7 @@ def distinct_count_by(
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([group, value]).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     sch = ds.schema()
     key_type = dict(zip(sch.names, sch.types))[group]
@@ -1156,7 +1156,7 @@ def exact_distinct(ds, cols: list[str], *, n_buckets: int = 64):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(cols).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     sch = ds.schema()
     types = dict(zip(sch.names, sch.types))
@@ -1297,7 +1297,7 @@ def skew_join(
         df = batch.select([key]).to_pandas()
         g = df.groupby(key, as_index=False).size().rename(columns={"size": "n"})
         g["n"] = g["n"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     lsch = left_ds.schema()
     key_type = dict(zip(lsch.names, lsch.types))[key]
