@@ -461,6 +461,38 @@ def _user_running_value(sf_dir: str):
     )
 
 
+def _user_rolling_value(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import rolling_agg
+
+    return rolling_agg(
+        _tbl(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        window_rows=7,
+    )
+
+
+def _funnel_counts(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import funnel_counts
+
+    return funnel_counts(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["view", "click", "purchase"],
+    )
+
+
+def _user_mode_event(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import grouped_mode
+
+    return grouped_mode(_tbl(sf_dir, "events", ["user_id", "event_type"]))
+
+
+def _doc_ttr(sf_dir: str):
+    from sanskrit_ocr_ray.stages.text_analysis import distinct_token_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        distinct_token_batch, batch_format="pyarrow"
+    )
+
+
 def _docs_lang_pivot(sf_dir: str):
     from sanskrit_ocr_ray.stages.relational import pivot_counts
 
@@ -1297,6 +1329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_checksum": _table_checksum,
         "customer_order_counts": _customer_order_counts,
         "user_running_value": _user_running_value,
+        "user_rolling_value": _user_rolling_value,
+        "funnel_counts": _funnel_counts,
+        "user_mode_event": _user_mode_event,
+        "doc_ttr": _doc_ttr,
         "docs_lang_pivot": _docs_lang_pivot,
         "revenue_rollup": _revenue_rollup,
         # web-document main-content extraction (north rule's parenthetical)
@@ -1897,6 +1933,62 @@ SELECT event_id,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS BIGINT) AS running_c
 FROM events
+""",
+        # bounded row-window sum (7-event spend) per user
+        "user_rolling_value": """
+SELECT event_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll_c
+FROM events
+""",
+        # staged conversion funnel: each stage strictly after the user's
+        # first qualifying event of the previous stage
+        "funnel_counts": """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+       CAST(count(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', count(*) FROM s1
+UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+""",
+        # grouped MODE with deterministic tie-break (count desc, value asc)
+        "user_mode_event": """
+SELECT user_id, event_type AS mode_event_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY count(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""",
+        # type-token ratio (lexical diversity) per document
+        "doc_ttr": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), d AS (
+  SELECT doc_id, CAST(count(DISTINCT t) AS BIGINT) AS dt,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM tok GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(d.dt, 0) AS BIGINT) AS distinct_toks,
+       CAST(coalesce(d.nt, 0) AS BIGINT) AS n_toks,
+       CAST(CASE WHEN coalesce(d.nt, 0) = 0 THEN 0
+                 ELSE (1000 * d.dt) // d.nt END AS BIGINT) AS ttr_pm
+FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
 """,
         # long→wide count pivot: source rows × fixed lang columns
         "docs_lang_pivot": """

@@ -1366,3 +1366,205 @@ def skew_join(
         left_s, right_s, "__sk", n_buckets=n_buckets, suffix=suffix, how=how
     )
     return joined.drop_columns(["__sk"])
+
+
+def rolling_agg(
+    ds,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    value: str = "value",
+    window_rows: int = 7,
+    n_buckets: int = 64,
+):
+    """Per-group rolling row-window sum — ``SUM(value) OVER (PARTITION BY
+    group ORDER BY order, id ROWS BETWEEN window_rows-1 PRECEDING AND
+    CURRENT ROW)`` — as (id, roll_c).
+
+    The bounded-lookback window of rate/limit/trend features (7-event
+    spend, N-request rate). Same bounded-bucket shape as ``running_agg``:
+    one shuffle on ``hash(group) % B``, one mergesort per bucket, then the
+    rolling sum in pure integer math as ``cumsum - cumsum.shift(w)``
+    within each group (no float rolling kernel, no per-group dispatch).
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = (fast_hash_u64(batch[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group: batch[group],
+                "__us": pc.cast(pc.cast(batch[order], pa.timestamp("us")), pa.int64()),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "__c": pa.array(_cents(batch[value].to_numpy())),
+                "__wb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(**{id_col: np.int64, "roll_c": np.int64})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        g = g.sort_values([group, "__us", id_col], kind="mergesort")
+        grp = g.groupby(group, sort=False)["__c"]
+        cs = grp.cumsum().to_numpy()
+        # cumsum w rows back within the group; rows with < w predecessors
+        # subtract 0 (their window is the whole prefix)
+        back = (
+            g.assign(__cs=cs)
+            .groupby(group, sort=False)["__cs"]
+            .shift(window_rows)
+            .fillna(0)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "roll_c": cs - back}
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def funnel_counts(
+    ds,
+    stages: list[str],
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Staged conversion funnel: how many ``group`` entities performed
+    ``stages[0]``, then ``stages[1]`` STRICTLY AFTER their first
+    ``stages[0]``, then ``stages[2]`` strictly after that first
+    qualifying ``stages[1]``, … Returns one row per stage:
+    (stage_idx, stage, n_users).
+
+    The product-analytics funnel (view → click → purchase). Scale shape:
+    each user's entire event history lands in one bucket via one shuffle
+    on ``hash(group) % B``; inside a bucket every stage transition is a
+    vectorized merge + filter + groupby-min over ALL users at once (the
+    loop is over the fixed, small stage list — never over users). Bucket
+    partials are B×len(stages) tiny rows, merged on the driver.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = (fast_hash_u64(batch[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group: batch[group],
+                "__us": pc.cast(pc.cast(batch[order], pa.timestamp("us")), pa.int64()),
+                type_col: batch[type_col],
+                "__wb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(stage_idx=np.int64, n_users=np.int64)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        counts = []
+        survivors = None  # user -> earliest qualifying ts of the previous stage
+        for i, st in enumerate(stages):
+            ev = g.loc[g[type_col] == st, [group, "__us"]]
+            if survivors is not None:
+                ev = ev.merge(survivors, on=group, how="inner")
+                ev = ev.loc[ev["__us"] > ev["bound"], [group, "__us"]]
+            cur = ev.groupby(group, as_index=False)["__us"].min()
+            survivors = cur.rename(columns={"__us": "bound"})
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "stage_idx": np.arange(len(stages), dtype=np.int64),
+                "n_users": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # bounded: n_buckets × len(stages) rows
+    )
+    if parts.empty:
+        out = pd.DataFrame({"stage_idx": np.arange(len(stages), dtype=np.int64)})
+        out["n_users"] = np.int64(0)
+    else:
+        out = parts.groupby("stage_idx", as_index=False)["n_users"].sum()
+    out["stage"] = [stages[i] for i in out["stage_idx"]]
+    return out[["stage_idx", "stage", "n_users"]].astype(
+        {"stage_idx": np.int64, "n_users": np.int64}
+    )
+
+
+def grouped_mode(
+    ds,
+    *,
+    group: str = "user_id",
+    value: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Most frequent ``value`` per ``group`` (the grouped MODE), with a
+    deterministic tie-break: highest count wins, ties go to the
+    lexicographically smallest value. Returns (group, mode_<value>, n).
+
+    Scale shape: per-batch partial (group, value, n) counts shrink the
+    input to its distinct-pair cardinality BEFORE the one shuffle on
+    ``hash(group) % B``; the argmax inside a bucket is one vectorized
+    sort + drop_duplicates over all groups (no per-group dispatch). A
+    group's in-bucket footprint is its distinct-value count, not its row
+    count — safe for categorical/mode workloads by construction.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    out_col = f"mode_{value}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {group: batch[group].to_numpy(), value: batch[value].to_pylist()}
+        )
+        p = df.groupby([group, value], as_index=False).size()
+        p = p.rename(columns={"size": "n"})
+        b = (fast_hash_u64(p[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        p["__wb"] = b
+        return pa.Table.from_pandas(p, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    empty = typed_empty(**{group: np.int64, out_col: object, "n": np.int64})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        c = g.groupby([group, value], as_index=False)["n"].sum()
+        c = c.sort_values(
+            [group, "n", value], ascending=[True, False, True], kind="mergesort"
+        )
+        m = c.drop_duplicates(group, keep="first")
+        return pd.DataFrame(
+            {
+                group: m[group].to_numpy(),
+                out_col: m[value].to_numpy(),
+                "n": m["n"].to_numpy(),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

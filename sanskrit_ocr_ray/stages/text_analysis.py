@@ -238,3 +238,32 @@ def json_int_field_batch(
     )
     keep = [n for n in batch.column_names if n != column]
     return batch.select(keep).append_column(out, pa.array(vals, type=pa.int64()))
+
+
+def distinct_token_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, text) → (doc_id, distinct_toks, n_toks, ttr_pm): distinct
+    and total space-split tokens plus the type-token ratio in per-mille
+    (floor; 0 for token-less docs). The lexical-diversity quality signal
+    (low TTR ⇒ repetitive/templated text). Shuffle-free map_batches;
+    tokens are SPACE-split (the oracle's str_split(text,' ') convention,
+    see quality_score_batch)."""
+    texts = batch[column].to_pylist()
+    n = len(texts)
+    dt = np.empty(n, np.int64)
+    nt = np.empty(n, np.int64)
+    ttr = np.empty(n, np.int64)
+    for i, t in enumerate(texts):
+        toks = [w for w in (t or "").split(" ") if w]
+        k = len(toks)
+        d = len(set(toks))
+        dt[i] = d
+        nt[i] = k
+        ttr[i] = (1000 * d) // k if k else 0
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "distinct_toks": pa.array(dt),
+            "n_toks": pa.array(nt),
+            "ttr_pm": pa.array(ttr),
+        }
+    )

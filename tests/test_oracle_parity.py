@@ -61,6 +61,10 @@ SUBSET = [
     "events_tumbling",
     "sessionize",
     "top_users_by_value",
+    "user_rolling_value",
+    "funnel_counts",
+    "user_mode_event",
+    "doc_ttr",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

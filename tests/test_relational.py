@@ -457,3 +457,81 @@ def test_skew_join_equals_hash_join_on_skewed_data(ray_session):
         pa_ = a[cols].sort_values(cols).reset_index(drop=True).astype(str)
         pb_ = b[cols].sort_values(cols).reset_index(drop=True).astype(str)
         assert pa_.equals(pb_), how
+
+
+def test_rolling_agg_window_boundary(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import rolling_agg
+
+    # one user, 5 events of value 1.00 → with window 3 the rolling sums
+    # are 100, 200, 300, 300, 300; second user checks group isolation
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(7, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1, 1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:%02d" % s for s in range(7)]
+            ),
+            "value": np.ones(7),
+        }
+    )
+    out = (
+        rolling_agg(rd.from_pandas(df), window_rows=3, n_buckets=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["roll_c"].tolist() == [100, 200, 300, 300, 300, 100, 200]
+
+
+def test_funnel_counts_strictly_after(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import funnel_counts
+
+    # u1 completes view→click→purchase in order; u2's click PRECEDES the
+    # first view so it must not count; u3 views only
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2, 2, 3], dtype=np.int64),
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",  # u1 view
+                    "2024-01-01 00:01:00",  # u1 click
+                    "2024-01-01 00:02:00",  # u1 purchase
+                    "2024-01-01 00:00:30",  # u2 click (before its view)
+                    "2024-01-01 00:01:30",  # u2 view
+                    "2024-01-01 00:00:00",  # u3 view
+                ]
+            ),
+            "event_type": ["view", "click", "purchase", "click", "view", "view"],
+        }
+    )
+    out = funnel_counts(
+        rd.from_pandas(df), ["view", "click", "purchase"], n_buckets=4
+    )
+    assert out.sort_values("stage_idx")["n_users"].tolist() == [3, 1, 1]
+
+
+def test_grouped_mode_tie_break(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import grouped_mode
+
+    # u1: tie between 'a' and 'b' (2 each) → lexicographically smaller 'a';
+    # u2: clear winner 'z'
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 1, 2, 2, 2], dtype=np.int64),
+            "event_type": ["b", "a", "b", "a", "z", "z", "q"],
+        }
+    )
+    out = (
+        grouped_mode(rd.from_pandas(df), n_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["mode_event_type"].tolist() == ["a", "z"]
+    assert out["n"].tolist() == [2, 2]

@@ -115,3 +115,20 @@ def test_json_int_field_batch_extracts_and_defaults():
     out = json_int_field_batch(batch, column="props", key="k")
     assert out.column_names == ["event_id", "k"]
     assert out["k"].to_pylist() == [42, -7, -1, -1]
+
+
+def test_distinct_token_batch_edges():
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.text_analysis import distinct_token_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": ["a b a  b c", "", "x x x x"],
+        }
+    )
+    out = distinct_token_batch(t).to_pydict()
+    assert out["distinct_toks"] == [3, 0, 1]
+    assert out["n_toks"] == [5, 0, 4]
+    assert out["ttr_pm"] == [600, 0, 250]
