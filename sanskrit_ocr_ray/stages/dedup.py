@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import fast_hash_u64, md5_hex16, md5_u64, typed_empty
+from ..util import fast_hash_u64, md5_hex16, md5_u64, tok_hash_cache, typed_empty
 
 #: super-bucket count for high-cardinality grouping keys; scale with
 #: cluster size (buckets ≫ cores keeps groups balanced, ≪ keys keeps
@@ -162,11 +162,12 @@ def _seed(i: int) -> np.uint64:
     return np.uint64(md5_u64(str(i)))
 
 
-def _minhash_row(text: str, seeds: np.ndarray) -> np.ndarray:
+def _minhash_row(text: str, seeds: np.ndarray, cache=None) -> np.ndarray:
     toks = sorted({w for w in (text or "").split(" ") if w})
     if not toks:
         return np.full(len(seeds), np.iinfo(np.uint64).max, dtype=np.uint64)
-    th = np.fromiter((md5_u64(w) for w in toks), np.uint64, len(toks))
+    h = cache if cache is not None else tok_hash_cache()
+    th = np.fromiter((h[w] for w in toks), np.uint64, len(toks))
     return np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
 
 
@@ -185,10 +186,11 @@ def minhash_signatures_batch(
     doc_ids = batch["doc_id"].to_pylist()
     seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
     out_doc, out_perm, out_hash = [], [], []
+    hcache = tok_hash_cache()  # one md5 per DISTINCT token per batch
     for d, t in zip(doc_ids, texts):
         if not any(w for w in (t or "").split(" ")):
             continue
-        mins = _minhash_row(t, seeds)
+        mins = _minhash_row(t, seeds, cache=hcache)
         for i in range(n_perm):
             out_doc.append(d)
             out_perm.append(i)
@@ -394,12 +396,13 @@ def minhash_lsh_clusters(
         ids = batch[id_col].to_pylist()
         seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
         rows_id, rows_bucket, rows_toks = [], [], []
+        hcache = tok_hash_cache()  # one md5 per DISTINCT token per batch
         for d, t in zip(ids, texts):
             toks = sorted({w for w in (t or "").split(" ") if w})
             if not toks:
                 continue
             joined = " ".join(toks)
-            th = np.fromiter((md5_u64(w) for w in toks), np.uint64, len(toks))
+            th = np.fromiter((hcache[w] for w in toks), np.uint64, len(toks))
             mins = np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
             for b in range(n_perm // band_size):
                 sig = ",".join(
@@ -418,35 +421,62 @@ def minhash_lsh_clusters(
         return t_out.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
 
     def verify_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        """Per band bucket: cap, explode (doc, token), self-merge for pair
-        intersection counts, integer-exact Jaccard filter — then collapse
-        the bucket's verified subgraph to a spanning star (bucket-local
+        """Per band bucket: cap, exact pairwise token-intersection counts
+        via a BLOCKED DENSE MATMUL over the group's token-incidence
+        matrix (docs × distinct-tokens, vocab-chunked so memory stays
+        O(k·chunk)), integer-exact Jaccard filter — then collapse the
+        bucket's verified subgraph to a spanning star (bucket-local
         union-find, bounded by max_bucket) so the global component pass
-        sees O(k) edges per bucket instead of an O(k²) clique."""
+        sees O(k) edges per bucket instead of an O(k²) clique.
+
+        Near-dup cliques share ALL their bands, so the same doc-set
+        reaches this task once per band — a dedupe on the exact doc-id
+        set skips the redundant re-verifications (duplicate edges would
+        be harmless to min-propagation but cost the full matmul). The
+        earlier formulation (explode (doc, token) + pandas self-merge)
+        was O(Σ per-token count²) rows — a 256-doc near-identical
+        cluster materialized ~33M-row frames and one hot bucket ran
+        12.7 s; the matmul form is a bounded 256×chunk BLAS call."""
         if group.empty:
             return pair_empty.copy()
         out_frames: list[pd.DataFrame] = []
+        seen_sets: set[bytes] = set()
         for _, sub in group.groupby("bucket", sort=False):
             sub = sub.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
             if len(sub) < 2:
                 continue
+            docs = sub[id_col].to_numpy()
+            set_key = docs.tobytes() if docs.dtype != object else "\0".join(
+                map(str, docs)
+            ).encode()
+            if set_key in seen_sets:
+                continue
+            seen_sets.add(set_key)
             tok_lists = [t.split(" ") for t in sub["toks"]]
             sizes = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
-            docs = sub[id_col].to_numpy()
-            ex = pd.DataFrame(
-                {
-                    "d": np.repeat(np.arange(len(docs)), sizes),
-                    "tok": np.concatenate(tok_lists),
-                }
+            k = len(docs)
+            tok_index: dict[str, int] = {}
+            row_ids = np.repeat(np.arange(k), sizes)
+            col_ids = np.fromiter(
+                (
+                    tok_index.setdefault(w, len(tok_index))
+                    for toks in tok_lists
+                    for w in toks
+                ),
+                np.int64,
+                int(sizes.sum()),
             )
-            m = ex.merge(ex, on="tok")
-            m = m[m["d_x"] < m["d_y"]]
-            if m.empty:
-                continue
-            inter = m.groupby(["d_x", "d_y"], as_index=False).size()
-            i = inter["size"].to_numpy().astype(np.int64)
-            ix = inter["d_x"].to_numpy()
-            iy = inter["d_y"].to_numpy()
+            V = len(tok_index)
+            inter = np.zeros((k, k), np.int64)
+            chunk = 8192
+            for start in range(0, V, chunk):
+                width = min(chunk, V - start)
+                sel = (col_ids >= start) & (col_ids < start + width)
+                a = np.zeros((k, width), np.float32)
+                a[row_ids[sel], col_ids[sel] - start] = 1.0
+                inter += (a @ a.T).astype(np.int64)
+            ix, iy = np.triu_indices(k, 1)
+            i = inter[ix, iy]
             keep = 1000 * i >= threshold_pm * (sizes[ix] + sizes[iy] - i)
             if not keep.any():
                 continue

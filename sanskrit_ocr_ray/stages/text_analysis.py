@@ -20,7 +20,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..util import md5_u64, md5_hex16
+from ..util import md5_u64, md5_hex16, tok_hash_cache
 
 # whitespace token + "BPE-ish" subword-shaped pieces (letters / digits /
 # single punctuation), compiled once per worker
@@ -126,11 +126,12 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     out_id: list = []
     out_sig: list[str] = []
+    hcache = tok_hash_cache()  # one md5 per DISTINCT token per batch
     for d, t in zip(ids, texts):
         toks = [w for w in (t or "").split(" ") if w]
         if not toks:
             continue
-        hashes = np.fromiter((md5_u64(w) for w in toks), dtype=np.uint64, count=len(toks))
+        hashes = np.fromiter((hcache[w] for w in toks), dtype=np.uint64, count=len(toks))
         # (n_tokens, 64) bit matrix → column sums
         bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
         votes = 2 * bits.astype(np.int64) - 1

@@ -15,6 +15,8 @@ import numpy as np
 
 __all__ = [
     "md5_u64",
+    "tok_hash_cache",
+    "TokHashCache",
     "md5_hex16",
     "md5_u64_many",
     "stable_partition",
@@ -33,6 +35,30 @@ def md5_u64(s: str | bytes) -> int:
     if isinstance(s, str):
         s = s.encode("utf-8")
     return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
+
+
+def tok_hash_cache() -> "TokHashCache":
+    """Batch-local memo for token hashing: ``cache(w) == md5_u64(w)``.
+
+    Natural-language token streams are Zipfian — the distinct-token
+    count is a small fraction of the token-instance count — so the
+    minhash/simhash hot paths call this once per DISTINCT token per
+    batch instead of once per instance. Deliberately batch-scoped (the
+    caller creates one per map_batches invocation): a module-level
+    ``lru_cache``/global dict would be captured by the package's
+    by-value cloudpickle registration and either break worker
+    deserialization (C wrapper pickles by module reference) or ship the
+    warmed cache with every task.
+    """
+    return TokHashCache()
+
+
+class TokHashCache(dict):
+    """dict subclass: missing keys compute-and-store ``md5_u64``."""
+
+    def __missing__(self, key: str) -> int:
+        v = self[key] = md5_u64(key)
+        return v
 
 
 def md5_hex16(s: str | bytes) -> str:
