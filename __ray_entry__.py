@@ -289,6 +289,25 @@ def _contamination(sf_dir: str):
     )
 
 
+def _decontaminate(sf_dir: str):
+    """Training docs with zero leaked eval 8-grams (shippable corpus)."""
+    from sanskrit_ocr_ray.stages.hygiene import decontaminate
+
+    return decontaminate(
+        _split_docs(sf_dir, want_val=False), _split_docs(sf_dir, want_val=True),
+        ngram=8,
+    )
+
+
+def _priority_sample(sf_dir: str):
+    """Weighted sampling without replacement (priority sampling)."""
+    from sanskrit_ocr_ray.stages.corpus import priority_sample
+
+    return priority_sample(
+        _tbl(sf_dir, "documents", ["doc_id", "n_chars"]), k=50
+    )
+
+
 def _salient_terms(sf_dir: str):
     from sanskrit_ocr_ray.stages.hygiene import salient_terms
 
@@ -815,6 +834,13 @@ def _emb_dups(sf_dir: str):
     return embedding_dup_pairs(_tbl(sf_dir, "embeddings"))
 
 
+def _semantic_dedup(sf_dir: str):
+    """SemDeDup-style survivors over embedding-cosine components."""
+    from sanskrit_ocr_ray.stages.similarity import semantic_dedup
+
+    return semantic_dedup(_tbl(sf_dir, "embeddings"))
+
+
 def _nearest_centroid(sf_dir: str):
     from sanskrit_ocr_ray.stages.similarity import nearest_centroid
 
@@ -1317,6 +1343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top": _ngram_top,
         "kmv_distinct": _kmv_distinct,
         "contamination": _contamination,
+        "decontaminate": _decontaminate,
+        "priority_sample": _priority_sample,
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
         "incremental_dedup": _incremental_dedup,
@@ -1366,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "knn_lsh": _knn_lsh,
         "embedding_dup_pairs": _emb_dups,
+        "semantic_dedup": _semantic_dedup,
         "nearest_centroid": _nearest_centroid,
         # relational / streaming-shaped
         "q1_pricing": _q1,
@@ -2097,6 +2126,32 @@ FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
 """,
+        "semantic_dedup": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
+), edges AS (
+  SELECT va AS src, vb AS dst FROM p UNION ALL SELECT vb, va FROM p
+), walk(node, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+), comp AS (
+  SELECT node, MIN(r) AS rep FROM walk GROUP BY node
+)
+SELECT rep AS vec_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM comp GROUP BY rep
+""",
+        "priority_sample": """
+SELECT doc_id,
+       CAST((((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT) >> 1)
+             // CAST(greatest(n_chars, 1) AS UBIGINT)) AS BIGINT) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 50
+""",
         "nearest_centroid": """
 WITH e AS (
   SELECT vec_id, label,
@@ -2314,6 +2369,15 @@ FROM v GROUP BY event_type
     oracles["knn_lsh"] = oracles["knn_top5"]
     # the skew-salted join computes the same relation as the plain join
     oracles["mktsegment_join_skew"] = oracles["mktsegment_join"]
+    # decontaminate: contamination's complement over the same CTEs —
+    # train docs (h >= 100) with no leaked gram at all
+    oracles["decontaminate"] = oracles["contamination"].replace(
+        "SELECT tr.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_contaminated\n"
+        "FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id",
+        ", bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram))\n"
+        "SELECT d.doc_id AS doc_id FROM d\n"
+        "WHERE h >= 100 AND d.doc_id NOT IN (SELECT doc_id FROM bad)",
+    )
     # survivors: same recursive components, collapsed to (keeper, size)
     oracles["fuzzy_dedup_survivors"] = oracles["minhash_lsh_clusters"].replace(
         "SELECT node AS doc_id, MIN(r) AS cluster_rep FROM walk GROUP BY node",

@@ -544,3 +544,54 @@ def pmi_collocations(
         .repartition(1)
         .map_batches(top, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (deterministic weighted sampling without replacement)
+# ---------------------------------------------------------------------------
+
+
+def priority_sample(
+    ds,
+    *,
+    k: int = 50,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+):
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield–Lund–Thorup 2007): each row gets priority key
+    ``md5_u64(id) >> 1) // max(weight, 1)`` (a fixed uniform 63-bit hash
+    standing in for the random u, divided by the row weight) and the k
+    smallest keys win, so selection probability grows with the weight
+    while staying exactly reproducible (same md5 expressible in the
+    DuckDB oracle; the >>1 keeps the key in signed-int64 range).
+
+    Scale shape: per-batch partial top-k (a batch's global winners are
+    necessarily among its local winners), then one distributed
+    sort+limit over ≤ #blocks·k tiny rows — the corpus is never
+    co-located and no driver structure exceeds the result size.
+    Weighted corpus subsampling ("sample documents ∝ length/quality")
+    is a standard curation step the reference lacks entirely
+    (datagen/h5_to_parquet.py keeps every row).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        w = np.maximum(
+            batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64), 1
+        ).astype(np.uint64)
+        h = md5_u64_many([str(v) for v in ids]) >> np.uint64(1)
+        key = (h // w).astype(np.int64)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                "sample_key": pa.array(key[order], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["sample_key", id_col])
+        .limit(k)
+    )

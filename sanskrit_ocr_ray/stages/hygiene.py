@@ -378,3 +378,48 @@ def token_doc_freq(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         combine,
         empty=empty,
     )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate (contamination's complement: the shippable corpus)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train_ds,
+    eval_ds,
+    *,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Training doc ids with ZERO leaked eval ``ngram``-token shingles —
+    the corpus a curator actually ships after the GPT-3-style overlap
+    check. Layered on :func:`contamination`: the flagged set (docs with
+    ≥1 leak) is typically a small fraction of the corpus, so removal is
+    ONE extra bounded anti-join shuffle on ``doc_id``
+    (`relational.hash_join(how='anti')` — both sides bucketed, flagged
+    side never materialized on the driver). Returns one ``(doc_id,)``
+    row per clean training doc.
+    """
+    from .relational import hash_join
+
+    flagged = contamination(
+        train_ds,
+        eval_ds,
+        ngram=ngram,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+    )
+    left = train_ds.select_columns([id_col])
+    return hash_join(
+        left,
+        flagged.map_batches(
+            lambda t: t.select([id_col]), batch_format="pyarrow"
+        ),
+        id_col,
+        how="anti",
+        n_buckets=min(n_buckets, 16),
+    )

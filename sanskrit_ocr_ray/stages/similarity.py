@@ -432,3 +432,83 @@ def embedding_dup_pairs(
         return pd.concat(frames, ignore_index=True)
 
     return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style survivors over embedding near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    ds,
+    *,
+    threshold_x1e6: int = 300_000,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    tile: int = 2048,
+    n_buckets: int = 32,
+):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): collapse
+    embedding-cosine near-dup components and keep one representative —
+    one row ``(vec_id, cluster_size)`` per SURVIVING vector, keeper =
+    min-id member of each component (singletons survive with size 1).
+
+    Composition, all distributed:
+      1. :func:`embedding_dup_pairs` — within-block tiled cosine pairs
+         (the SemDeDup "cluster then compare within cluster" blocking);
+      2. connected components via the same BSP hash-to-min label
+         propagation the MinHash path uses (`dedup._components_bsp` —
+         edges pinned in the object store, no driver union-find);
+      3. one bounded-bucket shuffle keyed on the representative for the
+         vectorized per-component size count (`fuzzy_dedup_survivors`
+         shape).
+
+    The reference has no embedding ops at all; this is the
+    mission-mandated embedding-cosine near-dup made end-to-end.
+    """
+    from .dedup import _components_bsp, bucketed_aggregate
+    from ..util import typed_empty
+
+    pairs = embedding_dup_pairs(
+        ds,
+        threshold_x1e6=threshold_x1e6,
+        block_col=block_col,
+        id_col=id_col,
+        col=col,
+        tile=tile,
+    )
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["vec_a"], "b": t["vec_b"]}),
+        batch_format="pyarrow",
+    )
+    labels = _components_bsp(edges, pa.int64(), n_buckets=n_buckets)
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch[id_col], "rep": batch[id_col]})
+
+    from ray.data import Dataset  # noqa: F401  (type context only)
+
+    assign = bucketed_aggregate(
+        ds.select_columns([id_col])
+        .map_batches(self_rows, batch_format="pyarrow")
+        .union(labels.select_columns(["node", "rep"])),
+        ["node"],
+        lambda df: df.groupby("node", as_index=False)["rep"].min(),
+        n_buckets=n_buckets,
+        empty=typed_empty(node=np.int64, rep=np.int64),
+        coalesce_first=False,
+    )
+
+    empty = typed_empty(**{id_col: np.int64, "cluster_size": np.int64})
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("rep", as_index=False).size()
+        out = g.rename(columns={"rep": id_col, "size": "cluster_size"})
+        out["cluster_size"] = out["cluster_size"].astype(np.int64)
+        return out[[id_col, "cluster_size"]]
+
+    return bucketed_aggregate(
+        assign, ["rep"], collapse, n_buckets=n_buckets, empty=empty,
+        coalesce_first=False,
+    )

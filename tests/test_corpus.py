@@ -225,3 +225,24 @@ def test_pmi_collocations_ranking(ray_session):
     assert list(out.iloc[0][["w1", "w2"]]) == ["x", "y"]  # exclusive pair wins
     # N=40 tokens, c_xy=5, c_x=c_y=5 → 10^6·5·40//25 = 8_000_000
     assert out.iloc[0].score_x1m == 8_000_000
+
+
+def test_priority_sample_matches_naive_and_favors_weight(ray_session):
+    """Distributed partial-top-k == naive full-scan priority sampling; a
+    row with overwhelming weight must be selected."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import priority_sample
+    from sanskrit_ocr_ray.util import md5_u64
+
+    rows = [{"doc_id": i, "n_chars": (i % 7) + 1} for i in range(500)]
+    rows.append({"doc_id": 9999, "n_chars": 10**15})  # always wins
+    ds = rd.from_items(rows).repartition(8)
+    out = priority_sample(ds, k=20).to_pandas()
+
+    keys = sorted(
+        ((md5_u64(str(r["doc_id"])) >> 1) // max(r["n_chars"], 1), r["doc_id"])
+        for r in rows
+    )[:20]
+    assert list(zip(out.sample_key.tolist(), out.doc_id.tolist())) == keys
+    assert 9999 in out.doc_id.tolist()

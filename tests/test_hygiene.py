@@ -149,3 +149,23 @@ def test_inverted_index_and_doc_freq(ray_session):
     dfreq = token_doc_freq(ds).to_pandas()
     got2 = {r.term: (r.df, r.total_tf) for r in dfreq.itertuples()}
     assert got2 == {"a": (1, 2), "b": (2, 2), "c": (1, 1)}
+
+
+def test_decontaminate_drops_only_leaked_docs(ray_session):
+    """Planted 8-gram leak: the leaking train doc is removed, the clean
+    one (and the short-doc edge case) survive."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import decontaminate
+
+    leak = "a b c d e f g h"
+    train = rd.from_items(
+        [
+            {"doc_id": 1, "text": "x y " + leak + " z"},   # leaked
+            {"doc_id": 2, "text": "p q r s t u v w x y"},  # clean
+            {"doc_id": 3, "text": "too short"},            # <8 tokens
+        ]
+    )
+    ev = rd.from_items([{"doc_id": 100, "text": "prefix " + leak + " suffix"}])
+    out = decontaminate(train, ev, ngram=8, n_buckets=4).to_pandas()
+    assert sorted(out.doc_id.tolist()) == [2, 3]

@@ -144,3 +144,49 @@ def test_embedding_dup_pairs_hot_label_tiled(ray_session):
     )
     assert len(tiled) > 0
     assert tiled.equals(whole)
+
+
+def test_semantic_dedup_matches_naive_union_find(emb_ds):
+    """Survivors (vec_id, cluster_size) must equal a naive all-pairs
+    cosine-threshold union-find on the driver."""
+    from sanskrit_ocr_ray.stages.similarity import semantic_dedup
+
+    out = (
+        semantic_dedup(emb_ds, threshold_x1e6=300_000, n_buckets=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    df = emb_ds.to_pandas()
+    ids = df.vec_id.to_numpy()
+    lab = df.label.to_numpy()
+    mat = np.stack([np.asarray(v, np.float64) for v in df.embedding])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    sims = mat @ mat.T
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if lab[i] != lab[j]:
+                continue
+            if int(np.floor(sims[i, j] * 1e6 + 0.5)) >= 300_000:
+                a, b = find(int(ids[i])), find(int(ids[j]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    from collections import Counter
+
+    sizes = Counter(find(int(i)) for i in ids)
+    expect = sorted(sizes.items())
+    got = list(zip(out.vec_id.tolist(), out.cluster_size.tolist()))
+    assert got == expect
+    # the planted near-dup of vec 0 must have been collapsed
+    assert 999 not in out.vec_id.tolist()
+    assert out.loc[out.vec_id == 0, "cluster_size"].iloc[0] >= 2
