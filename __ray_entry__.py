@@ -92,6 +92,28 @@ def _extract_flat(sf_dir: str):
     return extract_flat(docs, media)
 
 
+def _frame_checksums(sf_dir: str):
+    """Video frame sampling over deterministic raw8 multi-frame payloads:
+    synth → binary slice → per-sampled-frame integer checksum."""
+    from sanskrit_ocr_ray.stages.multimodal import sample_frames, synth_video_batch
+
+    vids = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_video_batch, batch_format="pyarrow"
+    )
+    return sample_frames(vids, stride=2)
+
+
+def _audio_energy(sf_dir: str):
+    """Windowed audio energy over deterministic pcm16 payloads:
+    synth → s16le decode → integer sum-of-squares per 256-sample window."""
+    from sanskrit_ocr_ray.stages.multimodal import audio_energy, synth_pcm16_batch
+
+    aud = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_pcm16_batch, batch_format="pyarrow"
+    )
+    return audio_energy(aud, window=256)
+
+
 def _multimodal_features(sf_dir: str):
     """FeatureExtractor actor pool over the fixture's media pages recast as
     generic multimodal payload rows (schema/plumbing test; rows-only)."""
@@ -1317,6 +1339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (non-SQL-expressible: image decode + OCR)
         "extract_e2e": _extract_flat,
         "multimodal_features": _multimodal_features,
+        "frame_checksums": _frame_checksums,
+        "audio_energy": _audio_energy,
         # text normalization + dedup family over `documents`
         "clean_text": _clean_text,
         "dedup_exact": _dedup_exact,
@@ -2125,6 +2149,25 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
+""",
+        "frame_checksums": """
+WITH fr AS (
+  SELECT doc_id, f FROM documents, unnest(range(0, 6, 2)) AS r(f)
+), s AS (
+  SELECT doc_id, f, (doc_id * 7 + f * 13 + i * i) % 256 AS p
+  FROM fr, unnest(range(1024)) AS r2(i)
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(SUM(p) AS BIGINT) AS checksum
+FROM s GROUP BY doc_id, f
+""",
+        "audio_energy": """
+WITH s AS (
+  SELECT doc_id, i // 256 AS win,
+         ((doc_id * 31 + i * 7) % 4096) - 2048 AS x
+  FROM documents, unnest(range(2048)) AS r(i)
+)
+SELECT doc_id, CAST(win AS BIGINT) AS win, CAST(SUM(x * x) AS BIGINT) AS energy
+FROM s GROUP BY doc_id, win
 """,
         "semantic_dedup": """
 WITH RECURSIVE p AS (

@@ -3,12 +3,14 @@
 Images/audio/video are carried as Arrow ``binary`` columns with width /
 height / sample-rate metadata, processed by actor-pool map_batches stages
 sized by *byte budget*, not row count. The raw-grayscale page path
-(stages/image.py) is fully real; the codec-dependent steps below (JPEG /
-PNG decode, audio resample, video frame sampling) are STUBBED behind
-``NotImplementedError`` or a deterministic fake because the codec
-libraries (PIL/cv2/ffmpeg) are not in this container — the Ray-side
-plumbing (schemas, batch sizing, actor signature, output layout) is real
-and tested (tests/test_multimodal.py).
+(stages/image.py) is fully real, as are every raw-layout kernel below
+(raw8 image features/resize, pcm16 windowed energy, raw8 multi-frame
+video sampling — real byte decode, vectorized integer kernels, exact
+DuckDB oracles); only the codec-dependent decode steps (JPEG/PNG,
+compressed audio/video) are STUBBED behind ``NotImplementedError``
+because the codec libraries (PIL/cv2/ffmpeg) are not in this container —
+the Ray-side plumbing (schemas, batch sizing, actor signature, output
+layout) is real and tested (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -111,3 +113,127 @@ def resize_raw8_batch(batch: pa.Table, *, out_w: int, out_h: int) -> pa.Table:
         .append_column("height", pa.array([out_h] * len(out), type=pa.int32()))
         .append_column("payload", pa.array(out, type=pa.binary()))
     )
+
+
+# ---------------------------------------------------------------------------
+# raw A/V payload synthesis + frame sampling / windowed energy
+# (codec-free: raw8 video frames and pcm16 audio are real byte layouts, so
+# the decode → vectorized-kernel → rows plumbing is fully exercised without
+# PIL/ffmpeg; payloads are a deterministic function of the integer doc id,
+# which is what makes an exact DuckDB oracle possible)
+# ---------------------------------------------------------------------------
+
+
+def synth_video_batch(
+    batch: pa.Table,
+    *,
+    n_frames: int = 6,
+    width: int = 32,
+    height: int = 32,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Deterministic multi-frame raw8 'video' per doc:
+    ``pixel(f, i) = (doc_id*7 + f*13 + i*i) % 256`` over flat index i —
+    the payload is ``n_frames`` concatenated ``height×width`` frames.
+    (The quadratic term makes per-frame pixel sums actually depend on
+    doc and frame; a linear ramp sums to a constant over full 256-cycles
+    and would let a broken slice pass the checksum oracle.)"""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    hw = width * height
+    i = np.arange(hw, dtype=np.int64)
+    f = np.arange(n_frames, dtype=np.int64)
+    # (B, n_frames, hw) built vectorized, then to per-row bytes
+    pix = ((ids[:, None, None] * 7 + f[None, :, None] * 13 + (i * i)[None, None, :]) % 256
+           ).astype(np.uint8)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "media_type": pa.array(["video/raw8"] * len(ids), type=pa.string()),
+            "n_frames": pa.array([n_frames] * len(ids), type=pa.int32()),
+            "width": pa.array([width] * len(ids), type=pa.int32()),
+            "height": pa.array([height] * len(ids), type=pa.int32()),
+            "payload": pa.array([p.tobytes() for p in pix], type=pa.binary()),
+        }
+    )
+
+
+def sample_frames(ds, *, stride: int = 2, id_col: str = "doc_id"):
+    """Frame sampling over raw multi-frame video payloads: keep every
+    ``stride``-th frame and emit ``(doc_id, frame_idx, checksum)`` with
+    checksum = integer pixel sum of the sampled frame (the stand-in for a
+    per-frame feature; swap the sum for a real frame kernel when codecs
+    exist). Shuffle-free map — each batch slices its own payload bytes
+    with one reshape + strided index, no Python loop over pixels."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        nfs = batch["n_frames"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_f, out_c = [], [], []
+        for did, nf, w, h, p in zip(ids, nfs, ws, hs, payloads):
+            arr = np.frombuffer(p, dtype=np.uint8, count=nf * w * h).reshape(nf, w * h)
+            idx = np.arange(0, nf, stride)
+            sums = arr[idx].astype(np.int64).sum(axis=1)
+            out_id.extend([did] * len(idx))
+            out_f.extend(idx.tolist())
+            out_c.extend(sums.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_f, type=pa.int64()),
+                "checksum": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def synth_pcm16_batch(
+    batch: pa.Table, *, n_samples: int = 2048, id_col: str = "doc_id"
+) -> pa.Table:
+    """Deterministic pcm16 'audio' per doc:
+    ``sample(i) = ((doc_id*31 + i*7) % 4096) - 2048`` as little-endian
+    int16 — a real s16le byte layout decodable by np.frombuffer."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    i = np.arange(n_samples, dtype=np.int64)
+    s = (((ids[:, None] * 31 + i[None, :] * 7) % 4096) - 2048).astype("<i2")
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "media_type": pa.array(["audio/pcm16"] * len(ids), type=pa.string()),
+            "sample_rate": pa.array([16000] * len(ids), type=pa.int32()),
+            "payload": pa.array([row.tobytes() for row in s], type=pa.binary()),
+        }
+    )
+
+
+def audio_energy(ds, *, window: int = 256, id_col: str = "doc_id"):
+    """Windowed audio energy over pcm16 payloads: decode s16le bytes,
+    frame into fixed ``window``-sample windows, emit
+    ``(doc_id, win, energy)`` with energy = integer sum of squares per
+    window (int64-exact, so the DuckDB oracle matches bit-for-bit;
+    trailing partial windows are kept). Shuffle-free map."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_id, out_w, out_e = [], [], []
+        for did, p in zip(ids, payloads):
+            x = np.frombuffer(p, dtype="<i2").astype(np.int64)
+            n_win = (len(x) + window - 1) // window
+            wins = np.arange(len(x)) // window
+            e = np.bincount(wins, weights=(x * x).astype(np.float64), minlength=n_win)
+            out_id.extend([did] * n_win)
+            out_w.extend(range(n_win))
+            out_e.extend(e.astype(np.int64).tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "win": pa.array(out_w, type=pa.int64()),
+                "energy": pa.array(out_e, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

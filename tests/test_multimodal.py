@@ -90,3 +90,44 @@ def test_resize_raw8():
     img = np.frombuffer(out["payload"][0].as_py(), dtype=np.uint8).reshape(4, 4)
     assert img.shape == (4, 4)
     assert out["width"][0].as_py() == 4
+
+
+def test_sample_frames_slices_correct_frames(ray_session):
+    """Strided frame sampling must reproduce per-frame pixel sums computed
+    directly from the synth formula (catches off-by-one frame slicing)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.multimodal import sample_frames, synth_video_batch
+
+    ds = rd.from_items([{"doc_id": d} for d in (0, 5, 123)])
+    vids = ds.map_batches(
+        lambda b: synth_video_batch(b, n_frames=5, width=8, height=4),
+        batch_format="pyarrow",
+    )
+    out = (
+        sample_frames(vids, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    i = np.arange(32, dtype=np.int64)
+    expect = []
+    for d in (0, 5, 123):
+        for f in (0, 2, 4):
+            expect.append((d, f, int(((d * 7 + f * 13 + i * i) % 256).sum())))
+    got = list(zip(out.doc_id, out.frame_idx, out.checksum))
+    assert got == sorted(expect)
+
+
+def test_audio_energy_windows_including_partial_tail(ray_session):
+    """Windowed sum-of-squares over decoded pcm16 bytes; a payload that is
+    not a multiple of the window keeps its trailing partial window."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.multimodal import audio_energy
+
+    x = np.asarray([3, -4, 0, 0, 5, 12, 1], dtype="<i2")  # 7 samples, window 4
+    ds = rd.from_items([{"doc_id": 7, "payload": x.tobytes()}])
+    out = audio_energy(ds, window=4).to_pandas().sort_values("win")
+    assert out.win.tolist() == [0, 1]
+    assert out.energy.tolist() == [9 + 16, 25 + 144 + 1]
