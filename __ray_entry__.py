@@ -578,6 +578,39 @@ def _incremental_dedup(sf_dir: str):
     return incremental_dedup(new, snap)
 
 
+def _bloom_new_docs(sf_dir: str):
+    """Bloom pre-gate for incremental dedup: definitely-new crawl docs
+    (deterministic md5 hash family → the false-positive set is exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from sanskrit_ocr_ray.stages.hygiene import bloom_new_docs
+
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
+    in_snap = lambda t: _pc.is_in(  # noqa: E731
+        t["source"], value_set=pa.array(list(_SNAPSHOT_SOURCES))
+    )
+    snap = docs.map_batches(lambda t: t.filter(in_snap(t)), batch_format="pyarrow")
+    new = docs.map_batches(
+        lambda t: t.filter(_pc.invert(in_snap(t))), batch_format="pyarrow"
+    )
+    return bloom_new_docs(new, snap)
+
+
+def _rarity_score(sf_dir: str):
+    """Unigram rarity (integer LM-negative-likelihood proxy) per doc."""
+    from sanskrit_ocr_ray.stages.hygiene import rarity_score
+
+    return rarity_score(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _value_quantiles_binned(sf_dir: str):
+    """Binned quantile sketch over the continuous events.value column."""
+    from sanskrit_ocr_ray.stages.relational import quantiles_binned
+
+    return quantiles_binned(_tbl(sf_dir, "events", ["value"]), "value", scale=10)
+
+
 def _asof_view_before_purchase(sf_dir: str):
     import pyarrow.compute as _pc
 
@@ -1372,6 +1405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
         "incremental_dedup": _incremental_dedup,
+        "bloom_new_docs": _bloom_new_docs,
+        "rarity_score": _rarity_score,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
         "kgram_dup_spans": _kgram_dup_spans,
         "vocab_build": _vocab_build,
@@ -1397,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "views_before_purchase_1h": _views_before_purchase_1h,
         "customers_no_orders": _customers_no_orders,
         "value_quantiles": _value_quantiles,
+        "value_quantiles_binned": _value_quantiles_binned,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
         "event_gaps": _event_gaps,
@@ -2149,6 +2185,38 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
+""",
+        "bloom_new_docs": """
+WITH snapb AS (
+  SELECT DISTINCT ('0x' || substr(md5(text || '#' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % 65536 AS b
+  FROM documents, unnest(range(4)) AS r(j)
+  WHERE source IN ('src0','src1','src2','src3','src4')
+), newp AS (
+  SELECT doc_id, ('0x' || substr(md5(text || '#' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % 65536 AS b
+  FROM documents, unnest(range(4)) AS r(j)
+  WHERE source NOT IN ('src0','src1','src2','src3','src4')
+)
+SELECT doc_id FROM newp LEFT JOIN snapb ON newp.b = snapb.b
+GROUP BY doc_id HAVING bool_or(snapb.b IS NULL)
+""",
+        "rarity_score": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+), d AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+)
+SELECT d.doc_id AS doc_id, CAST(SUM(d.c * (1000000000 // tf.n)) AS BIGINT) AS rarity
+FROM d JOIN tf USING (t) GROUP BY d.doc_id
+""",
+        "value_quantiles_binned": """
+WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),
+s AS (SELECT bin, row_number() OVER (ORDER BY bin) AS rn, COUNT(*) OVER () AS n FROM b)
+SELECT CAST(q.q_pm AS BIGINT) AS q_pm, s.bin AS bin
+FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+JOIN s ON s.rn = CAST(ceil(q.q_pm * s.n / 1000.0) AS BIGINT)
 """,
         "frame_checksums": """
 WITH fr AS (

@@ -423,3 +423,143 @@ def decontaminate(
         how="anti",
         n_buckets=min(n_buckets, 16),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-gate for incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def bloom_new_docs(
+    new_ds,
+    snapshot_ds,
+    *,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """New-crawl docs whose content is DEFINITELY absent from the
+    snapshot, per a deterministic Bloom filter (Bloom 1970) over content
+    md5 — the cheap pre-gate a 100-TB incremental dedup runs BEFORE the
+    exact fingerprint shuffle: Bloom-dropped docs ("maybe dup", i.e. all
+    ``k_hashes`` bits set) are the only ones that need the exact check,
+    so the shuffle input shrinks to the (small) true-dup + false-positive
+    set. Bit position j of a doc = ``md5_u64(text + '#' + j) % m_bits``
+    — a fixed hash family, so the false-positive set itself is
+    deterministic and the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: the snapshot folds into an ``m_bits/8``-byte array via
+    per-batch numpy OR partials (ONE tiny row per block); the driver ORs
+    ≤ #blocks such rows (bounded by block count, never corpus size) and
+    broadcasts the array once with ``ray.put``; the new crawl is then a
+    shuffle-free vectorized filter. Returns one ``(doc_id,)`` row per
+    definitely-new doc.
+    """
+    import ray
+
+    from ..util import md5_u64_many
+
+    n_bytes = m_bits // 8
+
+    def positions(texts: list) -> np.ndarray:
+        """(len(texts), k_hashes) bit positions."""
+        keys = [f"{t or ''}#{j}" for t in texts for j in range(k_hashes)]
+        h = md5_u64_many(keys) % np.uint64(m_bits)
+        return h.reshape(len(texts), k_hashes)
+
+    def partial_bits(batch: pa.Table) -> pa.Table:
+        pos = positions(batch[text_col].to_pylist()).ravel()
+        bits = np.zeros(n_bytes, np.uint8)
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(3)).astype(np.int64),
+            (1 << (pos & np.uint64(7))).astype(np.uint8),
+        )
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    parts = snapshot_ds.map_batches(
+        partial_bits, batch_format="pyarrow"
+    ).to_pandas()  # one 8 KiB row per block
+    acc = np.zeros(n_bytes, np.uint8)
+    for b in parts["bits"]:
+        acc |= np.frombuffer(b, np.uint8)
+    ref = ray.put(acc)
+
+    def keep_definitely_new(batch: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        pos = positions(batch[text_col].to_pylist())
+        hit = (
+            (bits[(pos >> np.uint64(3)).astype(np.int64)]
+             >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        ).all(axis=1)
+        return batch.select([id_col]).filter(pa.array(~hit))
+
+    return new_ds.map_batches(keep_definitely_new, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# unigram rarity score (LM-negative-likelihood proxy quality filter)
+# ---------------------------------------------------------------------------
+
+
+def rarity_score(ds, *, id_col: str = "doc_id", text_col: str = "text", n_buckets: int = 64):
+    """Per-doc rarity = Σ over token INSTANCES of ``10⁹ // global_tf`` —
+    an integer-exact proxy for unigram-LM negative log-likelihood
+    (reciprocal frequency instead of -log p, CCNet-style "perplexity
+    bucket" gating without float logs, so the oracle matches exactly).
+    High score = rare-token-heavy doc (OCR noise, gibberish, boilerplate
+    IDs); low = stopword-heavy. Returns (doc_id, rarity).
+
+    Scale shape, mirroring :func:`salient_terms`: per-batch (doc, token,
+    tf_doc) partials, global tf computed and joined INSIDE the token
+    bucket (the corpus-wide term table never lands on the driver or in a
+    closure), then one doc-keyed bucketed sum.
+    """
+    from .dedup import bucketed_aggregate
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        out_d, out_t, out_c = [], [], []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _tokens(t)
+            if not toks:
+                continue
+            vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            out_d.extend([did] * len(vals))
+            out_t.extend(vals.tolist())
+            out_c.extend(counts.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_d, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+                "tf": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    empty_part = typed_empty(**{id_col: np.int64, "part": np.int64})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_part.copy()
+        gtf = df.groupby("term")["tf"].transform("sum")
+        return pd.DataFrame(
+            {id_col: df[id_col], "part": (df["tf"] * (1_000_000_000 // gtf)).astype(np.int64)}
+        )
+
+    partial = bucketed_aggregate(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        ["term"],
+        score_bucket,
+        n_buckets=n_buckets,
+        empty=empty_part,
+    )
+
+    empty_out = typed_empty(**{id_col: np.int64, "rarity": np.int64})
+
+    def sum_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(id_col, as_index=False)["part"].sum()
+        return out.rename(columns={"part": "rarity"}).astype(np.int64)
+
+    return bucketed_aggregate(
+        partial, [id_col], sum_doc, n_buckets=n_buckets, empty=empty_out,
+        coalesce_first=False,
+    )

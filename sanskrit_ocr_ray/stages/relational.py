@@ -569,6 +569,25 @@ def quantiles_exact(ds, column: str, *, q_pm: list[int] | None = None):
     )
 
 
+def quantiles_binned(ds, column: str, *, scale: int = 10, q_pm: list[int] | None = None):
+    """Approximate quantiles for CONTINUOUS / unbounded-cardinality
+    columns — the sketch path :func:`quantiles_exact` documents: quantize
+    to fixed-width integer bins ``floor(value · scale)`` at the map stage
+    (per-batch, shuffle-free), then run the same mergeable histogram
+    reduction over the BIN space, whose cardinality is bounded by the
+    value range × scale rather than the row count. The reported bin is a
+    deterministic underestimate of the true quantile by < 1/scale — and
+    because the binning rule is fixed, the DuckDB oracle reproduces the
+    "approximate" answer exactly. Returns (q_pm, bin)."""
+
+    def to_bins(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy()
+        return pa.table({"bin": pa.array(np.floor(v * scale).astype(np.int64))})
+
+    binned = ds.map_batches(to_bins, batch_format="pyarrow")
+    return quantiles_exact(binned, "bin", q_pm=q_pm)
+
+
 def grouped_top_k(
     ds,
     *,

@@ -169,3 +169,43 @@ def test_decontaminate_drops_only_leaked_docs(ray_session):
     ev = rd.from_items([{"doc_id": 100, "text": "prefix " + leak + " suffix"}])
     out = decontaminate(train, ev, ngram=8, n_buckets=4).to_pandas()
     assert sorted(out.doc_id.tolist()) == [2, 3]
+
+
+def test_bloom_new_docs_no_false_negatives_and_block_merge(ray_session):
+    """Exact snapshot dups are ALWAYS dropped (Bloom has no false
+    negatives) even when the snapshot spans many blocks; unique docs
+    survive at a generous m_bits."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import bloom_new_docs
+
+    snap = rd.from_items(
+        [{"doc_id": i, "text": f"snapshot doc {i}"} for i in range(50)]
+    ).repartition(8)  # bit-array partials must OR across blocks
+    new = rd.from_items(
+        [{"doc_id": 100, "text": "snapshot doc 7"},    # exact dup → dropped
+         {"doc_id": 101, "text": "genuinely new doc"}]  # unique → kept
+    )
+    out = bloom_new_docs(new, snap, m_bits=1 << 20).to_pandas()
+    assert out.doc_id.tolist() == [101]
+
+
+def test_rarity_score_hand_computed(ray_session):
+    """rarity = sum over token instances of 1e9 // global_tf."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import rarity_score
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a a b"},  # a:3 total, b:1 → 2*(1e9//3) + 1e9
+            {"doc_id": 2, "text": "a"},      # 1e9//3
+            {"doc_id": 3, "text": ""},       # token-less → no row
+        ]
+    )
+    out = rarity_score(ds, n_buckets=4).to_pandas().sort_values("doc_id")
+    third = 1_000_000_000 // 3
+    assert list(zip(out.doc_id, out.rarity)) == [
+        (1, 2 * third + 1_000_000_000),
+        (2, third),
+    ]

@@ -535,3 +535,24 @@ def test_grouped_mode_tie_break(ray_session):
     )
     assert out["mode_event_type"].tolist() == ["a", "z"]
     assert out["n"].tolist() == [2, 2]
+
+
+def test_quantiles_binned_definition(ray_session):
+    """Binned sketch == quantiles of floor(value·scale) bins, verified
+    against a naive sorted-array model on continuous floats."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_binned
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 37.7, size=5000)
+    ds = rd.from_items([{"value": float(v)} for v in vals]).repartition(8)
+    out = quantiles_binned(ds, "value", scale=10).sort_values("q_pm")
+
+    bins = np.sort(np.floor(vals * 10).astype(np.int64))
+    for q, b in zip(out.q_pm, out.bin):
+        k = -(-q * len(bins) // 1000)  # ceil
+        assert b == bins[k - 1], q
+        # sketch error bound: bin/scale is within 1/scale of the true quantile
+        true_q = np.sort(vals)[k - 1]
+        assert abs(b / 10 - true_q) <= 0.1 + 1e-9
