@@ -120,6 +120,9 @@ def run_bench() -> dict:
         "user_running_value",
         "fuzzy_dedup_survivors",
         "daily_active_users",
+        "semantic_dedup",
+        "bloom_new_docs",
+        "rarity_score",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:

@@ -65,6 +65,14 @@ SUBSET = [
     "funnel_counts",
     "user_mode_event",
     "doc_ttr",
+    "priority_sample",
+    "decontaminate",
+    "rarity_score",
+    "bloom_new_docs",
+    "value_quantiles_binned",
+    "frame_checksums",
+    "audio_energy",
+    "semantic_dedup",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
