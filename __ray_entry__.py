@@ -330,6 +330,35 @@ def _priority_sample(sf_dir: str):
     )
 
 
+def _profile_documents(sf_dir: str):
+    """ANALYZE-style one-pass column profile of the documents table."""
+    from sanskrit_ocr_ray.stages.profile import profile_table
+
+    return profile_table(
+        _tbl(sf_dir, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _validate_documents(sf_dir: str):
+    """Data-quality gate: per-rule violation counts over documents."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from sanskrit_ocr_ray.stages.profile import validate_rows
+
+    rules = {
+        "doc_id_nonneg": lambda t: _pc.greater_equal(t["doc_id"], 0),
+        "lang_latin_script": lambda t: _pc.is_in(
+            t["lang"], value_set=pa.array(["en", "de", "fr", "es"])
+        ),
+        "n_chars_matches_text": lambda t: _pc.equal(
+            _pc.utf8_length(t["text"]), t["n_chars"]
+        ),
+        "text_nonempty": lambda t: _pc.greater(_pc.utf8_length(t["text"]), 0),
+    }
+    return validate_rows(_tbl(sf_dir, "documents"), rules)
+
+
 def _salient_terms(sf_dir: str):
     from sanskrit_ocr_ray.stages.hygiene import salient_terms
 
@@ -1407,6 +1436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _incremental_dedup,
         "bloom_new_docs": _bloom_new_docs,
         "rarity_score": _rarity_score,
+        "profile_documents": _profile_documents,
+        "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
         "kgram_dup_spans": _kgram_dup_spans,
         "vocab_build": _vocab_build,
@@ -2185,6 +2216,32 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
+""",
+        "profile_documents": """
+SELECT 'doc_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(doc_id) AS n_null,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_s, CAST(MAX(doc_id) AS VARCHAR) AS max_s FROM documents
+UNION ALL
+SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), MIN(text), MAX(text) FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), MIN(lang), MAX(lang) FROM documents
+UNION ALL
+SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), MIN(source), MAX(source) FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+""",
+        "validate_documents": """
+SELECT 'doc_id_nonneg' AS rule,
+       CAST(COUNT(*) FILTER (WHERE (doc_id >= 0) IS NOT TRUE) AS BIGINT) AS n_violations FROM documents
+UNION ALL
+SELECT 'lang_latin_script',
+       CAST(COUNT(*) FILTER (WHERE (lang IN ('en','de','fr','es')) IS NOT TRUE) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text',
+       CAST(COUNT(*) FILTER (WHERE (length(text) = n_chars) IS NOT TRUE) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'text_nonempty',
+       CAST(COUNT(*) FILTER (WHERE (length(text) > 0) IS NOT TRUE) AS BIGINT) FROM documents
 """,
         "bloom_new_docs": """
 WITH snapb AS (

@@ -1,0 +1,124 @@
+"""Table profiling + data-quality validation (engine utility operators).
+
+The "ANALYZE TABLE" / expectation-check pair every production pipeline
+runs before and after a big job: a one-pass per-column profile (row
+count, null count, min/max) and per-rule violation counts. Both are
+single streaming passes of mergeable partials — per-batch aggregates
+fold in one tiny final step, nothing proportional to the corpus ever
+co-locates. The reference has no profiling at all (its ETL trusts its
+inputs, datagen/h5_to_parquet.py); both operators carry exact DuckDB
+oracles like every other query in this engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def profile_table(ds, columns: list[str]):
+    """One-pass column profile → one row per column:
+    ``(col, n, n_null, min_s, max_s)`` with min/max rendered as strings
+    (numeric columns compare numerically BEFORE rendering, so the result
+    equals SQL ``MIN/MAX`` + ``CAST(... AS VARCHAR)``).
+
+    Scale shape: per-batch partial profile (5 scalars per column), one
+    tiny driver fold over ≤ #blocks × #columns rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"col": [], "n": [], "n_null": [], "min_s": [], "max_s": [], "num": []}
+        for c in columns:
+            arr = batch[c]
+            n = len(arr)
+            n_null = arr.null_count
+            valid = arr.drop_null()
+            is_num = pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)
+            if len(valid) == 0:
+                mn = mx = None
+            elif is_num:
+                v = valid.to_numpy(zero_copy_only=False)
+                mn, mx = v.min(), v.max()
+            else:
+                v = valid.to_pylist()
+                mn, mx = min(v), max(v)
+            rows["col"].append(c)
+            rows["n"].append(n)
+            rows["n_null"].append(n_null)
+            rows["min_s"].append(None if mn is None else str(mn))
+            rows["max_s"].append(None if mx is None else str(mx))
+            rows["num"].append(is_num)
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], type=pa.string()),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "n_null": pa.array(rows["n_null"], type=pa.int64()),
+                "min_s": pa.array(rows["min_s"], type=pa.string()),
+                "max_s": pa.array(rows["max_s"], type=pa.string()),
+                "num": pa.array(rows["num"], type=pa.bool_()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for c, g in parts.groupby("col", sort=False):
+        is_num = bool(g["num"].iloc[0])
+        mins = g["min_s"].dropna()
+        maxs = g["max_s"].dropna()
+        if len(mins) == 0:
+            mn = mx = None
+        elif is_num:
+            # fold numerically (string '9' > '10' otherwise)
+            mn = str(min(mins, key=float))
+            mx = str(max(maxs, key=float))
+        else:
+            mn, mx = min(mins), max(maxs)
+        out.append(
+            {
+                "col": c,
+                "n": int(g["n"].sum()),
+                "n_null": int(g["n_null"].sum()),
+                "min_s": mn,
+                "max_s": mx,
+            }
+        )
+    res = pd.DataFrame(out, columns=["col", "n", "n_null", "min_s", "max_s"])
+    res["n"] = res["n"].astype(np.int64)
+    res["n_null"] = res["n_null"].astype(np.int64)
+    return res
+
+
+def validate_rows(ds, rules: dict[str, object]):
+    """Data-quality gate: count rows VIOLATING each named rule →
+    one row ``(rule, n_violations)`` per rule (0 rows violating is
+    still reported). Each rule is a vectorized predicate
+    ``pa.Table -> pa.BooleanArray`` (True = row PASSES).
+
+    Scale shape: all rules evaluate in the same single pass per batch
+    (one scan, R booleans per row, R int partials per batch), folded in
+    one tiny driver step.
+    """
+    names = list(rules)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        viol = []
+        for name in names:
+            ok = rules[name](batch)
+            if isinstance(ok, pa.ChunkedArray):
+                ok = ok.combine_chunks()
+            ok_np = np.asarray(ok.to_pylist(), dtype=object)
+            # NULL predicate results count as violations (SQL semantics:
+            # a row passes only when the predicate is TRUE)
+            viol.append(int(sum(1 for x in ok_np if x is not True)))
+        return pa.table(
+            {
+                "rule": pa.array(names, type=pa.string()),
+                "n_violations": pa.array(viol, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("rule", as_index=False)["n_violations"].sum()
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    return out.sort_values("rule").reset_index(drop=True)

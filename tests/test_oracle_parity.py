@@ -73,6 +73,8 @@ SUBSET = [
     "frame_checksums",
     "audio_energy",
     "semantic_dedup",
+    "profile_documents",
+    "validate_documents",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -1,0 +1,42 @@
+"""Table profiling + validation gate: planted nulls, numeric fold, rules."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def test_profile_table_nulls_and_numeric_fold(ray_session):
+    """Numeric columns fold min/max numerically across blocks (not as
+    strings — '9' vs '10'); null counts aggregate."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.profile import profile_table
+
+    ds = rd.from_items(
+        [{"v": 9, "s": "b"}, {"v": 10, "s": None}, {"v": None, "s": "a"}]
+    ).repartition(3)  # one row per block → cross-block folding is exercised
+    out = profile_table(ds, ["v", "s"]).set_index("col")
+    assert out.loc["v", "n"] == 3 and out.loc["v", "n_null"] == 1
+    assert out.loc["v", "min_s"] == "9" and out.loc["v", "max_s"] == "10"
+    assert out.loc["s", "n_null"] == 1
+    assert out.loc["s", "min_s"] == "a" and out.loc["s", "max_s"] == "b"
+
+
+def test_validate_rows_counts_violations_and_nulls(ray_session):
+    """A NULL predicate result counts as a violation (SQL IS NOT TRUE)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.profile import validate_rows
+
+    ds = rd.from_items(
+        [{"x": 5, "t": "ok"}, {"x": -1, "t": ""}, {"x": None, "t": "y"}]
+    ).repartition(2)
+    out = validate_rows(
+        ds,
+        {
+            "x_nonneg": lambda t: pc.greater_equal(t["x"], 0),  # -1 and NULL
+            "t_nonempty": lambda t: pc.greater(pc.utf8_length(t["t"]), 0),
+        },
+    ).set_index("rule")
+    assert out.loc["x_nonneg", "n_violations"] == 2
+    assert out.loc["t_nonempty", "n_violations"] == 1
