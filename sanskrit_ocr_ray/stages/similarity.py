@@ -454,50 +454,61 @@ def semantic_dedup(
     one row ``(vec_id, cluster_size)`` per SURVIVING vector, keeper =
     min-id member of each component (singletons survive with size 1).
 
-    Composition, all distributed:
-      1. :func:`embedding_dup_pairs` — within-block tiled cosine pairs
-         (the SemDeDup "cluster then compare within cluster" blocking);
-      2. connected components via the same BSP hash-to-min label
-         propagation the MinHash path uses (`dedup._components_bsp` —
-         edges pinned in the object store, no driver union-find);
-      3. one bounded-bucket shuffle keyed on the representative for the
-         vectorized per-component size count (`fuzzy_dedup_survivors`
-         shape).
+    Key partitioning fact this op exploits (and documents): near-dup
+    edges exist ONLY within a ``block_col`` block (the SemDeDup "compare
+    within cluster" blocking), so connected components are block-local —
+    no global label propagation is needed (contrast MinHash LSH, whose
+    band buckets cross-cut docs and force the BSP pass in
+    `dedup._components_bsp`). Each block computes its own components in
+    one task: tiled bounded matmuls for the edge list (same memory cap
+    as :func:`embedding_dup_pairs`), then a path-compressing union-find
+    over ≤ block-side ids — task-local, bounded by the block, never on
+    the driver. One bounded-bucket shuffle keyed on the representative
+    then counts component sizes.
 
     The reference has no embedding ops at all; this is the
     mission-mandated embedding-cosine near-dup made end-to-end.
     """
-    from .dedup import _components_bsp, bucketed_aggregate
+    from .dedup import bucketed_aggregate
     from ..util import typed_empty
 
-    pairs = embedding_dup_pairs(
-        ds,
-        threshold_x1e6=threshold_x1e6,
-        block_col=block_col,
-        id_col=id_col,
-        col=col,
-        tile=tile,
-    )
-    edges = pairs.map_batches(
-        lambda t: pa.table({"a": t["vec_a"], "b": t["vec_b"]}),
-        batch_format="pyarrow",
-    )
-    labels = _components_bsp(edges, pa.int64(), n_buckets=n_buckets)
+    empty_assign = typed_empty(**{id_col: np.int64, "rep": np.int64})
 
-    def self_rows(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch[id_col], "rep": batch[id_col]})
+    def block_components(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty_assign.copy()
+        g = group.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        mat = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in g[col]]))
+        n = len(ids)
+        parent = np.arange(n, dtype=np.int64)
 
-    from ray.data import Dataset  # noqa: F401  (type context only)
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
 
-    assign = bucketed_aggregate(
-        ds.select_columns([id_col])
-        .map_batches(self_rows, batch_format="pyarrow")
-        .union(labels.select_columns(["node", "rep"])),
-        ["node"],
-        lambda df: df.groupby("node", as_index=False)["rep"].min(),
-        n_buckets=n_buckets,
-        empty=typed_empty(node=np.int64, rep=np.int64),
-        coalesce_first=False,
+        for t0 in range(0, n, tile):
+            a_mat = mat[t0 : t0 + tile]
+            for t1 in range(t0, n, tile):
+                sims = a_mat @ mat[t1 : t1 + tile].T
+                if t1 == t0:
+                    ia, ib = np.triu_indices(sims.shape[0], 1, sims.shape[1])
+                else:
+                    ia, ib = np.indices(sims.shape).reshape(2, -1)
+                scaled = np.floor(sims[ia, ib] * 1e6 + 0.5)
+                keep = scaled >= threshold_x1e6
+                for i, j in zip((t0 + ia[keep]).tolist(), (t1 + ib[keep]).tolist()):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        # ids are sorted by position → min pos = min id
+                        parent[max(ri, rj)] = min(ri, rj)
+        rep = np.fromiter((ids[find(i)] for i in range(n)), dtype=ids.dtype, count=n)
+        return pd.DataFrame({id_col: ids, "rep": rep})
+
+    assign = ds.groupby(block_col).map_groups(
+        block_components, batch_format="pandas"
     )
 
     empty = typed_empty(**{id_col: np.int64, "cluster_size": np.int64})
