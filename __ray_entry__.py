@@ -640,6 +640,13 @@ def _value_quantiles_binned(sf_dir: str):
     return quantiles_binned(_tbl(sf_dir, "events", ["value"]), "value", scale=10)
 
 
+def _user_active_time(sf_dir: str):
+    """Union of per-user 5-min activity intervals (gaps-and-islands)."""
+    from sanskrit_ocr_ray.stages.relational import interval_coverage
+
+    return interval_coverage(_tbl(sf_dir, "events", ["user_id", "ts"]), dur_s=300)
+
+
 def _asof_view_before_purchase(sf_dir: str):
     import pyarrow.compute as _pc
 
@@ -1470,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _user_event_paths,
         "daily_active_users": _daily_active_users,
         "sliding_distinct_users": _sliding_distinct_users,
+        "user_active_time": _user_active_time,
         "dod_retention": _dod_retention,
         "value_percent_rank": _value_percent_rank,
         "value_histogram": _value_histogram,
@@ -2216,6 +2224,30 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE CAST(floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5) AS BIGINT) >= 300000
+""",
+        "user_active_time": """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS st, epoch_us(ts) + 300 * 1000000 AS en FROM events
+), o AS (
+  SELECT user_id, st, en,
+         MAX(en) OVER (PARTITION BY user_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM s
+), g AS (
+  SELECT user_id, st, en,
+         CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS ni
+  FROM o
+), i AS (
+  SELECT user_id, st, en,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY st
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM g
+), ext AS (
+  SELECT user_id, isl, MAX(en) - MIN(st) AS cov FROM i GROUP BY user_id, isl
+)
+SELECT user_id, CAST(SUM(cov) // 1000000 AS BIGINT) AS active_s,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM ext GROUP BY user_id
 """,
         "profile_documents": """
 SELECT 'doc_id' AS col, COUNT(*) AS n, COUNT(*) - COUNT(doc_id) AS n_null,

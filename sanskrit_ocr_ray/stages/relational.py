@@ -1587,3 +1587,78 @@ def grouped_mode(
         .groupby("__wb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def interval_coverage(
+    ds,
+    *,
+    group: str = "user_id",
+    start: str = "ts",
+    dur_s: int = 300,
+    n_buckets: int = 64,
+):
+    """Union of per-group time intervals (the "merge overlapping
+    intervals" / gaps-and-islands op): each row opens an interval
+    ``[start, start + dur_s)``; overlapping/touching intervals within a
+    group merge, and the result is one row
+    ``(group, active_s, n_islands)`` per group — total covered seconds
+    and the number of disjoint activity islands. The user-active-time /
+    coverage metric behavioral analytics runs; SQL needs a two-window
+    islands construction for it (mirrored exactly in the oracle).
+
+    Scale shape, same bounded-bucket window as ``lag_gaps``: one shuffle
+    on ``hash(group) % B``, then per bucket ONE vectorized pass —
+    mergesort by (group, start), running-max of interval ends via
+    ``groupby().cummax``, island ids as a cumulative sum of gap flags,
+    and a two-level groupby for island extents. No per-group dispatch;
+    group cardinality is unbounded.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = (fast_hash_u64(batch[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        us = pc.cast(pc.cast(batch[start], pa.timestamp("us")), pa.int64())
+        return pa.table({group: batch[group], "__st": us, "__wb": pa.array(b)})
+
+    empty = typed_empty(
+        **{group: np.int64, "active_s": np.int64, "n_islands": np.int64}
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        g = g.sort_values([group, "__st"], kind="mergesort").reset_index(drop=True)
+        st = g["__st"].to_numpy()
+        en = st + dur_s * 1_000_000
+        # running max of ends strictly BEFORE each row, within the group
+        # (cythonized groupby.cummax + groupby.shift — no per-group apply)
+        tmp = g.assign(__en=en)
+        tmp["__cm"] = tmp.groupby(group, sort=False)["__en"].cummax()
+        prev_max = tmp.groupby(group, sort=False)["__cm"].shift(1)
+        new_island = prev_max.isna() | (st > prev_max.to_numpy())
+        island = new_island.cumsum()  # global ids (groups are contiguous)
+        d = pd.DataFrame(
+            {group: g[group], "__isl": island, "__st": st, "__en": en}
+        )
+        ext = d.groupby([group, "__isl"], sort=False).agg(
+            s=("__st", "min"), e=("__en", "max")
+        )
+        ext["cov"] = ext["e"] - ext["s"]
+        out = ext.reset_index().groupby(group, as_index=False).agg(
+            active_us=("cov", "sum"), n_islands=("__isl", "count")
+        )
+        return pd.DataFrame(
+            {
+                group: out[group].to_numpy(),
+                "active_s": (out["active_us"] // 1_000_000).astype(np.int64),
+                "n_islands": out["n_islands"].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", batch_size=None)
+        .groupby("__wb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

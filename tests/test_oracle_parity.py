@@ -75,6 +75,7 @@ SUBSET = [
     "semantic_dedup",
     "profile_documents",
     "validate_documents",
+    "user_active_time",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

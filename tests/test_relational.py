@@ -556,3 +556,39 @@ def test_quantiles_binned_definition(ray_session):
         # sketch error bound: bin/scale is within 1/scale of the true quantile
         true_q = np.sort(vals)[k - 1]
         assert abs(b / 10 - true_q) <= 0.1 + 1e-9
+
+
+def test_interval_coverage_islands(ray_session):
+    """Overlapping/touching intervals merge; disjoint ones count as
+    separate islands; coverage is the union length."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import interval_coverage
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(uid, sec):
+        return {"user_id": uid, "ts": base + pd.Timedelta(seconds=sec)}
+
+    ds = rd.from_items(
+        [
+            # user 1: [0,300) ∪ [200,500) merge → 500s; [1000,1300) separate
+            ev(1, 0), ev(1, 200), ev(1, 1000),
+            # user 2: touching intervals [0,300) + [300,600) merge → 600s
+            ev(2, 0), ev(2, 300),
+            # user 3: duplicate starts collapse into one island
+            ev(3, 50), ev(3, 50),
+        ]
+    ).repartition(3)
+    out = (
+        interval_coverage(ds, dur_s=300, n_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.user_id, out.active_s, out.n_islands)) == [
+        (1, 800, 2),
+        (2, 600, 1),
+        (3, 300, 1),
+    ]
