@@ -45,15 +45,17 @@ _FIXTURE_CACHE = "/tmp/sxray_fixtures"
 _N_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 600}
 
 
-def _tbl(sf_dir: str, name: str, columns=None):
+def _tbl(sf_dir: str, name: str, columns=None, row_filter=None):
     from sanskrit_ocr_ray.sources.tables import read_table
 
     # Lance-or-Parquet dispatch (sources/tables.py): the driver's testdata
     # is Parquet; a .lance dataset at the same path reads identically
     lance_path = os.path.join(sf_dir, f"{name}.lance")
     if os.path.isdir(lance_path):
-        return read_table(lance_path, columns=columns)
-    return read_table(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+        return read_table(lance_path, columns=columns, row_filter=row_filter)
+    return read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns, row_filter=row_filter
+    )
 
 
 def _pdf(sf_dir: str, name: str, columns=None):
@@ -587,42 +589,32 @@ def _revenue_rollup(sf_dir: str):
 _SNAPSHOT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
+def _snap_new_split(sf_dir: str):
+    """(snapshot, new-crawl) document Datasets with the source predicate
+    PUSHED INTO the parquet scan (row-group pruning; the filter column
+    never leaves storage) — not a post-read filter."""
+    import pyarrow.dataset as _pds
+
+    in_snap = _pds.field("source").isin(list(_SNAPSHOT_SOURCES))
+    snap = _tbl(sf_dir, "documents", ["doc_id", "text"], row_filter=in_snap)
+    new = _tbl(sf_dir, "documents", ["doc_id", "text"], row_filter=~in_snap)
+    return snap, new
+
+
 def _incremental_dedup(sf_dir: str):
     """New crawl (src5..src19) deduped against the snapshot (src0..src4)."""
-    import pyarrow as pa
-    import pyarrow.compute as _pc
-
     from sanskrit_ocr_ray.stages.hygiene import incremental_dedup
 
-    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
-    in_snap = lambda t: _pc.is_in(  # noqa: E731
-        t["source"], value_set=pa.array(list(_SNAPSHOT_SOURCES))
-    )
-    snap = docs.map_batches(
-        lambda t: t.filter(in_snap(t)), batch_format="pyarrow"
-    )
-    new = docs.map_batches(
-        lambda t: t.filter(_pc.invert(in_snap(t))), batch_format="pyarrow"
-    )
+    snap, new = _snap_new_split(sf_dir)
     return incremental_dedup(new, snap)
 
 
 def _bloom_new_docs(sf_dir: str):
     """Bloom pre-gate for incremental dedup: definitely-new crawl docs
     (deterministic md5 hash family → the false-positive set is exact)."""
-    import pyarrow as pa
-    import pyarrow.compute as _pc
-
     from sanskrit_ocr_ray.stages.hygiene import bloom_new_docs
 
-    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "source"])
-    in_snap = lambda t: _pc.is_in(  # noqa: E731
-        t["source"], value_set=pa.array(list(_SNAPSHOT_SOURCES))
-    )
-    snap = docs.map_batches(lambda t: t.filter(in_snap(t)), batch_format="pyarrow")
-    new = docs.map_batches(
-        lambda t: t.filter(_pc.invert(in_snap(t))), batch_format="pyarrow"
-    )
+    snap, new = _snap_new_split(sf_dir)
     return bloom_new_docs(new, snap)
 
 

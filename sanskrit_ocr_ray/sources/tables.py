@@ -33,13 +33,17 @@ def lance_available() -> bool:
         return False
 
 
-def read_table(path: str, *, columns: list[str] | None = None):
+def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
     """Read an interleaved-docs (or media/any engine) table by path.
 
     ``path`` may point at a Lance dataset dir (``*.lance`` or containing
     a ``_versions`` marker), a Parquet directory, or a single Parquet
     file. Returns a ``ray.data.Dataset`` with ``columns`` projected at
-    the read.
+    the read. ``row_filter`` (a ``pyarrow.dataset`` expression) is pushed
+    into the scan so row groups that cannot match never leave storage —
+    at 100 TB a post-read ``filter()`` on a partitioning-adjacent column
+    (source, date, shard) wastes the whole scan; the filter column does
+    NOT need to be in ``columns``.
     """
     import ray.data as rd
 
@@ -52,5 +56,9 @@ def read_table(path: str, *, columns: list[str] | None = None):
                 f"{path} is a Lance dataset but the 'lance' package is not "
                 "installed; install pylance or convert to Parquet"
             )
+        if row_filter is not None:
+            # read_lance takes a SQL-string filter; expression pushdown is
+            # parquet-path-only here — apply post-read for parity
+            return rd.read_lance(path, columns=columns).filter(expr=str(row_filter))
         return rd.read_lance(path, columns=columns)
-    return rd.read_parquet(path, columns=columns)
+    return rd.read_parquet(path, columns=columns, filter=row_filter)
