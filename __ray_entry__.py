@@ -644,14 +644,16 @@ def _asof_view_before_purchase(sf_dir: str):
 
     from sanskrit_ocr_ray.stages.relational import asof_join
 
-    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    purchases = ev.map_batches(
-        lambda t: t.filter(_pc.equal(t["event_type"], "purchase")),
-        batch_format="pyarrow",
+    import pyarrow.dataset as _pds
+
+    # event_type predicates pushed into the parquet scan (row-group
+    # pruning); the two sides are independent prunable reads
+    cols = ["event_id", "ts", "user_id"]
+    purchases = _tbl(
+        sf_dir, "events", cols, row_filter=_pds.field("event_type") == "purchase"
     )
-    views = ev.map_batches(
-        lambda t: t.filter(_pc.equal(t["event_type"], "view")),
-        batch_format="pyarrow",
+    views = _tbl(
+        sf_dir, "events", cols, row_filter=_pds.field("event_type") == "view"
     )
     out = asof_join(purchases, views, by="user_id", on="ts")
     return out.map_batches(
@@ -712,14 +714,16 @@ def _views_before_purchase_1h(sf_dir: str):
 
     from sanskrit_ocr_ray.stages.relational import range_join_count
 
-    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    purchases = ev.map_batches(
-        lambda t: t.filter(_pc.equal(t["event_type"], "purchase")),
-        batch_format="pyarrow",
+    import pyarrow.dataset as _pds
+
+    # event_type predicates pushed into the parquet scan (row-group
+    # pruning); the two sides are independent prunable reads
+    cols = ["event_id", "ts", "user_id"]
+    purchases = _tbl(
+        sf_dir, "events", cols, row_filter=_pds.field("event_type") == "purchase"
     )
-    views = ev.map_batches(
-        lambda t: t.filter(_pc.equal(t["event_type"], "view")),
-        batch_format="pyarrow",
+    views = _tbl(
+        sf_dir, "events", cols, row_filter=_pds.field("event_type") == "view"
     )
     out = range_join_count(
         purchases, views, by="user_id", on="ts", window_s=3600, out_col="n_views_1h"
