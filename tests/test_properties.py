@@ -58,3 +58,64 @@ def test_span_count_preserved_by_normalizer(s):
     step) — count preservation for text spans."""
     arr = np.array([s, s, s], dtype=object)
     assert len(normalize_devanagari(arr)) == 3
+
+
+def test_interval_coverage_random_vs_naive(ray_session):
+    """Randomized intervals vs a naive per-user merge on the driver —
+    catches tie/adjacency edge cases a fixed fixture misses."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import interval_coverage
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    dur = 40
+    rows = []
+    for _ in range(400):
+        uid = int(rng.integers(0, 25))
+        sec = int(rng.integers(0, 500))
+        rows.append({"user_id": uid, "ts": pd.Timestamp((base + sec * 1_000_000) * 1000)})
+    ds = rd.from_items(rows).repartition(7)
+    out = (
+        interval_coverage(ds, dur_s=dur, n_buckets=4)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+    # naive model
+    expect = {}
+    byu = {}
+    for r in rows:
+        byu.setdefault(r["user_id"], []).append(r["ts"].value // 1000)
+    for uid, sts in byu.items():
+        ivs = sorted((s, s + dur * 1_000_000) for s in sts)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        expect[uid] = (sum(e - s for s, e in merged) // 1_000_000, len(merged))
+    got = {int(r.user_id): (int(r.active_s), int(r.n_islands)) for r in out.itertuples()}
+    assert got == expect
+
+
+def test_priority_sample_subset_invariance(ray_session):
+    """Removing non-selected rows must not change the selected sample
+    (the property that makes priority sampling resumable/incremental)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import priority_sample
+
+    rows = [{"doc_id": i, "n_chars": (i * 7) % 23 + 1} for i in range(300)]
+    ds_all = rd.from_items(rows).repartition(6)
+    picked = priority_sample(ds_all, k=15).to_pandas()
+    keep_ids = set(picked.doc_id.tolist())
+    # drop half of the NON-selected rows
+    survivors = [r for i, r in enumerate(rows) if r["doc_id"] in keep_ids or i % 2 == 0]
+    ds_sub = rd.from_items(survivors).repartition(4)
+    picked2 = priority_sample(ds_sub, k=15).to_pandas()
+    assert picked2.doc_id.tolist() == picked.doc_id.tolist()
