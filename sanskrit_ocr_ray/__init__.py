@@ -49,9 +49,16 @@ def _register_for_ray() -> None:
         "stages.similarity",
         "stages.multimodal",
         "stages.relational",
+        "stages.corpus",
+        "stages.hygiene",
+        "stages.sketch",
+        "stages.profile",
+        "stages.webdoc",
         "pipelines.extract",
         "pipelines.config",
         "sources.text",
+        "sources.tables",
+        "sources.backgrounds",
         "state.manifest",
     ]
     for name in submodules:
