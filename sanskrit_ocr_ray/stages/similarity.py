@@ -27,8 +27,13 @@ def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(len(batch), -1)
+    if hasattr(arr, "values"):  # list<float> layout (parquet tables)
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(batch), -1)
+    # Ray ArrowTensorArray extension layout (from_items over ndarrays)
+    return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64).reshape(
+        len(batch), -1
+    )
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -466,11 +471,32 @@ def semantic_dedup(
     the driver. One bounded-bucket shuffle keyed on the representative
     then counts component sizes.
 
+    ``block_col=None`` is the label-less path — SemDeDup proper: train
+    the seeded k-means-lite quantizer (`kmeans_lite`, same one IVF uses),
+    broadcast the centroids once with ``ray.put``, and block on the
+    per-batch nearest-centroid assignment. Dedup is then within-cluster
+    only (a pair straddling a centroid boundary is not compared) — the
+    paper's semantics, and the documented accuracy/cost trade.
+
     The reference has no embedding ops at all; this is the
     mission-mandated embedding-cosine near-dup made end-to-end.
     """
     from .dedup import bucketed_aggregate
     from ..util import typed_empty
+
+    if block_col is None:
+        import ray
+
+        cent_ref = ray.put(kmeans_lite(ds, n_centroids=max(2, n_buckets // 4), col=col))
+
+        def assign_block(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _normalize_rows(_batch_matrix(batch, col))
+            blk = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            return batch.append_column("__blk", pa.array(blk))
+
+        ds = ds.map_batches(assign_block, batch_format="pyarrow")
+        block_col = "__blk"
 
     empty_assign = typed_empty(**{id_col: np.int64, "rep": np.int64})
 

@@ -190,3 +190,26 @@ def test_semantic_dedup_matches_naive_union_find(emb_ds):
     # the planted near-dup of vec 0 must have been collapsed
     assert 999 not in out.vec_id.tolist()
     assert out.loc[out.vec_id == 0, "cluster_size"].iloc[0] >= 2
+
+
+def test_semantic_dedup_label_less_kmeans_blocking(emb_ds, ray_session):
+    """block_col=None trains the k-means quantizer for blocking (SemDeDup
+    proper): an exact duplicate pair always lands in one cluster and
+    collapses; output still covers every vector exactly once."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import semantic_dedup
+
+    df = emb_ds.to_pandas()
+    rows = [
+        {"vec_id": int(r.vec_id), "embedding": [float(x) for x in r.embedding], "label": int(r.label)}
+        for r in df.itertuples()
+    ]
+    # plant an EXACT duplicate of vec 3 (identical vector → identical
+    # centroid assignment by construction)
+    dup = dict(next(r for r in rows if r["vec_id"] == 3), vec_id=888)
+    ds = rd.from_items(rows + [dup])
+    out = semantic_dedup(ds, block_col=None, threshold_x1e6=999_000, n_buckets=16).to_pandas()
+    assert out.cluster_size.sum() == len(df) + 1  # every vector assigned once
+    assert 888 not in out.vec_id.tolist()         # dup collapsed into keeper 3
+    assert out.loc[out.vec_id == 3, "cluster_size"].iloc[0] >= 2
