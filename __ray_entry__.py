@@ -940,13 +940,22 @@ def _nearest_centroid(sf_dir: str):
 
 
 def _q1(sf_dir: str):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.dataset as _pds
+
     from sanskrit_ocr_ray.stages.relational import q1_pricing
 
+    # the date predicate is ALSO pushed into the scan (row-group pruning on
+    # the biggest table); the stage re-applies it for standalone use
+    cut = _pds.field("l_shipdate") <= pa.scalar(datetime.datetime(1998, 9, 2))
     return q1_pricing(
         _tbl(
             sf_dir,
             "lineitem",
             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+            row_filter=cut,
         )
     )
 
