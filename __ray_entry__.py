@@ -586,6 +586,16 @@ def _revenue_rollup(sf_dir: str):
     )
 
 
+def _revenue_cube(sf_dir: str):
+    from sanskrit_ocr_ray.stages.relational import cube_aggregate
+
+    return cube_aggregate(
+        _tbl(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"]),
+        keys=["l_returnflag", "l_linestatus"],
+        value="l_extendedprice",
+    )
+
+
 _SNAPSHOT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
 
 
@@ -1465,6 +1475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": _doc_ttr,
         "docs_lang_pivot": _docs_lang_pivot,
         "revenue_rollup": _revenue_rollup,
+        "revenue_cube": _revenue_cube,
         # web-document main-content extraction (north rule's parenthetical)
         "html_strip": _html_strip,
         "html_main_content": _html_main,
@@ -2140,6 +2151,12 @@ SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        COALESCE(l_linestatus, 'ALL') AS l_linestatus,
        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+        "revenue_cube": """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """,
         "views_before_purchase_1h": """
 WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

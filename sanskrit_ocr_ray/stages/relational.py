@@ -926,6 +926,66 @@ def rollup_aggregate(
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
+def cube_aggregate(
+    ds,
+    *,
+    keys: list[str],
+    value: str,
+    sentinel: str = "ALL",
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(keys...)`` — the base aggregate plus a subtotal
+    for EVERY subset of the keys (2^k grouping sets), ``sentinel``
+    standing in for the cubed-away NULL. Same scale shape as
+    :func:`rollup_aggregate`: the corpus is read, partially aggregated
+    per batch and shuffled exactly once for the full-granularity
+    aggregate; all 2^k-1 coarser grouping sets derive from that (small)
+    base table on the driver — never extra corpus passes.
+    """
+    from itertools import combinations
+
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({k: batch[k].to_pylist() for k in keys})
+        df["value_c"] = _cents(batch[value].to_numpy())
+        return pa.Table.from_pandas(
+            df.groupby(keys, as_index=False)["value_c"].sum(),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    empty = typed_empty(**{**{k: object for k in keys}, "value_c": np.int64})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)["value_c"].sum()
+
+    base = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+    ).to_pandas()  # small by definition: one row per distinct key tuple
+
+    levels = [base]
+    for depth in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, depth):
+            kept = list(kept)
+            lv = (
+                base.groupby(kept, as_index=False)["value_c"].sum()
+                if kept
+                else pd.DataFrame({"value_c": [base["value_c"].sum()]})
+            )
+            for k in keys:
+                if k not in kept:
+                    lv[k] = sentinel
+            levels.append(lv[keys + ["value_c"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["value_c"] = out["value_c"].astype(np.int64)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
 def grouped_quantiles_exact(
     ds,
     key: str,

@@ -76,6 +76,7 @@ SUBSET = [
     "profile_documents",
     "validate_documents",
     "user_active_time",
+    "revenue_cube",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

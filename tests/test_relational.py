@@ -592,3 +592,27 @@ def test_interval_coverage_islands(ray_session):
         (2, 600, 1),
         (3, 300, 1),
     ]
+
+
+def test_cube_aggregate_all_grouping_sets(ray_session):
+    """CUBE emits every subset of the keys: base, each single-key
+    subtotal, and the grand total — verified against a naive model."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import cube_aggregate
+
+    rows = [
+        {"a": "x", "b": "p", "v": 1.0},
+        {"a": "x", "b": "q", "v": 2.0},
+        {"a": "y", "b": "p", "v": 4.0},
+    ]
+    out = cube_aggregate(
+        rd.from_items(rows).repartition(2), keys=["a", "b"], value="v", n_buckets=4
+    )
+    got = {(r.a, r.b): r.value_c for r in out.itertuples()}
+    assert got == {
+        ("x", "p"): 100, ("x", "q"): 200, ("y", "p"): 400,
+        ("x", "ALL"): 300, ("y", "ALL"): 400,
+        ("ALL", "p"): 500, ("ALL", "q"): 200,
+        ("ALL", "ALL"): 700,
+    }
