@@ -931,6 +931,16 @@ def _emb_dups(sf_dir: str):
     return embedding_dup_pairs(_tbl(sf_dir, "embeddings"))
 
 
+def _text_hash_dup_pairs(sf_dir: str):
+    """Model-free semantic text dup pairs: hashed n-gram embeddings +
+    integer-exact cosine-threshold predicate, blocked by lang."""
+    from sanskrit_ocr_ray.stages.similarity import hashed_text_dup_pairs
+
+    return hashed_text_dup_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "lang"])
+    )
+
+
 def _semantic_dedup(sf_dir: str):
     """SemDeDup-style survivors over embedding-cosine components."""
     from sanskrit_ocr_ray.stages.similarity import semantic_dedup
@@ -1510,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _knn_lsh,
         "embedding_dup_pairs": _emb_dups,
         "semantic_dedup": _semantic_dedup,
+        "text_hash_dup_pairs": _text_hash_dup_pairs,
         "nearest_centroid": _nearest_centroid,
         # relational / streaming-shaped
         "q1_pricing": _q1,
@@ -2365,6 +2376,24 @@ WITH RECURSIVE p AS (
 )
 SELECT rep AS vec_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
 FROM comp GROUP BY rep
+""",
+        "text_hash_dup_pairs": """
+WITH tok AS (
+  SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, lang, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), dims AS (
+  SELECT doc_id, lang, ('0x' || substr(md5(gram), 1, 16))::UBIGINT % 64 AS d, COUNT(*) AS c
+  FROM g GROUP BY doc_id, lang, d
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.c * b.c) AS dot
+  FROM dims a JOIN dims b ON a.lang = b.lang AND a.d = b.d AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), norms AS (SELECT doc_id, SUM(c * c) AS n2 FROM dims GROUP BY doc_id)
+SELECT d.doc_a, d.doc_b
+FROM dots d JOIN norms x ON x.doc_id = d.doc_a JOIN norms y ON y.doc_id = d.doc_b
+WHERE d.dot > 0 AND 10000 * d.dot * d.dot >= 4900 * x.n2 * y.n2
 """,
         "priority_sample": """
 SELECT doc_id,

@@ -549,3 +549,82 @@ def semantic_dedup(
         assign, ["rep"], collapse, n_buckets=n_buckets, empty=empty,
         coalesce_first=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# integer-exact cosine-threshold text dup pairs over hashed embeddings
+# ---------------------------------------------------------------------------
+
+
+def hashed_text_dup_pairs(
+    ds,
+    *,
+    dim: int = 64,
+    ngram: int = 3,
+    threshold_pct: int = 70,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tile: int = 2048,
+):
+    """Model-free semantic text dup pairs: feature-hash each doc's
+    distinct n-gram shingles into an integer ``dim``-vector
+    (`text_analysis.hash_embed_batch`), then within each ``block_col``
+    block emit pairs whose cosine ≥ threshold — checked EXACTLY in
+    integers: ``cos(a,b) ≥ t/100  ⟺  dot > 0 ∧ 10000·dot² ≥
+    t²·‖a‖²·‖b‖²`` (dot and squared norms are int64; no float ever
+    enters the predicate, so the DuckDB oracle reproduces even boundary
+    pairs bit-for-bit). Returns (doc_a, doc_b) with doc_a < doc_b.
+
+    Scale shape: embedding is a shuffle-free map (text never shuffles —
+    only dim ints per doc); pair generation is the same tiled
+    bounded-matmul-per-block pattern as :func:`embedding_dup_pairs`
+    (int64 matmuls), so hot blocks never exceed tile² products held at
+    once.
+    """
+    from .text_analysis import hash_embed_batch
+
+    t2 = threshold_pct * threshold_pct
+
+    emb = ds.map_batches(
+        lambda b: hash_embed_batch(
+            b, dim=dim, ngram=ngram, id_col=id_col, text_col=text_col,
+            keep_cols=(block_col,),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)}
+        )
+        if group.empty:
+            return empty
+        g = group.sort_values(id_col).reset_index(drop=True)
+        ids = g[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, np.int64) for v in g["vec"]])
+        n2 = (mat * mat).sum(axis=1)
+        n = len(ids)
+        frames = []
+        for t0 in range(0, n, tile):
+            a = mat[t0 : t0 + tile]
+            for t1 in range(t0, n, tile):
+                dot = a @ mat[t1 : t1 + tile].T
+                if t1 == t0:
+                    ia, ib = np.triu_indices(dot.shape[0], 1, dot.shape[1])
+                else:
+                    ia, ib = np.indices(dot.shape).reshape(2, -1)
+                d = dot[ia, ib]
+                # int64-exact: dot,n2 ≤ (#distinct shingles)² — safe to
+                # ~12k shingles/doc (1e4·(1.4e8)² < 2^63); beyond that,
+                # chunk the doc first
+                keep = (d > 0) & (10000 * d * d >= t2 * n2[t0 + ia] * n2[t1 + ib])
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {"doc_a": ids[t0 + ia[keep]], "doc_b": ids[t1 + ib[keep]]}
+                        )
+                    )
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return emb.groupby(block_col).map_groups(block_pairs, batch_format="pandas")

@@ -20,7 +20,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..util import md5_u64, md5_hex16, tok_hash_cache
+from ..util import md5_u64, md5_u64_many, md5_hex16, tok_hash_cache
 
 # whitespace token + "BPE-ish" subword-shaped pieces (letters / digits /
 # single punctuation), compiled once per worker
@@ -268,3 +268,43 @@ def distinct_token_batch(batch: pa.Table, column: str = "text") -> pa.Table:
             "ttr_pm": pa.array(ttr),
         }
     )
+
+
+def hash_embed_batch(
+    batch: pa.Table,
+    *,
+    dim: int = 64,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
+) -> pa.Table:
+    """Feature-hashed n-gram embedding (the hashing trick, Weinberger et
+    al. 2009), INTEGER counts: ``vec[d] = #{distinct n-gram shingles g of
+    the doc : md5_u64(g) % dim == d}``. A deterministic, model-free text
+    embedding whose exact-integer arithmetic lets downstream cosine
+    thresholds be checked without floats — so "semantic" text dedup gets
+    the same exact DuckDB oracle as everything else. Token-less docs emit
+    no row (the oracles' tok-CTE convention)."""
+    out_id, out_vec, out_keep = [], [], {k: [] for k in keep_cols}
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    keeps = {k: batch[k].to_pylist() for k in keep_cols}
+    for i, (did, t) in enumerate(zip(ids, texts)):
+        toks = [w for w in (t or "").split(" ") if w]
+        grams = {" ".join(toks[j : j + ngram]) for j in range(len(toks) - ngram + 1)}
+        if not grams:
+            continue
+        d = (md5_u64_many(sorted(grams)) % np.uint64(dim)).astype(np.int64)
+        vec = np.bincount(d, minlength=dim).astype(np.int64)
+        out_id.append(did)
+        out_vec.append(vec.tolist())
+        for k in keep_cols:
+            out_keep[k].append(keeps[k][i])
+    cols = {
+        id_col: pa.array(out_id, type=pa.int64()),
+        "vec": pa.array(out_vec, type=pa.list_(pa.int64())),
+    }
+    for k in keep_cols:
+        cols[k] = pa.array(out_keep[k])
+    return pa.table(cols)

@@ -77,6 +77,7 @@ SUBSET = [
     "validate_documents",
     "user_active_time",
     "revenue_cube",
+    "text_hash_dup_pairs",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

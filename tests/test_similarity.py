@@ -213,3 +213,26 @@ def test_semantic_dedup_label_less_kmeans_blocking(emb_ds, ray_session):
     assert out.cluster_size.sum() == len(df) + 1  # every vector assigned once
     assert 888 not in out.vec_id.tolist()         # dup collapsed into keeper 3
     assert out.loc[out.vec_id == 3, "cluster_size"].iloc[0] >= 2
+
+
+def test_hashed_text_dup_pairs_planted(ray_session):
+    """Near-identical texts pair; unrelated texts don't; cross-block
+    (different lang) pairs never emit even for identical text."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import hashed_text_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": base, "lang": "en"},
+            {"doc_id": 2, "text": base + " extra", "lang": "en"},   # near-dup
+            {"doc_id": 3, "text": "совершенно другой текст без общих слов вообще нигде", "lang": "en"},
+            {"doc_id": 4, "text": base, "lang": "de"},              # other block
+        ]
+    ).repartition(2)
+    out = hashed_text_dup_pairs(ds, threshold_pct=70).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    assert all(4 not in p for p in pairs)
