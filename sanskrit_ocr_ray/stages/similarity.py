@@ -604,12 +604,16 @@ def hashed_text_dup_pairs(
         ids = g[id_col].to_numpy()
         mat = np.stack([np.asarray(v, np.int64) for v in g["vec"]])
         n2 = (mat * mat).sum(axis=1)
+        # matmul in float64 (BLAS; numpy int64 matmul has no SIMD path and
+        # is ~100× slower) — exact: every product/sum is an integer well
+        # under 2^53, so the rint→int64 round-trip is lossless
+        mat_f = mat.astype(np.float64)
         n = len(ids)
         frames = []
         for t0 in range(0, n, tile):
-            a = mat[t0 : t0 + tile]
+            a = mat_f[t0 : t0 + tile]
             for t1 in range(t0, n, tile):
-                dot = a @ mat[t1 : t1 + tile].T
+                dot = np.rint(a @ mat_f[t1 : t1 + tile].T).astype(np.int64)
                 if t1 == t0:
                     ia, ib = np.triu_indices(dot.shape[0], 1, dot.shape[1])
                 else:
