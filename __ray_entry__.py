@@ -990,6 +990,19 @@ def _rev_nation(sf_dir: str):
     )
 
 
+def _rev_region(sf_dir: str):
+    """4-table star join (lineitem ⋈ supplier ⋈ nation ⋈ region) via one
+    composed driver-side dim map, broadcast once."""
+    from sanskrit_ocr_ray.stages.relational import revenue_by_region
+
+    return revenue_by_region(
+        _tbl(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]),
+        _pdf(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _pdf(sf_dir, "nation", ["n_nationkey", "n_regionkey"]),
+        _pdf(sf_dir, "region", ["r_regionkey", "r_name"]),
+    )
+
+
 def _rev_brand(sf_dir: str):
     from sanskrit_ocr_ray.stages.relational import revenue_by_brand
 
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": _q1,
         "revenue_by_nation": _rev_nation,
         "revenue_by_brand": _rev_brand,
+        "revenue_by_region": _rev_region,
         "events_tumbling": _events_window,
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
@@ -2420,6 +2434,15 @@ SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
   FROM dist
 ) WHERE rn = 1
+""",
+        "revenue_by_region": """
+SELECT r.r_name AS r_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
 """,
         "q1_pricing": """
 SELECT l_returnflag, l_linestatus,

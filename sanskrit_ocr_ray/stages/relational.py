@@ -1722,3 +1722,48 @@ def interval_coverage(
         .groupby("__wb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def revenue_by_region(
+    lineitem_ds,
+    supplier_df: pd.DataFrame,
+    nation_df: pd.DataFrame,
+    region_df: pd.DataFrame,
+):
+    """lineitem ⋈ supplier ⋈ nation ⋈ region via ONE composed broadcast →
+    discounted revenue cents per region. The three dimension tables are
+    pre-joined DRIVER-side into a single suppkey→region-name map (dims
+    are small by definition; the fact table is the only side that
+    streams), broadcast once with ``ray.put`` — a 4-table star join with
+    zero shuffles beyond the final ≤ #regions-row groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_to_r = dict(zip(nation_df["n_nationkey"], nation_df["n_regionkey"]))
+    r_name = dict(zip(region_df["r_regionkey"], region_df["r_name"]))
+    supp_to_region = {
+        int(s): r_name[n_to_r[int(nk)]]
+        for s, nk in zip(supplier_df["s_suppkey"], supplier_df["s_nationkey"])
+    }
+    ref = ray.put(supp_to_region)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        sk = batch["l_suppkey"].to_numpy()
+        price = batch["l_extendedprice"].to_numpy()
+        disc = batch["l_discount"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "r_name": [lookup[int(s)] for s in sk],
+                "revenue_c": _cents(price * (1.0 - disc)),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("r_name", as_index=False).sum(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("r_name")
+        .aggregate(Sum("revenue_c", alias_name="revenue_c"))
+    )

@@ -78,6 +78,7 @@ SUBSET = [
     "user_active_time",
     "revenue_cube",
     "text_hash_dup_pairs",
+    "revenue_by_region",
 ]
 # NOT here: extract_e2e / multimodal_features oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
