@@ -116,6 +116,38 @@ def _audio_energy(sf_dir: str):
     return audio_energy(aud, window=256)
 
 
+def _span_kind_stats(sf_dir: str):
+    """Per-kind span counts straight off the input_hint interleaved-docs
+    schema (doc_id, spans list<struct<kind,text,media_ref,offset>>) —
+    zero-copy Arrow list flatten, per-batch partials, tiny groupby."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    fx = _fixture_for(sf_dir)
+    docs = rd.read_parquet(f"{fx}/docs.parquet").drop_columns(["part"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        kinds = spans.flatten().field("kind")
+        vc = kinds.value_counts()
+        return pa.table(
+            {
+                "kind": vc.field("values"),
+                "n_spans": pa.compute.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("n_spans", alias_name="n_spans"))
+    )
+
+
 def _multimodal_features(sf_dir: str):
     """FeatureExtractor actor pool over the fixture's media pages recast as
     generic multimodal payload rows (schema/plumbing test; rows-only)."""
@@ -1446,6 +1478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (non-SQL-expressible: image decode + OCR)
         "extract_e2e": _extract_flat,
         "multimodal_features": _multimodal_features,
+        "span_kind_stats": _span_kind_stats,
         "frame_checksums": _frame_checksums,
         "audio_energy": _audio_energy,
         # text normalization + dedup family over `documents`
@@ -1623,6 +1656,11 @@ SELECT query_id, rank, neighbor_id FROM (
 SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos,
        seq[r.i].kind AS kind, seq[r.i].text AS text, seq[r.i].media_ref AS media_ref
 FROM read_parquet('{fx}/golden.parquet') g, unnest(range(1, len(g.seq)+1)) AS r(i)
+""",
+        "span_kind_stats": f"""
+SELECT s.kind AS kind, CAST(COUNT(*) AS BIGINT) AS n_spans
+FROM (SELECT unnest(spans) AS s FROM read_parquet('{fx}/docs.parquet'))
+GROUP BY s.kind
 """,
         # raw8 decode of a fixture page always succeeds and the intensity
         # histogram has exactly n_bins=16 entries → constant columns
