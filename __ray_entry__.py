@@ -1022,6 +1022,13 @@ def _rev_nation(sf_dir: str):
     )
 
 
+def _orders_by_month(sf_dir: str):
+    """Calendar-month order series (count + revenue cents)."""
+    from sanskrit_ocr_ray.stages.relational import monthly_rollup
+
+    return monthly_rollup(_tbl(sf_dir, "orders", ["o_orderdate", "o_totalprice"]))
+
+
 def _rev_region(sf_dir: str):
     """4-table star join (lineitem ⋈ supplier ⋈ nation ⋈ region) via one
     composed driver-side dim map, broadcast once."""
@@ -1573,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _rev_nation,
         "revenue_by_brand": _rev_brand,
         "revenue_by_region": _rev_region,
+        "orders_by_month": _orders_by_month,
         "events_tumbling": _events_window,
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
@@ -2472,6 +2480,12 @@ SELECT vec_id, CAST(clabel AS BIGINT) AS assigned_label FROM (
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
   FROM dist
 ) WHERE rn = 1
+""",
+        "orders_by_month": """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+FROM orders GROUP BY month
 """,
         "revenue_by_region": """
 SELECT r.r_name AS r_name,

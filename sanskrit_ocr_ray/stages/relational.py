@@ -1767,3 +1767,38 @@ def revenue_by_region(
         .groupby("r_name")
         .aggregate(Sum("revenue_c", alias_name="revenue_c"))
     )
+
+
+def monthly_rollup(
+    ds,
+    *,
+    ts_col: str = "o_orderdate",
+    value_col: str = "o_totalprice",
+):
+    """Calendar-month time series: (month 'YYYY-MM', n, value_c sum).
+    Calendar bucketing is NOT epoch-window arithmetic (months vary in
+    length), so the bucket key comes from Arrow's temporal kernels
+    (year/month extraction — vectorized, no Python datetime per row);
+    per-batch partials then one ≤ #months groupby. The reporting query
+    every pipeline dashboard runs."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.timestamp("us"))
+        y = pc.year(ts).to_numpy(zero_copy_only=False)
+        m = pc.month(ts).to_numpy(zero_copy_only=False)
+        key = np.char.add(
+            np.char.add(y.astype("U4"), "-"),
+            np.char.zfill(m.astype("U2"), 2),
+        )
+        df = pd.DataFrame(
+            {"month": key, "n": 1, "value_c": _cents(batch[value_col].to_numpy())}
+        )
+        out = df.groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("month")
+        .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
+    )

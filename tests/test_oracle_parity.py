@@ -79,6 +79,7 @@ SUBSET = [
     "revenue_cube",
     "text_hash_dup_pairs",
     "revenue_by_region",
+    "orders_by_month",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
