@@ -78,6 +78,17 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+    # silence the known-cosmetic "RefBundle with a different schema"
+    # warnings Ray's sort operator emits for schema-less EMPTY blocks on
+    # key-sparse partitions (UDFs already return typed empties; the sort
+    # operator's own empties are outside our control) — keeps the bench
+    # artifact tail readable
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
     import ray.data as rd
 
     import __ray_entry__ as entry_mod
