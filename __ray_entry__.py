@@ -2065,10 +2065,10 @@ WITH tok AS (
   FROM sh
 )
 SELECT CAST(256 AS BIGINT) AS k,
-       CAST(CASE WHEN max(n) < 256 THEN max(n)
+       CAST(COALESCE(CASE WHEN max(n) < 256 THEN max(n)
                  ELSE (CAST(255 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT))
                       // CAST(max(CASE WHEN rn = 256 THEN hv END) AS HUGEINT)
-            END AS BIGINT) AS n_distinct_est
+            END, 0) AS BIGINT) AS n_distinct_est
 FROM s
 """,
         # 8-gram train→val contamination over the md5 hash split

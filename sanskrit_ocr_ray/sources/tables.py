@@ -57,8 +57,19 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
                 "installed; install pylance or convert to Parquet"
             )
         if row_filter is not None:
-            # read_lance takes a SQL-string filter; expression pushdown is
-            # parquet-path-only here — apply post-read for parity
-            return rd.read_lance(path, columns=columns).filter(expr=str(row_filter))
+            # read_lance has no pyarrow-expression pushdown; apply the SAME
+            # expression post-read per block (Table.filter accepts a
+            # pyarrow.dataset Expression), so both dispatch arms return
+            # identical rows. Stringifying the expression into Ray's
+            # filter-expr parser does NOT work (e.g. ~is_in renders as
+            # 'invert(...)', which the parser rejects).
+            import pyarrow as pa
+
+            def _apply(batch: pa.Table, _expr=row_filter) -> pa.Table:
+                return batch.filter(_expr)
+
+            return rd.read_lance(path, columns=columns).map_batches(
+                _apply, batch_format="pyarrow"
+            )
         return rd.read_lance(path, columns=columns)
     return rd.read_parquet(path, columns=columns, filter=row_filter)

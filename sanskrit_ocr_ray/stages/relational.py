@@ -89,7 +89,8 @@ def revenue_by_nation(orders_ds, customer_df: pd.DataFrame, nation_df: pd.DataFr
         lookup = ray.get(ref)
         cust = batch["o_custkey"].to_numpy()
         price = batch["o_totalprice"].to_numpy()
-        nk = np.fromiter((lookup[c] for c in cust), np.int64, len(cust))
+        # hashtable-vectorized dim lookup (pd.Series.map), no per-row Python hop
+        nk = pd.Series(cust).map(lookup).to_numpy(np.int64)
         df = pd.DataFrame({"n_nationkey": nk, "revenue_c": _cents(price)})
         return pa.Table.from_pandas(
             df.groupby("n_nationkey", as_index=False).sum(), preserve_index=False
@@ -121,7 +122,7 @@ def revenue_by_brand(lineitem_ds, part_df: pd.DataFrame):
         disc = batch["l_discount"].to_numpy()
         df = pd.DataFrame(
             {
-                "p_brand": [lookup[p] for p in pk],
+                "p_brand": pd.Series(pk).map(lookup),
                 "revenue_c": _cents(price * (1.0 - disc)),
             }
         )
@@ -551,12 +552,20 @@ def quantiles_exact(ds, column: str, *, q_pm: list[int] | None = None):
         .groupby("v")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # O(#distinct) rows only
-        .sort_values("v")
     )
+    if hist.empty:  # zero input rows → schema-less groupby output
+        return pd.DataFrame(
+            {"q_pm": np.asarray([], np.int64), column: np.asarray([], np.int64)}
+        )
+    hist = hist.sort_values("v")
     counts = hist["n"].to_numpy()
     vals = hist["v"].to_numpy()
     cum = np.cumsum(counts)
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:  # empty input: empty quantile frame, not an IndexError
+        return pd.DataFrame(
+            {"q_pm": np.asarray([], np.int64), column: np.asarray([], np.int64)}
+        )
     out_q: list[int] = []
     out_v: list[int] = []
     for q in q_pm:
@@ -1754,7 +1763,7 @@ def revenue_by_region(
         disc = batch["l_discount"].to_numpy()
         df = pd.DataFrame(
             {
-                "r_name": [lookup[int(s)] for s in sk],
+                "r_name": pd.Series(sk).map(lookup),
                 "revenue_c": _cents(price * (1.0 - disc)),
             }
         )

@@ -609,6 +609,13 @@ def hashed_text_dup_pairs(
         # under 2^53, so the rint→int64 round-trip is lossless
         mat_f = mat.astype(np.float64)
         n = len(ids)
+        # int64 predicate is exact iff 10000·max(n2)² < 2^63 (both sides are
+        # bounded by it: d² ≤ n2a·n2b ≤ max(n2)² and t2 ≤ 10⁴). n2 ≤ s² for
+        # s distinct shingles, so the safe envelope is s ≲ 5.4k shingles/doc;
+        # beyond it we decide near-boundary pairs with arbitrary-precision
+        # Python ints (enforced here, not by prose).
+        nmax = int(n2.max())
+        int64_safe = 10000 * nmax * nmax < 2**63
         frames = []
         for t0 in range(0, n, tile):
             a = mat_f[t0 : t0 + tile]
@@ -619,10 +626,18 @@ def hashed_text_dup_pairs(
                 else:
                     ia, ib = np.indices(dot.shape).reshape(2, -1)
                 d = dot[ia, ib]
-                # int64-exact: dot,n2 ≤ (#distinct shingles)² — safe to
-                # ~12k shingles/doc (1e4·(1.4e8)² < 2^63); beyond that,
-                # chunk the doc first
-                keep = (d > 0) & (10000 * d * d >= t2 * n2[t0 + ia] * n2[t1 + ib])
+                n2a, n2b = n2[t0 + ia], n2[t1 + ib]
+                if int64_safe:
+                    keep = (d > 0) & (10000 * d * d >= t2 * n2a * n2b)
+                else:
+                    # float64 prefilter (loose by 1e-9 relative slack) →
+                    # exact Python-int verdict on the few candidates
+                    df_, n2af, n2bf = d.astype(np.float64), n2a.astype(np.float64), n2b.astype(np.float64)
+                    cand = (d > 0) & (1e4 * df_ * df_ >= float(t2) * n2af * n2bf * (1.0 - 1e-9))
+                    keep = np.zeros(len(d), dtype=bool)
+                    for ci in np.nonzero(cand)[0]:
+                        di = int(d[ci])
+                        keep[ci] = 10000 * di * di >= t2 * int(n2a[ci]) * int(n2b[ci])
                 if keep.any():
                     frames.append(
                         pd.DataFrame(

@@ -616,3 +616,15 @@ def test_cube_aggregate_all_grouping_sets(ray_session):
         ("ALL", "p"): 500, ("ALL", "q"): 200,
         ("ALL", "ALL"): 700,
     }
+
+
+def test_quantiles_exact_empty_input(ray_session):
+    """Zero input rows → zero-row (q_pm, value) frame, not IndexError."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_exact
+
+    empty = rd.from_pandas(pd.DataFrame({"x": pd.Series(dtype=np.int64)}))
+    out = quantiles_exact(empty, "x", q_pm=[250, 500])
+    assert len(out) == 0
+    assert list(out.columns) == ["q_pm", "x"]

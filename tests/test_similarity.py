@@ -236,3 +236,29 @@ def test_hashed_text_dup_pairs_planted(ray_session):
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
     assert all(4 not in p for p in pairs)
+
+
+def test_hashed_text_dup_pairs_overflow_guard(ray_session):
+    """Docs whose squared norms push 10^4·n2a·n2b past int64 must take the
+    exact Python-int verdict path and still pair correctly: with dim=1
+    every shingle lands in one bucket, so n2 = s² and s≈6000 distinct
+    shingles exceeds the ~5.4k int64-safe envelope."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import hashed_text_dup_pairs
+
+    big = " ".join(f"w{i}" for i in range(6002))  # 6000 distinct 3-shingles
+    other = " ".join(f"z{i}" for i in range(6002))
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": big, "lang": "en"},
+            {"doc_id": 2, "text": big, "lang": "en"},    # exact dup
+            {"doc_id": 3, "text": other, "lang": "en"},  # disjoint shingles
+        ]
+    )
+    # dim=1 → every vector is parallel → cos is EXACTLY 1 for all pairs, so
+    # at threshold 100% all three pairs must emit. The pre-fix int64 path
+    # wraps 10000·d² (≈1.3e19 > 2^63) negative and silently drops them all.
+    out = hashed_text_dup_pairs(ds, dim=1, threshold_pct=100).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert pairs == {(1, 2), (1, 3), (2, 3)}

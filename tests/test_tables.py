@@ -25,3 +25,37 @@ def test_read_table_lance_requires_package(tmp_path):
     with pytest.raises(ImportError, match="Lance"):
         read_table(str(d))
     assert os.path.isdir(d)  # dispatch detected the layout, not a typo path
+
+
+def test_read_table_lance_row_filter_parity(ray_session, monkeypatch):
+    """Both dispatch arms must return identical rows for the same
+    (columns, row_filter) — exercised by mocking read_lance so the Lance
+    arm's post-read expression filter actually runs (pylance is absent
+    in this sandbox)."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.sources import tables
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    expr = ~pds.field("lang").isin(["sa"])  # 'invert(is_in(...))' repr —
+    # exactly the shape Ray's string filter parser rejects
+
+    monkeypatch.setattr(tables, "lance_available", lambda: True)
+    monkeypatch.setattr(
+        rd, "read_lance",
+        lambda path, columns=None: rd.read_parquet(src, columns=columns),
+        raising=False,
+    )
+
+    via_lance = tables.read_table(
+        "/tmp/fake_docs.lance", columns=["doc_id", "lang"], row_filter=expr
+    ).to_pandas()
+    via_parquet = tables.read_table(
+        src, columns=["doc_id", "lang"], row_filter=expr
+    ).to_pandas()
+    assert len(via_lance) > 0
+    assert not (via_lance["lang"] == "sa").any()
+    a = via_lance.sort_values("doc_id").reset_index(drop=True)
+    b = via_parquet.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
