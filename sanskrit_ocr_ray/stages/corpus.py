@@ -470,16 +470,18 @@ def pmi_collocations(
 
     Scale shape: bigram counts partial-aggregate per batch (dict per
     batch, never a row per occurrence) → one bounded-bucket shuffle sums
-    per pair and applies the ``min_pair`` floor; unigram counts reuse
-    vocab_build's streamed census and are broadcast (bounded-vocab
-    assumption, as documented there). Scoring runs over the post-floor
-    pair table with PYTHON ints (the 10^6·c_xy·N product overflows
-    int64 exactly where corpora get interesting); the final top-k
-    coalesces the floored pair table — small by the same Heaps bound —
-    into one block for the argsort.
+    per pair and applies the ``min_pair`` floor. Unigram counts are
+    NEVER collected on the driver: the unfloored census is itself a
+    bucketed distributed table (object-store-resident, materialized once
+    so the second join pass does not rescan the corpus), and c_x / c_y
+    reach each surviving pair through two token-keyed bucket joins — the
+    same in-bucket join `hygiene.rarity_score` uses for global tf. N
+    (total tokens) is the census' freq sum, a scalar. Scoring runs over
+    the post-floor pair table with PYTHON ints (the 10^6·c_xy·N product
+    overflows int64 exactly where corpora get interesting); the final
+    top-k coalesces the floored pair table — small by the Heaps bound +
+    floor — into one block for the argsort.
     """
-    import ray
-
     from ..stages.dedup import bucketed_aggregate
 
     def big_counts(batch: pa.Table) -> pa.Table:
@@ -514,21 +516,97 @@ def pmi_collocations(
         empty=empty,
     )
 
-    uni = vocab_build(ds, min_count=1, text_col=text_col, n_buckets=n_buckets).to_pandas()
-    total = int(uni["freq"].sum())
-    uref = ray.put((dict(zip(uni["token"], uni["freq"].astype(int))), total))
+    # ---- distributed unfloored unigram census (never on the driver) ----
+    def uni_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for w in (t or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts.keys()), type=pa.string()),
+                "freq": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    uni_empty = typed_empty(term=object, freq=np.int64)
+
+    def uni_sum(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("term", as_index=False)["freq"].sum()
+        agg["freq"] = agg["freq"].astype(np.int64)
+        return agg
+
+    # materialized so the two join passes below (and the N scalar) read
+    # pinned object-store blocks instead of rescanning the corpus text
+    uni = bucketed_aggregate(
+        ds.map_batches(uni_counts, batch_format="pyarrow"),
+        ["term"],
+        uni_sum,
+        n_buckets=n_buckets,
+        empty=uni_empty,
+        coalesce_first=False,
+    ).materialize()
+    total = int(uni.sum("freq") or 0)
+
+    # ---- join c_x then c_y INSIDE a token bucket (rarity_score pattern) -
+    def _attach_freq(pair_ds, key_col: str, out_col: str, carry: list[str]):
+        pair_schema = {c: (object if c in ("w1", "w2") else np.int64) for c in carry}
+        out_empty = typed_empty(**pair_schema, **{out_col: np.int64})
+
+        def tag_pairs(batch: pa.Table) -> pa.Table:
+            cols = {"term": batch[key_col], "freq": pa.array(np.zeros(batch.num_rows, np.int64))}
+            for c in carry:
+                cols[c] = batch[c]
+            cols["is_uni"] = pa.array(np.zeros(batch.num_rows, np.int8))
+            return pa.table(cols)
+
+        def tag_uni(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {"term": batch["term"], "freq": batch["freq"]}
+            for c in carry:
+                if c in ("w1", "w2"):
+                    cols[c] = pa.array([""] * n, type=pa.string())
+                else:
+                    cols[c] = pa.array(np.zeros(n, np.int64))
+            cols["is_uni"] = pa.array(np.ones(n, np.int8))
+            return pa.table(cols)
+
+        tagged = pair_ds.map_batches(tag_pairs, batch_format="pyarrow").union(
+            uni.map_batches(tag_uni, batch_format="pyarrow")
+        )
+
+        def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return out_empty.copy()
+            u = df[df["is_uni"] == 1].groupby("term")["freq"].sum()
+            pr = df[df["is_uni"] == 0]
+            if pr.empty:
+                return out_empty.copy()
+            out = pr[carry].copy()
+            # every pair token was observed, so the map is total
+            out[out_col] = pr["term"].map(u).astype(np.int64)
+            return out
+
+        return bucketed_aggregate(
+            tagged, ["term"], join_bucket, n_buckets=n_buckets,
+            empty=out_empty, coalesce_first=False,
+        )
+
+    with_cx = _attach_freq(pairs, "w1", "c_x", ["w1", "w2", "c_xy"])
+    with_cy = _attach_freq(with_cx, "w2", "c_y", ["w1", "w2", "c_xy", "c_x"])
 
     def score(batch: pa.Table) -> pa.Table:
-        umap, n_tok = ray.get(uref)
         scores = [
-            int(1_000_000 * cxy * n_tok // (umap[a] * umap[b]))
-            for a, b, cxy in zip(
-                batch["w1"].to_pylist(),
-                batch["w2"].to_pylist(),
+            int(1_000_000 * cxy * total // (cx * cy))
+            for cxy, cx, cy in zip(
                 batch["c_xy"].to_pylist(),
+                batch["c_x"].to_pylist(),
+                batch["c_y"].to_pylist(),
             )
         ]
-        return batch.append_column("score_x1m", pa.array(scores, type=pa.int64()))
+        out = batch.select(["w1", "w2", "c_xy"])
+        return out.append_column("score_x1m", pa.array(scores, type=pa.int64()))
 
     def top(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -540,7 +618,7 @@ def pmi_collocations(
         return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False).replace_schema_metadata(None)
 
     return (
-        pairs.map_batches(score, batch_format="pyarrow")
+        with_cy.map_batches(score, batch_format="pyarrow")
         .repartition(1)
         .map_batches(top, batch_format="pyarrow", batch_size=None)
     )
