@@ -204,7 +204,10 @@ def minhash_signatures_batch(
     )
 
 
-def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 50):
+def _components_bsp(
+    pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 50,
+    small_edges: int = 1_000_000,
+):
     """Connected components of an undirected edge list: BSP hash-to-min
     label propagation over bucketed object-store state.
 
@@ -229,6 +232,14 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
     Rounds needed = component diameter in hops; verified LSH subgraphs
     arrive star-collapsed (see ``verify_in_bucket``), so 1-3 rounds.
     Returns a Dataset of (node, rep) covering every node with ≥1 edge.
+
+    Small-graph fast path: the edge list is already materialized as
+    object-store blocks here, so counting it is one tiny task wave; at
+    ≤ ``small_edges`` total edges the B² BSP task waves are pure fixed
+    cost (measured ~6 s at bench scale) and ONE task computes the same
+    components with a path-compressing union-find — bit-identical reps
+    (min node value per component). The BSP path stays the scale path
+    and is exercised directly by tests.
     """
     import ray
     import ray.data as rd
@@ -321,6 +332,47 @@ def _components_bsp(pairs_ds, id_type, *, n_buckets: int = 32, max_iters: int = 
     block_refs = pairs_ds.to_arrow_refs()
     if not block_refs:
         return rd.from_arrow(_nr(id_type).empty_table())
+
+    @ray.remote
+    def n_edges(block) -> int:
+        return len(block) if isinstance(block, pd.DataFrame) else block.num_rows
+
+    @ray.remote
+    def local_components(*blocks):
+        frames = []
+        for b in blocks:
+            df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
+            if "a" in df.columns and len(df):
+                frames.append(df[["a", "b"]])
+        if not frames:
+            return _nr(id_type).empty_table()
+        e = pd.concat(frames, ignore_index=True)
+        codes, uniq = pd.factorize(pd.concat([e["a"], e["b"]], ignore_index=True))
+        n = len(uniq)
+        ca, cb = codes[: len(e)], codes[len(e):]
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(ca.tolist(), cb.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+        vals = pd.Series(uniq)
+        rep = vals.groupby(roots).transform("min")
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": vals, "rep": rep}), schema=_nr(id_type),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    if sum(ray.get([n_edges.remote(r) for r in block_refs])) <= small_edges:
+        return rd.from_arrow_refs([local_components.remote(*block_refs)])
+
     parts = [bucketize.options(num_returns=B).remote(r) for r in block_refs]
     edge_refs, label_refs = [], []
     for k in range(B):
@@ -353,6 +405,7 @@ def minhash_lsh_clusters(
     n_buckets: int = DEFAULT_BUCKETS,
     max_bucket: int = 256,
     max_iters: int = 50,
+    small_edges: int = 1_000_000,
 ):
     """Near-dup clustering: shingle→minhash→band→bucket→verify→components.
 
@@ -367,13 +420,18 @@ def minhash_lsh_clusters(
     token sets and a union-find ON THE DRIVER — at a realistic 20–50% dup
     rate that is O(corpus) driver state):
 
-    1. band rows CARRY the doc's sorted-distinct token string (tokens are
-       space-free, so one joined string survives the pandas hop); one
+    1. band rows CARRY the doc's token set as a fixed-width array of
+       sorted distinct u64 token hashes (8 bytes/token — severalfold
+       smaller than the raw token text the first formulation shipped;
+       the token payload dominates this op's shuffle bytes); one
        hash(band-bucket) shuffle co-locates every candidate pair WITH
-       both token sets, so exact Jaccard runs inside the bucket via a
-       vectorized (doc,token) self-merge — no per-pair routing shuffle,
-       and each token set is shipped once per band (4×), not once per
-       pair-degree;
+       both token-hash sets, so exact Jaccard over the HASH sets runs
+       inside the bucket — no per-pair routing shuffle, and each set is
+       shipped once per band (4×), not once per pair-degree. Jaccard on
+       64-bit hash sets equals Jaccard on token sets unless two distinct
+       tokens of a compared pair collide: P ≲ (|A|+|B|)²/2⁶⁵ ≈ 1e-11 at
+       10k tokens/doc — the documented collision budget (the DuckDB
+       oracle keeps the token-set predicate, identical under it);
     2. components: iterative hash-to-min label propagation over the
        verified edges (two bounded shuffles per round on O(involved)
        rows, materialized between rounds because each round's labels
@@ -401,8 +459,8 @@ def minhash_lsh_clusters(
             toks = sorted({w for w in (t or "").split(" ") if w})
             if not toks:
                 continue
-            joined = " ".join(toks)
             th = np.fromiter((hcache[w] for w in toks), np.uint64, len(toks))
+            payload = np.unique(th).tobytes()  # sorted distinct u64 hash set
             mins = np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
             for b in range(n_perm // band_size):
                 sig = ",".join(
@@ -410,12 +468,12 @@ def minhash_lsh_clusters(
                 )
                 rows_id.append(d)
                 rows_bucket.append(f"{b}:{sig}")
-                rows_toks.append(joined)
+                rows_toks.append(payload)
         t_out = pa.table(
             {
                 id_col: pa.array(rows_id, type=batch[id_col].type),
                 "bucket": pa.array(rows_bucket, type=pa.string()),
-                "toks": pa.array(rows_toks, type=pa.string()),
+                "thash": pa.array(rows_toks, type=pa.binary()),
             }
         )
         return t_out.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
@@ -452,21 +510,13 @@ def minhash_lsh_clusters(
             if set_key in seen_sets:
                 continue
             seen_sets.add(set_key)
-            tok_lists = [t.split(" ") for t in sub["toks"]]
-            sizes = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+            hash_sets = [np.frombuffer(t, np.uint64) for t in sub["thash"]]
+            sizes = np.fromiter((len(t) for t in hash_sets), np.int64, len(hash_sets))
             k = len(docs)
-            tok_index: dict[str, int] = {}
             row_ids = np.repeat(np.arange(k), sizes)
-            col_ids = np.fromiter(
-                (
-                    tok_index.setdefault(w, len(tok_index))
-                    for toks in tok_lists
-                    for w in toks
-                ),
-                np.int64,
-                int(sizes.sum()),
-            )
-            V = len(tok_index)
+            # vectorized hash→column index (replaces the per-token dict hop)
+            uniq, col_ids = np.unique(np.concatenate(hash_sets), return_inverse=True)
+            V = len(uniq)
             inter = np.zeros((k, k), np.int64)
             chunk = 8192
             for start in range(0, V, chunk):
@@ -512,7 +562,9 @@ def minhash_lsh_clusters(
 
     # ---- 3. connected components: BSP hash-to-min over raw Ray tasks ---
     id_arrow = pa.string() if np.dtype(id_dtype) == object else pa.from_numpy_dtype(np.dtype(id_dtype))
-    labels = _components_bsp(verified, id_arrow, max_iters=max_iters)
+    labels = _components_bsp(
+        verified, id_arrow, max_iters=max_iters, small_edges=small_edges
+    )
 
     # ---- 4. assign: every doc, singletons map to themselves ------------
     def self_rows(batch: pa.Table) -> pa.Table:

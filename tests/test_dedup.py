@@ -95,10 +95,42 @@ def test_minhash_lsh_high_dup_rate_10k(ray_session):
         }
         for i in range(n)
     ]
-    out = minhash_lsh_clusters(rd.from_items(rows), threshold_pm=700).to_pandas()
+    # small_edges=0 forces the distributed BSP component path (the scale
+    # path) — the default would take the single-task small-graph shortcut
+    out = minhash_lsh_clusters(
+        rd.from_items(rows), threshold_pm=700, small_edges=0
+    ).to_pandas()
     assert len(out) == n
     rep = dict(zip(out.doc_id, out.cluster_rep))
     assert all(rep[i] == (i // group) * group for i in range(n))
+
+
+def test_components_small_graph_fast_path_parity(ray_session):
+    """The ≤small_edges single-task union-find must produce bit-identical
+    (node, rep) labels to the BSP path, including string ids and
+    multi-hop chain components."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import _components_bsp
+
+    edges = pd.DataFrame(
+        {
+            "a": ["d1", "d2", "d3", "x9", "m5"],
+            "b": ["d2", "d3", "d4", "x1", "m5"],  # chain, pair, self-loop
+        }
+    )
+    ds = rd.from_pandas(edges)
+    fast = _components_bsp(ds, pa.string()).to_pandas()
+    bsp = _components_bsp(ds, pa.string(), small_edges=0).to_pandas()
+    f = fast.sort_values("node").reset_index(drop=True)
+    s = bsp.sort_values("node").reset_index(drop=True)
+    assert f.equals(s)
+    got = dict(zip(f.node, f.rep))
+    assert got == {
+        "d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1",
+        "x9": "x1", "x1": "x1", "m5": "m5",
+    }
 
 
 def test_kgram_dup_spans_planted(ray_session):
