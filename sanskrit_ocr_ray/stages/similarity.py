@@ -453,6 +453,8 @@ def semantic_dedup(
     col: str = "embedding",
     tile: int = 2048,
     n_buckets: int = 32,
+    max_task_rows: int = 8192,
+    small_edges: int = 1_000_000,
 ):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): collapse
     embedding-cosine near-dup components and keep one representative —
@@ -461,15 +463,25 @@ def semantic_dedup(
 
     Key partitioning fact this op exploits (and documents): near-dup
     edges exist ONLY within a ``block_col`` block (the SemDeDup "compare
-    within cluster" blocking), so connected components are block-local —
-    no global label propagation is needed (contrast MinHash LSH, whose
-    band buckets cross-cut docs and force the BSP pass in
-    `dedup._components_bsp`). Each block computes its own components in
-    one task: tiled bounded matmuls for the edge list (same memory cap
-    as :func:`embedding_dup_pairs`), then a path-compressing union-find
-    over ≤ block-side ids — task-local, bounded by the block, never on
-    the driver. One bounded-bucket shuffle keyed on the representative
-    then counts component sizes.
+    within cluster" blocking), so the pair scan is block-local. A block,
+    however, can be ARBITRARILY hot (boilerplate-heavy corpora put most
+    vectors in one k-means cluster), so no task is ever handed a whole
+    block: blocks are split into ``ceil(n/max_task_rows)`` hash
+    sub-blocks and every sub-block PAIR (i ≤ j) becomes one bounded task
+    of ≤ 2·max_task_rows rows — within-pair edges via the same tiled
+    matmuls as :func:`embedding_dup_pairs`, diagonal tasks union-find
+    their edges down to spanning stars first. Components over the pooled
+    (block-local, but the solver doesn't care) edge list then run in
+    `dedup._components_bsp` — single-task under ``small_edges``, BSP
+    waves above it — and one bounded-bucket shuffle keyed on the
+    representative counts component sizes. Exactness: every within-block
+    pair lands in exactly one sub-block task, so the edge set — and
+    therefore the components — equal the single-task formulation's.
+    Cost note: a size-k hot block ships each row to S = ceil(k/cap)
+    tasks (shuffle bytes O(k²/cap)) — the inherent exact-all-pairs
+    transfer, now bounded per task instead of unbounded per task. The
+    per-block sub-block counts are a tiny driver table (#blocks rows —
+    blocks are k-means clusters / labels, bounded by construction).
 
     ``block_col=None`` is the label-less path — SemDeDup proper: train
     the seeded k-means-lite quantizer (`kmeans_lite`, same one IVF uses),
@@ -498,43 +510,153 @@ def semantic_dedup(
         ds = ds.map_batches(assign_block, batch_format="pyarrow")
         block_col = "__blk"
 
-    empty_assign = typed_empty(**{id_col: np.int64, "rep": np.int64})
+    import ray
 
-    def block_components(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return empty_assign.copy()
-        g = group.sort_values(id_col).reset_index(drop=True)
-        ids = g[id_col].to_numpy()
-        mat = _normalize_rows(np.stack([np.asarray(v, np.float64) for v in g[col]]))
-        n = len(ids)
-        parent = np.arange(n, dtype=np.int64)
+    from .dedup import _components_bsp
+    from ..util import fast_hash_u64
 
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+    # ---- per-block sub-block counts (tiny: one row per block) ----------
+    def blk_counts(batch: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            np.asarray(batch[block_col].to_pylist()), return_counts=True
+        )
+        return pa.table(
+            {
+                "blk": pa.array(vals.astype(str), type=pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
 
-        for t0 in range(0, n, tile):
-            a_mat = mat[t0 : t0 + tile]
-            for t1 in range(t0, n, tile):
-                sims = a_mat @ mat[t1 : t1 + tile].T
-                if t1 == t0:
+    sizes = (
+        ds.map_batches(blk_counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("blk", as_index=False)["n"]
+        .sum()
+    )
+    smap = {
+        b: -(-int(n) // max_task_rows) for b, n in zip(sizes["blk"], sizes["n"])
+    }
+    sref = ray.put(smap)
+
+    # ---- replicate rows to sub-block-pair tasks -------------------------
+    def replicate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__pt", pa.array([], type=pa.string())) \
+                        .append_column("__side", pa.array([], type=pa.int8()))
+        m = ray.get(sref)
+        blk = np.asarray([str(v) for v in batch[block_col].to_pylist()])
+        ids = batch[id_col].to_numpy()
+        S = np.fromiter((m[b] for b in blk), np.int64, len(blk))
+        s = (fast_hash_u64(ids) % S.astype(np.uint64)).astype(np.int64)
+        rep_idx = np.repeat(np.arange(len(ids)), S)
+        total = int(S.sum())
+        offs = np.repeat(np.cumsum(S) - S, S)
+        t = np.arange(total) - offs           # 0..S_r-1 per source row
+        s_r = s[rep_idx]
+        i = np.minimum(s_r, t)
+        j = np.maximum(s_r, t)
+        side = (s_r != i).astype(np.int8)     # 0 on sub-block i (and diag)
+        keys = np.char.add(
+            np.char.add(blk[rep_idx], "|"),
+            np.char.add(i.astype("U20"), np.char.add("|", j.astype("U20"))),
+        )
+        out = batch.take(pa.array(rep_idx))
+        return out.append_column("__pt", pa.array(keys)).append_column(
+            "__side", pa.array(side)
+        )
+
+    empty_edges = typed_empty(a=np.int64, b=np.int64)
+
+    def _thresh_pairs(mat_a, mat_b, *, diag: bool):
+        """Above-threshold (row_a, row_b) index pairs between two bounded
+        matrices, tiled so no product exceeds tile²."""
+        out = []
+        for t0 in range(0, mat_a.shape[0], tile):
+            a = mat_a[t0 : t0 + tile]
+            start1 = t0 if diag else 0
+            for t1 in range(start1, mat_b.shape[0], tile):
+                sims = a @ mat_b[t1 : t1 + tile].T
+                if diag and t1 == t0:
                     ia, ib = np.triu_indices(sims.shape[0], 1, sims.shape[1])
                 else:
                     ia, ib = np.indices(sims.shape).reshape(2, -1)
                 scaled = np.floor(sims[ia, ib] * 1e6 + 0.5)
                 keep = scaled >= threshold_x1e6
-                for i, j in zip((t0 + ia[keep]).tolist(), (t1 + ib[keep]).tolist()):
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        # ids are sorted by position → min pos = min id
-                        parent[max(ri, rj)] = min(ri, rj)
-        rep = np.fromiter((ids[find(i)] for i in range(n)), dtype=ids.dtype, count=n)
-        return pd.DataFrame({id_col: ids, "rep": rep})
+                if keep.any():
+                    out.append((t0 + ia[keep], t1 + ib[keep]))
+        return out
 
-    assign = ds.groupby(block_col).map_groups(
-        block_components, batch_format="pandas"
+    def pair_edges(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty_edges.copy()
+        a_rows = group[group["__side"] == 0].sort_values(id_col)
+        b_rows = group[group["__side"] == 1].sort_values(id_col)
+        if len(a_rows) == 0:  # sub-block i got no ids hashed into it
+            return empty_edges.copy()
+        ids_a = a_rows[id_col].to_numpy()
+        mat_a = _normalize_rows(
+            np.stack([np.asarray(v, np.float64) for v in a_rows[col]])
+        )
+        if len(b_rows) == 0:
+            # diagonal task: within-sub-block pairs, star-collapsed via
+            # union-find so the component pass sees O(k) edges
+            n = len(ids_a)
+            parent = np.arange(n, dtype=np.int64)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for ia, ib in _thresh_pairs(mat_a, mat_a, diag=True):
+                for x, y in zip(ia.tolist(), ib.tolist()):
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        parent[max(rx, ry)] = min(rx, ry)
+            roots = np.fromiter((find(x) for x in range(n)), np.int64, n)
+            members = np.nonzero(roots != np.arange(n))[0]
+            if not members.size:
+                return empty_edges.copy()
+            return pd.DataFrame(
+                {"a": ids_a[roots[members]], "b": ids_a[members]}
+            )
+        ids_b = b_rows[id_col].to_numpy()
+        mat_b = _normalize_rows(
+            np.stack([np.asarray(v, np.float64) for v in b_rows[col]])
+        )
+        frames = []
+        for ia, ib in _thresh_pairs(mat_a, mat_b, diag=False):
+            ea, eb = ids_a[ia], ids_b[ib]
+            frames.append(
+                pd.DataFrame({"a": np.minimum(ea, eb), "b": np.maximum(ea, eb)})
+            )
+        return pd.concat(frames, ignore_index=True) if frames else empty_edges.copy()
+
+    edges = (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("__pt")
+        .map_groups(pair_edges, batch_format="pandas")
+    )
+
+    labels = _components_bsp(edges, pa.int64(), small_edges=small_edges)
+
+    # every vector survives as at least its own rep (singleton coverage)
+    def self_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch[id_col], "rep": batch[id_col]})
+
+    empty_lbl = typed_empty(node=np.int64, rep=np.int64)
+    assign = bucketed_aggregate(
+        ds.map_batches(self_rows, batch_format="pyarrow").union(
+            labels.select_columns(["node", "rep"])
+        ),
+        ["node"],
+        lambda df: df.groupby("node", as_index=False)["rep"].min(),
+        n_buckets=n_buckets,
+        empty=empty_lbl,
+        coalesce_first=False,
+    ).map_batches(
+        lambda t: t.rename_columns([id_col, "rep"]), batch_format="pyarrow"
     )
 
     empty = typed_empty(**{id_col: np.int64, "cluster_size": np.int64})

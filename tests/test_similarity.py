@@ -262,3 +262,35 @@ def test_hashed_text_dup_pairs_overflow_guard(ray_session):
     out = hashed_text_dup_pairs(ds, dim=1, threshold_pct=100).to_pandas()
     pairs = set(zip(out.doc_a, out.doc_b))
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_semantic_dedup_hot_cluster_bounded_tasks(ray_session):
+    """One component holding 80% of the vectors, with max_task_rows far
+    below its size — forces the sub-block pair-task path; components must
+    still be exact (min-id keeper, correct sizes, singletons kept)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import semantic_dedup
+
+    dim = 8
+    rows = []
+    for i in range(40):  # hot: identical embeddings → one 40-strong component
+        v = [0.0] * dim
+        v[0] = 1.0
+        rows.append({"vec_id": 100 + i, "label": "hot", "embedding": v})
+    for i in range(10):  # singletons: mutually orthogonal one-hots
+        v = [0.0] * dim
+        v[1 + (i % (dim - 1))] = 1.0
+        rows.append({"vec_id": 500 + i, "label": f"s{i}", "embedding": v})
+    out = semantic_dedup(
+        rd.from_items(rows).repartition(4),
+        threshold_x1e6=900_000,
+        block_col="label",
+        max_task_rows=8,   # hot block → ceil(40/8)=5 sub-blocks, 15 pair tasks
+        n_buckets=8,
+    ).to_pandas()
+    got = dict(zip(out.vec_id, out.cluster_size))
+    assert got[100] == 40                      # keeper = min id of hot comp
+    assert all(got[500 + i] == 1 for i in range(10))
+    assert len(out) == 11                      # 1 keeper + 10 singletons
+    assert out.cluster_size.sum() == 50        # every vector assigned once
