@@ -151,23 +151,45 @@ def _span_kind_stats(sf_dir: str):
 def _multimodal_features(sf_dir: str):
     """FeatureExtractor actor pool over the fixture's media pages recast as
     generic multimodal payload rows (schema/plumbing test; rows-only)."""
+    import numpy as np
     import pyarrow as pa
     import ray.data as rd
 
+    # imported HERE (driver side) so `recast` closes over the symbols —
+    # workers can't re-import the package by name (it ships by value)
     from sanskrit_ocr_ray.stages.multimodal import FeatureExtractor
+    from sanskrit_ocr_ray.stages.png import png_encode
+    from sanskrit_ocr_ray.util import md5_u64
 
     fx = _fixture_for(sf_dir)
 
     def recast(batch: pa.Table) -> pa.Table:
+        # half the pages (by md5(media_ref) parity — deterministic) travel
+        # as REAL PNG payloads through the pure-Python codec; the other
+        # half stay raw8. Decode recovers identical pixels either way, so
+        # the oracle's "every row yields 16 features, no errors" holds.
         n = batch.num_rows
+        refs = batch["media_ref"].to_pylist()
+        widths = batch["width"].to_pylist()
+        heights = batch["height"].to_pylist()
+        pixels = batch["pixels"].to_pylist()
+        types, payloads = [], []
+        for r, w, h, p in zip(refs, widths, heights, pixels):
+            if md5_u64(r) % 2 == 0:
+                img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
+                types.append("image/png")
+                payloads.append(png_encode(img, level=1))
+            else:
+                types.append("image/raw8")
+                payloads.append(p)
         return pa.table(
             {
                 "media_ref": batch["media_ref"],
-                "media_type": pa.array(["image/raw8"] * n),
+                "media_type": pa.array(types),
                 "width": batch["width"],
                 "height": batch["height"],
                 "sample_rate": pa.array([0] * n, type=pa.int32()),
-                "payload": batch["pixels"],
+                "payload": pa.array(payloads, type=pa.binary()),
             }
         )
 

@@ -3,10 +3,11 @@
 The reference backgrounds a page with a random image file from a
 directory, resized to page dimensions, falling back to synthetic
 textures when a file fails to load (render_text.py:48-62: random.choice
-+ PIL resize + try/except). This is its Ray-shaped equivalent over the
-sandbox's codec-free ``.raw8`` format (PNG/JPEG decode would slot into
-``_decode_raw8`` exactly — see stages/multimodal.py for the stub
-convention):
++ PIL resize + try/except). This is its Ray-shaped equivalent over two
+real formats — codec-free ``.raw8`` and ``.png`` (decoded by the
+pure-Python codec in :mod:`stages.png`; RGB collapses to ITU-R 601
+luma). JPEG stays out (needs native codecs — stages/multimodal.py stub
+convention). Store semantics:
 
 - the store is a SMALL-SIDE ASSET: load once on the driver (or once per
   actor), ``ray.put`` it, and read the broadcast handle inside
@@ -30,6 +31,7 @@ import re
 
 import numpy as np
 
+from ..stages.png import png_decode
 from ..util import doc_rng
 
 _RAW8_RE = re.compile(r"_(\d+)x(\d+)\.raw8$")
@@ -59,21 +61,38 @@ def write_background_dir(path: str, n: int = 4, seed: int = 7) -> list[str]:
 
 
 def load_background_store(path: str) -> tuple[list[np.ndarray], list[str]]:
-    """Read every ``*.raw8`` in ``path`` → (textures, skipped-files).
+    """Read every ``*.raw8`` / ``*.png`` in ``path`` → (textures,
+    skipped-files). PNGs are decoded by the pure-Python codec; color
+    images collapse to gray via ITU-R 601 luma (the reference converts
+    backgrounds to "L" mode, render_text.py:56).
 
-    Malformed entries (bad name, size mismatch) are skipped, not fatal —
-    the reference's load-failure fallback (render_text.py:58-62) as a
-    quarantine list instead of a printed warning.
+    Malformed entries (bad name, size mismatch, corrupt PNG stream) are
+    skipped, not fatal — the reference's load-failure fallback
+    (render_text.py:58-62) as a quarantine list instead of a printed
+    warning.
     """
     textures: list[np.ndarray] = []
     skipped: list[str] = []
     if not os.path.isdir(path):
         return textures, skipped
     for f in sorted(os.listdir(path)):
+        fp = os.path.join(path, f)
+        if f.endswith(".png"):
+            try:
+                with open(fp, "rb") as fh:
+                    img = png_decode(fh.read())
+            except (ValueError, NotImplementedError):
+                skipped.append(f)
+                continue
+            if img.ndim == 3:  # RGB(A) → luma, alpha ignored
+                img = (
+                    0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+                ).astype(np.uint8)
+            textures.append(img)
+            continue
         if not f.endswith(".raw8"):
             continue
         m = _RAW8_RE.search(f)
-        fp = os.path.join(path, f)
         if not m:
             skipped.append(f)
             continue

@@ -6,17 +6,22 @@ sized by *byte budget*, not row count. The raw-grayscale page path
 (stages/image.py) is fully real, as are every raw-layout kernel below
 (raw8 image features/resize, pcm16 windowed energy, raw8 multi-frame
 video sampling — real byte decode, vectorized integer kernels, exact
-DuckDB oracles); only the codec-dependent decode steps (JPEG/PNG,
-compressed audio/video) are STUBBED behind ``NotImplementedError``
-because the codec libraries (PIL/cv2/ffmpeg) are not in this container —
-the Ray-side plumbing (schemas, batch sizing, actor signature, output
-layout) is real and tested (tests/test_multimodal.py).
+DuckDB oracles). PNG decode is REAL too (pure-Python codec over stdlib
+zlib, :mod:`stages.png`); only the decode steps whose codecs genuinely
+need native libraries (JPEG, compressed audio/video) remain STUBBED
+behind ``NotImplementedError`` — the Ray-side plumbing (schemas, batch
+sizing, actor signature, output layout) is real and tested
+(tests/test_multimodal.py), and malformed payloads quarantine per-row.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+# top-level (not runtime) import: the package ships to workers by value,
+# so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
+from .png import png_decode
 
 #: media payload table with codec metadata
 MULTIMODAL_SCHEMA = pa.schema(
@@ -40,9 +45,11 @@ def decode_payload(media_type: str, payload: bytes, width: int, height: int) -> 
         )
     if media_type == "audio/pcm16":
         return np.frombuffer(payload, dtype=np.int16)
-    if media_type in ("image/png", "image/jpeg"):
+    if media_type == "image/png":
+        return png_decode(payload)
+    if media_type == "image/jpeg":
         raise NotImplementedError(
-            "PNG/JPEG decode requires PIL/cv2 (absent in this container); "
+            "JPEG decode requires PIL/cv2 (absent in this container); "
             "plug a codec into decode_payload — pipeline plumbing is format-agnostic"
         )
     raise NotImplementedError(f"unknown media_type {media_type!r}")
@@ -84,7 +91,9 @@ class FeatureExtractor:
                         [float(np.sqrt((f**2).mean())) if f.size else 0.0 for f in frames]
                     )
                 errors.append(None)
-            except NotImplementedError as exc:
+            except (NotImplementedError, ValueError) as exc:
+                # NotImplementedError = codec unavailable; ValueError =
+                # malformed payload (e.g. corrupt PNG) — both quarantine
                 feats.append(None)
                 errors.append(str(exc).split(";")[0])
         return pa.table(

@@ -23,6 +23,30 @@ def test_store_load_and_quarantine(tmp_path):
     assert load_background_store(str(tmp_path / "missing")) == ([], [])
 
 
+def test_store_loads_png_backgrounds(tmp_path):
+    """PNG backgrounds decode via the pure-Python codec; RGB collapses to
+    luma; corrupt PNG streams quarantine like the reference's load-failure
+    fallback (render_text.py:58-62)."""
+    from sanskrit_ocr_ray.sources.backgrounds import load_background_store
+    from sanskrit_ocr_ray.stages.png import png_encode
+
+    d = tmp_path / "bgs"
+    d.mkdir()
+    gray = np.random.default_rng(0).integers(0, 256, (10, 12), dtype=np.uint8)
+    rgb = np.random.default_rng(1).integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    (d / "a.png").write_bytes(png_encode(gray))
+    (d / "b.png").write_bytes(png_encode(rgb))
+    (d / "corrupt.png").write_bytes(b"\x89PNG\r\n\x1a\nnope")
+    store, skipped = load_background_store(str(d))
+    assert skipped == ["corrupt.png"]
+    assert len(store) == 2
+    np.testing.assert_array_equal(store[0], gray)
+    luma = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]).astype(
+        np.uint8
+    )
+    np.testing.assert_array_equal(store[1], luma)
+
+
 def test_choice_deterministic_and_normalized(tmp_path):
     from sanskrit_ocr_ray.sources.backgrounds import (
         choose_background,

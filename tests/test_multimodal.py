@@ -13,7 +13,11 @@ from sanskrit_ocr_ray.stages.multimodal import (
 
 
 def _rows():
-    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    from sanskrit_ocr_ray.stages.png import png_encode
+
+    # note: uint8 % 256 would promote to int16 (NEP 50) and silently double
+    # the payload width — cast explicitly so the raw8 buffer is 1 byte/px
+    img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.uint8)
     pcm = (np.sin(np.linspace(0, 20, 1000)) * 1000).astype(np.int16)
     return pa.Table.from_pylist(
         [
@@ -39,7 +43,15 @@ def _rows():
                 "width": 8,
                 "height": 8,
                 "sample_rate": 0,
-                "payload": b"\x89PNG...",
+                "payload": png_encode(img),
+            },
+            {
+                "media_ref": "m/png-bad",
+                "media_type": "image/png",
+                "width": 8,
+                "height": 8,
+                "sample_rate": 0,
+                "payload": b"\x89PNG...",  # bad signature -> quarantine
             },
         ],
         schema=MULTIMODAL_SCHEMA,
@@ -54,9 +66,18 @@ def test_decode_raw_formats():
     assert audio.dtype == np.int16 and len(audio) == 1000
 
 
-def test_codec_formats_are_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_codec_formats():
+    # PNG is a real codec now: valid payloads decode, malformed raise ValueError
+    from sanskrit_ocr_ray.stages.png import png_encode
+
+    img = (np.arange(12, dtype=np.uint8)).reshape(3, 4)
+    out = decode_payload("image/png", png_encode(img), 4, 3)
+    np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError):
         decode_payload("image/png", b"x", 1, 1)
+    # JPEG / compressed video stay honestly stubbed (no native codecs here)
+    with pytest.raises(NotImplementedError):
+        decode_payload("image/jpeg", b"x", 1, 1)
     with pytest.raises(NotImplementedError):
         decode_payload("video/mp4", b"x", 0, 0)
 
@@ -67,7 +88,9 @@ def test_feature_extractor_quarantines_per_row():
     errs = out["error"].to_pylist()
     assert len(feats[0]) == 16 and abs(sum(feats[0]) - 1.0) < 1e-9  # histogram
     assert len(feats[1]) == 16  # RMS frames
-    assert feats[2] is None and errs[2]  # PNG quarantined, batch survived
+    # valid PNG decodes to the same pixels as the raw8 row -> identical features
+    assert feats[2] == feats[0] and errs[2] is None
+    assert feats[3] is None and errs[3]  # malformed PNG quarantined, batch survived
 
 
 def test_feature_extractor_as_actor_stage(ray_session):
@@ -79,7 +102,7 @@ def test_feature_extractor_as_actor_stage(ray_session):
     # consume as Arrow rows: a list column with Nones trips Ray's pandas
     # TensorArray conversion (keep such stages in batch_format="pyarrow")
     rows = ds.take_all()
-    assert len(rows) == 3
+    assert len(rows) == 4
     assert sum(1 for r in rows if r["error"]) == 1
 
 
