@@ -40,6 +40,7 @@ def _register_for_ray() -> None:
         "glyphs",
         "synth",
         "stages.image",
+        "stages.geometry",
         "stages.normalize",
         "stages.explode",
         "stages.recognize",

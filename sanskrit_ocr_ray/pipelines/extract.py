@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.explode import explode_normalize_batch
-from ..stages.image import binarize_deskew_batch
+from ..stages.geometry import binarize_deskew_batch
 from ..stages.recognize import GlyphRecognizer, rec_to_span_rows
 from ..stages.reassemble import flatten_out, rebuild_bucket
 from ..state import manifest as mf

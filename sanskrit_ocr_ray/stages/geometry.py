@@ -1,0 +1,632 @@
+"""Parametric page-geometry recovery at the reference's full severity.
+
+Inverts the reference's geometric degradations (render_text.py:269-331,
+360-361) at their ACTUAL parameter ranges — rotation up to +-5 deg
+(DEFAULT_PARAMS:38), washboard sine warp amplitude 6-12 px / wavelength
+90-150 px with optional top-down decay (render_text.py:386-393), and
+cylindrical edge warp strength 0.4-0.8 over 0.35-0.5 of the page width
+(render_text.py:396-401) — including 2-3 transforms composed in random
+order (_apply_postprocessing samples without replacement and applies in
+selection order, render_text.py:403-409).
+
+Method
+------
+Every one of those warps displaces a page row AFFINELY in y per column:
+an ink row at true height y_i is observed, in column x, at
+
+    c = y_i + field(x, y_i)        where field is affine in y_i
+
+with the component families
+
+    washboard: (a sin kx + b cos kx) * atten(y),  atten linear in y
+    cylinder:  (y - h/2) * (cos theta(x) - 1),    theta = dx/R edge strip
+    rotation:  tan(phi) * x                        (y-part; x-shear too)
+
+The estimator tracks text-line TOPS (the shirorekha edge) across thin
+column strips into trajectories, then fits the families by least squares
+with per-trajectory fixed effects ABSORBED EXACTLY via within-trajectory
+centering: each fragment's unknown anchor y_i drops out, so a smooth
+field cannot leak into the anchors and the fitted amplitude is unbiased
+(the round-2 nonparametric per-strip estimator lost ~50% of the field per
+round exactly that way). Components are peeled one per round — the
+dominant one first — by composing their analytic inverse gather maps into
+ONE total map, so the output is a single resample of the original page.
+
+Two empirically-critical application details (each measured on the
+calibration suites, tools/calibrate_degradations.py):
+
+- Tracking is strict (short gaps, velocity-predicted, tight tolerance):
+  at A=12 / lambda=90 the field changes by over half the 26 px line pitch
+  across a long word gap, and loose nearest-neighbour matching jumps to
+  the adjacent line, creating pitch-aliased false trajectories that
+  converge to a self-consistent WRONG fixed point.
+- The application medium is chosen PER COLUMN by the map's vertical
+  scale: compressed cylinder strips need the grayscale's sub-pixel
+  information (25/25 exact via grayscale vs 7/25 via mask hop), while
+  shift-dominated regions (washboard / rotation) must stay on the binary
+  mask — a second grayscale interpolation on noisy pages erodes the 3x3
+  bit cells (nerr 0 mask vs 109 gray on a noise+rot+wash page).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# one-way module-level dependency (image never imports geometry at module
+# level): bindings resolve at driver import time, so Ray's by-value
+# cloudpickle serialization ships them to workers without any runtime
+# package import (function-level relative imports FAIL on workers — the
+# repo is not on their sys.path)
+from .image import (
+    despeckle,
+    dewarp_washboard,
+    estimate_column_shifts,
+    estimate_skew,
+    rotate_gray,
+    sauvola,
+)
+
+#: column-strip width (px) for line-top extraction
+STRIP = 4
+#: candidate washboard wavelengths; brackets the reference's 90-150 range
+LAM_GRID = np.arange(80.0, 310.0, 7.5)
+#: washboard sines with best-fit wavelength beyond this are treated as fit
+#: noise (the reference family is 90-150) and never applied
+LAM_APPLY_MAX = 180.0
+
+
+# ---------------------------------------------------------------------------
+# line-top trajectories
+# ---------------------------------------------------------------------------
+
+
+def strip_line_tops(ink: np.ndarray, strip: int = STRIP, min_mass: int = 4):
+    """Per-strip text-line top rows.
+
+    Returns (strip_centers_x, list-per-strip of float arrays of run-top
+    rows). The shirorekha spans the full glyph width, making the top edge
+    of each ink run the most stable line anchor under warps.
+    """
+    h, w = ink.shape
+    csum = np.zeros((h, w + 1), dtype=np.int32)
+    np.cumsum(ink, axis=1, out=csum[:, 1:])
+    edges = np.arange(0, w, strip)
+    centers = edges + min(strip, 4) / 2.0
+    all_tops = []
+    for e in edges:
+        p = csum[:, min(e + strip, w)] - csum[:, e]
+        idx = np.nonzero(p > 0)[0]
+        tops = []
+        if idx.size:
+            brk = np.nonzero(np.diff(idx) >= 4)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [idx.size - 1]))
+            for s0, e0 in zip(starts, ends):
+                y0, y1 = idx[s0], idx[e0] + 1
+                if p[y0:y1].sum() >= min_mass:
+                    tops.append(float(y0))
+        all_tops.append(np.asarray(tops))
+    return centers.astype(np.float64), all_tops
+
+
+def track_lines(all_tops, max_gap: int = 3, min_len: int = 5):
+    """Velocity-predictive tracking of line tops across strips.
+
+    Strict by design — short gaps only, tight tolerance around a linear
+    prediction: at washboard severity the field moves more than half a
+    line pitch across a long word gap, so loose matching JUMPS lines and
+    fabricates pitch-aliased trajectories. Fragments are fine (the fits
+    anchor each with its own fixed effect); jumps are poison.
+    Returns a list of (strip_idx array, top_y array) trajectories.
+    """
+    tracks: list[dict] = []
+    for s, tops in enumerate(all_tops):
+        if tops.size == 0:
+            continue
+        act = [t for t in tracks if 0 < s - t["last_s"] <= max_gap]
+        used = np.zeros(tops.size, dtype=bool)
+        for t in sorted(act, key=lambda t: t["last_y"]):
+            g = s - t["last_s"]
+            pred = t["last_y"] + t["vel"] * g
+            d = np.abs(tops - pred)
+            d[used] = np.inf
+            j = int(np.argmin(d)) if d.size else 0
+            if d.size and d[j] <= 3.5 + 1.2 * (g - 1):
+                used[j] = True
+                step = (float(tops[j]) - t["last_y"]) / g
+                t["vel"] = 0.6 * t["vel"] + 0.4 * step if len(t["ys"]) > 1 else step
+                t["last_y"] = float(tops[j])
+                t["last_s"] = s
+                t["idxs"].append(s)
+                t["ys"].append(float(tops[j]))
+        for j in np.nonzero(~used)[0]:
+            tracks.append({"last_y": float(tops[j]), "last_s": s, "vel": 0.0,
+                           "idxs": [s], "ys": [float(tops[j])]})
+    return [(np.asarray(t["idxs"]), np.asarray(t["ys"]))
+            for t in tracks if len(t["idxs"]) >= min_len]
+
+
+# ---------------------------------------------------------------------------
+# fixed-effects family fits
+# ---------------------------------------------------------------------------
+
+
+def _flatten(trajs):
+    si = np.concatenate([t[0] for t in trajs])
+    ci = np.concatenate([t[1] for t in trajs])
+    li = np.concatenate([np.full(t[0].size, k) for k, t in enumerate(trajs)])
+    return si, ci, li, len(trajs)
+
+
+def _center(v, li, n_frag, w=None):
+    """Per-fragment (weighted) demean — absorbs the fixed effects exactly."""
+    if w is None:
+        s = np.bincount(li, weights=v, minlength=n_frag)
+        n = np.bincount(li, minlength=n_frag).astype(np.float64)
+    else:
+        s = np.bincount(li, weights=w * v, minlength=n_frag)
+        n = np.bincount(li, weights=w, minlength=n_frag)
+    m = s / np.maximum(n, 1e-9)
+    return v - m[li], m
+
+
+def fit_washboard(x, ci, li, n_frag, wobs=None):
+    """Fixed-effects LSQ of c ~ a sin(kx) + b cos(kx) + e*x + y_i over the
+    wavelength grid. Returns (lam, a, b, e, sse, sse_nosine, y_frag)."""
+    cc, _ = _center(ci, li, n_frag, wobs)
+    xc, _ = _center(x, li, n_frag, wobs)
+    w = np.ones_like(cc) if wobs is None else wobs
+    den = (w * xc * xc).sum()
+    e0 = (w * xc * cc).sum() / den if den > 1e-9 else 0.0
+    sse0 = (w * (cc - e0 * xc) ** 2).sum()
+    best = None
+    for lam in LAM_GRID:
+        k = 2 * np.pi / lam
+        s = np.sin(k * x)
+        c = np.cos(k * x)
+        sc, _ = _center(s, li, n_frag, wobs)
+        cc2, _ = _center(c, li, n_frag, wobs)
+        X = np.stack([sc, cc2, xc], axis=1)
+        XtX = (X[:, :, None] * X[:, None, :] * w[:, None, None]).sum(axis=0)
+        Xty = (X * (w * cc)[:, None]).sum(axis=0)
+        XtX += np.eye(3) * 1e-6
+        try:
+            beta = np.linalg.solve(XtX, Xty)
+        except np.linalg.LinAlgError:
+            continue
+        r = cc - X @ beta
+        sse = (w * r * r).sum()
+        if best is None or sse < best[4]:
+            best = (lam, beta[0], beta[1], beta[2], sse)
+    if best is None:
+        return None
+    lam, a, b, e, sse = best
+    k = 2 * np.pi / lam
+    fit = a * np.sin(k * x) + b * np.cos(k * x) + e * x
+    _, y_frag = _center(ci - fit, li, n_frag, wobs)
+    return lam, a, b, e, sse, sse0, y_frag
+
+
+def fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol=None):
+    """Joint fit at the chosen wavelength: field = (a0+a1*yt)sin +
+    (b0+b1*yt)cos + e*x, with yt = y - h/2.
+
+    Runs its OWN 3-round IRLS: weights inherited from the flat fit crush
+    exactly the strongly-attenuated rows that carry the decay signal
+    (measured 2x decay underfit), and a slope fitted WITHOUT the decay
+    columns oscillates +-2.4 deg on decay pages. ``cylcol`` adds a
+    co-present cylinder's field as a free column — its edge ramp otherwise
+    leaks into the slope (measured +-2 deg oscillation on wash+cyl pages).
+    Returns (a0, b0, a1, b1, e).
+    """
+    k = 2 * np.pi / lam
+    yt = (y_frag - h / 2.0)[li]
+    s = np.sin(k * x)
+    c = np.cos(k * x)
+    cols = [s, c, s * yt, c * yt, x]
+    if cylcol is not None:
+        cols.append(cylcol)
+    n = len(cols)
+    w = np.ones_like(ci)
+    beta = np.zeros(n)
+    for _ in range(3):
+        Xc = np.stack([_center(col, li, n_frag, w)[0] for col in cols], axis=1)
+        cc, _ = _center(ci, li, n_frag, w)
+        XtX = (Xc[:, :, None] * Xc[:, None, :] * w[:, None, None]).sum(axis=0)
+        Xty = (Xc * (w * cc)[:, None]).sum(axis=0)
+        XtX += np.eye(n) * 1e-6
+        beta = np.linalg.solve(XtX, Xty)
+        resid = cc - Xc @ beta
+        w = 1.0 / (1.0 + (resid / 2.5) ** 4)
+    return beta[:5]
+
+
+def fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs=None):
+    """Grid-fit c = y_i + g*(y_i - h/2)(cos(dx/R) - 1) + e*x over the
+    cylinder family (render_text.py:269-308). Both the candidate fits and
+    the baseline carry a free x-slope column so a rotation trend can never
+    masquerade as a cylinder. Returns (side, W, R, sse, sse0) or None."""
+    yt = (y_frag - h / 2.0)[li]
+    w = np.ones_like(ci) if wobs is None else wobs
+    cc, _ = _center(ci, li, n_frag, wobs)
+    xc, _ = _center(x, li, n_frag, wobs)
+    den_x = (w * xc * xc).sum()
+    e0 = (w * xc * cc).sum() / den_x if den_x > 1e-9 else 0.0
+    r0 = cc - e0 * xc
+    sse0 = (w * r0 * r0).sum()
+    best = None
+    for side in ("left", "right"):
+        for W in np.arange(0.25, 0.61, 0.05) * w_px:
+            dx = np.clip(W - x, 0, None) if side == "left" else np.clip(x - (w_px - W), 0, None)
+            for s in np.arange(0.2, 0.95, 0.05):
+                R = W / s
+                f = yt * (np.cos(dx / R) - 1.0)
+                fc, _ = _center(f, li, n_frag, wobs)
+                a11 = (w * fc * fc).sum()
+                a12 = (w * fc * xc).sum()
+                b1 = (w * fc * cc).sum()
+                b2 = (w * xc * cc).sum()
+                det = a11 * den_x - a12 * a12
+                if det < 1e-9 or a11 < 1e-9:
+                    continue
+                g = (den_x * b1 - a12 * b2) / det
+                e = (a11 * b2 - a12 * b1) / det
+                g = float(np.clip(g, 0.5, 1.6))
+                r = cc - g * fc - e * xc
+                sse = (w * r * r).sum()
+                if best is None or sse < best[3]:
+                    best = (side, W, R / np.sqrt(g), sse)
+    if best is None:
+        return None
+    side, W, R, sse = best
+    return side, W, R, sse, sse0
+
+
+def estimate_components(ink: np.ndarray, dbg: bool = False):
+    """Estimate every geometry component on a binary mask. Returns a dict
+    (lam/a/b/amp/beta/slope/sse/sse0/cyl + observation arrays) or None
+    when the page has too little trackable structure."""
+    h, w_px = ink.shape
+    centers, tops = strip_line_tops(ink)
+    trajs = track_lines(tops)
+    if not trajs:
+        return None
+    si, ci, li, n_frag = _flatten(trajs)
+    if si.size < 40:
+        return None
+    x = centers[si]
+    wobs = None
+    fitted = None
+    for _ in range(2):  # robust two-pass: fit, reweight, refit
+        fitted = fit_washboard(x, ci, li, n_frag, wobs)
+        if fitted is None:
+            return None
+        lam, a, b, e, sse, sse0, y_frag = fitted
+        k = 2 * np.pi / lam
+        fit = a * np.sin(k * x) + b * np.cos(k * x) + e * x
+        resid = ci - fit - y_frag[li]
+        wobs = 1.0 / (1.0 + (resid / 2.5) ** 4)
+    amp = float(np.hypot(a, b))
+    cyl = fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs)
+    cylcol = None
+    if cyl is not None and cyl[3] < 0.9 * cyl[4] and 0.25 <= cyl[1] / cyl[2] <= 1.0:
+        side, W, R = cyl[0], cyl[1], cyl[2]
+        dxc = np.clip(W - x, 0, None) if side == "left" else np.clip(x - (w_px - W), 0, None)
+        cylcol = (y_frag - h / 2.0)[li] * (np.cos(dxc / R) - 1.0)
+    beta = fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol)
+    out = {
+        "lam": lam, "a": a, "b": b, "slope": float(beta[4]), "amp": amp,
+        "beta": beta, "sse": sse, "sse0": sse0, "cyl": cyl,
+        "n_obs": int(si.size), "h": h, "w": w_px,
+    }
+    if dbg:
+        cylmsg = ""
+        if cyl:
+            side, W, R, csse, csse0 = cyl
+            cylmsg = f" cyl[{side} W={W:.0f} s={W/R:.2f} r={csse/max(csse0,1e-9):.2f}]"
+        print(f"    est: amp={amp:.2f} lam={lam:.0f} slope={out['slope']:+.4f} "
+              f"sine_r={sse/max(sse0,1e-9):.2f}{cylmsg} nobs={si.size}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inverse-map application
+# ---------------------------------------------------------------------------
+
+
+def _bilinear2d(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, fill) -> np.ndarray:
+    """General bilinear gather with border fill (float in/out)."""
+    h, w = img.shape
+    pad = np.full((h + 2, w + 2), fill, dtype=np.float64)
+    pad[1:-1, 1:-1] = img
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    fy = ys - y0
+    fx = xs - x0
+    yc = np.clip(y0 + 1, 0, h + 1)
+    xc = np.clip(x0 + 1, 0, w + 1)
+    yc1 = np.clip(y0 + 2, 0, h + 1)
+    xc1 = np.clip(x0 + 2, 0, w + 1)
+    top = pad[yc, xc] * (1 - fx) + pad[yc, xc1] * fx
+    bot = pad[yc1, xc] * (1 - fx) + pad[yc1, xc1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _clean_page_gate(ink: np.ndarray) -> bool:
+    """True when the page shows no sign of ANY geometric component — the
+    ~2 ms pre-gate that spares clean pages the ~45 ms full estimation.
+
+    Three cheap signals, one per family: detrended strip-shift p75
+    (washboard; saturated shifts at A >= max_shift still exceed the bar),
+    the shift trend's slope (rotation), and the per-strip ink-extent ratio
+    at the page edges (cylinder compression squeezes rows toward mid-page,
+    which is INVISIBLE to mean-shift correlation — extent is not).
+    """
+    h, w = ink.shape
+    centers, shifts = estimate_column_shifts(ink)
+    if centers.size < 12:
+        return True  # too little structure for the full estimator anyway
+    # thresholds are deliberately conservative: a false positive costs
+    # ~45 ms of estimation, a false negative costs page correctness
+    slope, icpt = np.polyfit(centers, shifts, 1)
+    resid = shifts - (icpt + slope * centers)
+    if float(np.percentile(np.abs(resid), 75)) >= 0.5 or abs(slope) >= 0.008:
+        return False
+    # per-strip ink extent (first..last ink row), 8 px strips
+    csum = np.zeros((h, w + 1), dtype=np.int32)
+    np.cumsum(ink, axis=1, out=csum[:, 1:])
+    edges = np.arange(0, w - 7, 8)
+    P = np.stack([csum[:, min(e + 8, w)] - csum[:, e] for e in edges], axis=1) > 0
+    first = P.argmax(axis=0)
+    last = h - 1 - P[::-1].argmax(axis=0)
+    ext = (last - first).astype(np.float64)
+    valid = P.any(axis=0) & (ext >= 0.25 * h)
+    if valid.sum() < 8:
+        return True
+    ev = ext[valid]
+    mid = float(np.median(ev))
+    q = max(2, valid.sum() // 4)
+    lo = float(np.median(ev[:q]))
+    hi = float(np.median(ev[-q:]))
+    return min(lo, hi) / max(mid, 1.0) > 0.97
+
+
+def recover_page_geometry(
+    img: np.ndarray, dbg: bool = False, max_rounds: int = 7, info: dict | None = None
+) -> np.ndarray:
+    """Geometry-recovering binarization of one grayscale page.
+
+    Peels warp components round by round (dominant first), composing their
+    analytic inverse gather maps into one total map, then applies the map
+    once — per column on the mask or the grayscale depending on the map's
+    local vertical scale (see module docstring). ``info`` (optional dict)
+    receives ``slope`` (the initial pooled trajectory slope, a rotation
+    prior for the deskew fallback) and ``applied`` (whether any warp was
+    peeled). Falls back to the plain binarized mask when the page has no
+    estimable structure or no significant component.
+    """
+    h, w = img.shape
+    if info is None:
+        info = {}
+    ink0 = despeckle(sauvola(img))
+    if _clean_page_gate(ink0):
+        return ink0
+    est = estimate_components(ink0, dbg=dbg)
+    if est is None:
+        return ink0
+    # initial-estimate slope only: post-peel re-estimates are polluted by
+    # residual warp artifacts; consumers use it as a deskew fallback ONLY
+    # when no warp was peeled (info["applied"] False)
+    info["slope"] = est["slope"]
+    info["applied"] = False
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    My, Mx = yy.copy(), xx.copy()     # total gather map observed<-corrected
+    col_scale = np.ones(w)            # per-column vertical scale of the map
+    prev_sev = None
+    for _ in range(max_rounds):
+        amp = est["amp"]
+        cyl = est["cyl"]
+        # washboard application gate: the reference family is lambda 90-150;
+        # longer-wave "sines" are fit noise on blurred/clean pages
+        wash_on = (amp >= 1.2 and est["sse"] < 0.8 * est["sse0"]
+                   and est["lam"] <= LAM_APPLY_MAX)
+        cyl_sev = 0.0
+        if cyl is not None:
+            side, W, R, csse, csse0 = cyl
+            cyl_sev = (1 - np.cos(W / R)) * (h / 2.0)  # max row shift at edge
+            # gates: real cylinders only dent total SSE mildly (they touch
+            # only edge-strip rows far from mid-page) -> ratio bar 0.9 with
+            # a strength floor below the family's 0.4 minimum; spurious
+            # fits on clean/blurred pages sit at strength <= 0.25. The
+            # sine-SSE comparison only counts when the sine is itself
+            # applicable: an out-of-family long-wave fit absorbing part of
+            # a real cylinder must not veto it.
+            if (csse > 0.9 * csse0 or cyl_sev < 1.5
+                    or not (0.32 <= W / R <= 0.95)
+                    or (est["lam"] <= LAM_APPLY_MAX and csse > est["sse"])):
+                cyl = None
+                cyl_sev = 0.0
+        # rotation peels here ONLY when composed with a significant sine:
+        # the shear makes the sine's phase vary with y (lambda
+        # misestimates: 95 vs true 128 at rot 3.3 deg + A 6.7), so it must
+        # come off first — INSIDE the composed map (a grayscale
+        # derotate-restart double-interpolates and erodes the bit cells).
+        # Pure rotations are left to estimate_skew downstream.
+        # the slope estimate's noise band on heavy washboard pages is
+        # ~+-1.6 deg (a spurious peel INJECTS a real rotation that nothing
+        # downstream removes); genuine composed rotations that break the
+        # lambda estimate are >= ~3 deg, so gate well above the noise
+        ang = float(np.degrees(np.arcsin(np.clip(est["slope"], -0.3, 0.3))))
+        rot_on = abs(ang) > 2.2 and amp >= 3.0
+        sev = max(cyl_sev, amp if wash_on else 0.0,
+                  3.0 * abs(ang) if rot_on else 0.0)
+        if dbg:
+            print(f"  round: sev={sev:.2f} (amp={amp:.2f} wash={wash_on} "
+                  f"ang={ang:+.2f} cyl_sev={cyl_sev:.2f})")
+        # break only on clear REGRESSION: different components peel on
+        # successive rounds (a rotation peel leaves washboard amp intact),
+        # so demanding a monotone total-severity decrease exits too early
+        if sev < 1.2 or (prev_sev is not None and sev > prev_sev * 1.1):
+            break
+        prev_sev = sev
+        if rot_on:
+            rad = np.arcsin(np.clip(est["slope"], -0.3, 0.3))
+            c, s = np.cos(rad), np.sin(rad)
+            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+            gy = c * (yy - cy) + s * (xx - cx) + cy
+            gx = -s * (yy - cy) + c * (xx - cx) + cx
+            new_scale = np.ones(w)
+        elif cyl is not None and cyl_sev >= amp:
+            side, W, R, _, _ = cyl
+            xs = np.arange(w, dtype=np.float64)
+            dx = np.clip(W - xs, 0, None) if side == "left" else np.clip(xs - (w - W), 0, None)
+            th = dx / R
+            map_x = xs + (R * np.sin(th) - dx)     # true col for observed col
+            xstar = np.interp(xs, map_x, xs)       # observed col for true col
+            thstar = np.interp(xstar, xs, th)
+            gy = (yy - h / 2.0) * np.cos(thstar)[None, :] + h / 2.0
+            gx = np.broadcast_to(xstar[None, :], (h, w)).copy()
+            new_scale = np.cos(thstar)
+        else:
+            lam = est["lam"]
+            a0, b0, a1, b1, _ = est["beta"]
+            # the physical decay scales the SAME sinusoid (phase preserved):
+            # project (a1,b1) onto (a0,b0); atten in [0.2, 1.0] bounds the
+            # relative per-half-page change to ~0.75
+            n2 = a0 * a0 + b0 * b0
+            rho = (a1 * a0 + b1 * b0) / n2 if n2 > 1e-9 else 0.0
+            rho = float(np.clip(rho, -0.75 / (h / 2.0), 0.75 / (h / 2.0)))
+            a1, b1 = rho * a0, rho * b0
+            k = 2 * np.pi / lam
+            xs = np.arange(w, dtype=np.float64)
+            sk, ck = np.sin(k * xs), np.cos(k * xs)
+            A = a0 * sk + b0 * ck
+            B = 1.0 + a1 * sk + b1 * ck
+            gy = A[None, :] + B[None, :] * (yy - h / 2.0) + h / 2.0
+            gx = xx
+            new_scale = np.minimum(B, 1.0)
+        # compose the total map: sample My/Mx at (gy,gx); per-column scale
+        # composes by sampling at the new map's column positions
+        col_scale = np.interp(gx[h // 2], np.arange(w), col_scale) * new_scale
+        My = _bilinear2d(My, gy, gx, fill=np.nan)
+        Mx = _bilinear2d(Mx, gy, gx, fill=np.nan)
+        oob = ~np.isfinite(My) | ~np.isfinite(Mx)
+        My[oob] = -10.0
+        Mx[oob] = -10.0
+        info["applied"] = True
+        cur = despeckle(_bilinear2d(ink0 * 255.0, My, Mx, 0.0) >= 128)
+        est = estimate_components(cur, dbg=dbg)
+        if est is None:
+            break
+    if not info["applied"]:
+        return ink0
+    out = despeckle(_bilinear2d(ink0 * 255.0, My, Mx, 0.0) >= 128)
+    needs_gray = col_scale < 0.96
+    if needs_gray.any():
+        fill = float(np.median(img))
+        gray = _bilinear2d(img.astype(np.float64), My, Mx, fill)
+        gmask = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
+        out = np.where(needs_gray[None, :], gmask, out)
+    return out
+
+
+def refine_skew(ink: np.ndarray, hint_deg: float, half: float = 0.7,
+                step: float = 0.05) -> float:
+    """Local concentration-score argmax around a strong prior angle.
+
+    estimate_skew's global gate exists to suppress hallucinated rotations;
+    with a trajectory-slope prior the rotation is known to be real, so the
+    +-half window is searched ungated (same row-histogram sharpness score).
+    """
+    ys, xs = np.nonzero(ink)
+    if ys.size < 300:
+        return hint_deg
+    ys = ys.astype(np.float64)
+    xs = xs.astype(np.float64)
+    if ys.size > 8000:
+        idx = np.linspace(0, ys.size - 1, 8000).astype(np.int64)
+        ys, xs = ys[idx], xs[idx]
+    h = int(ys.max()) + 1
+    w = int(xs.max()) + 1
+    span = h + int(np.ceil(w * np.sin(np.deg2rad(abs(hint_deg) + half + 1)))) * 2 + 2
+    best, best_s = hint_deg, -1.0
+    for t in np.arange(hint_deg - half, hint_deg + half + 1e-9, step):
+        rad = np.deg2rad(t)
+        yr = ys * np.cos(rad) - xs * np.sin(rad)
+        yq = (yr - yr.min()).astype(np.int64)
+        counts = np.bincount(yq, minlength=span).astype(np.float64)
+        s = float((counts * counts).sum())
+        if s > best_s:
+            best_s, best = s, float(t)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# page preprocessing entry points (moved from stages.image)
+# ---------------------------------------------------------------------------
+
+
+def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
+    """decode → parametric geometry recovery → fine dewarp → deskew.
+
+    Stage order matters and each arrow is measured (module docstring): the
+    coarse parametric recovery handles the reference's FULL severity
+    envelope (washboard A 6-12, cylinder 0.4-0.8, rotation composed with
+    warps); ``dewarp_washboard`` then cleans sub-1.5 px sine residuals;
+    the slope-prior rotation fallback runs BEFORE the fine dewarp (its
+    warp fit mangles a still-rotated noisy page — measured nerr 0 → 155);
+    ``estimate_skew`` deskews last (correct only confident tilts: >0.5°;
+    smaller corrections smear bit cells — hypothesis clean-roundtrip).
+    """
+    img = np.frombuffer(pixels, dtype=np.uint8, count=width * height).reshape(
+        height, width
+    )
+    info: dict = {}
+    ink = recover_page_geometry(img, info=info)
+    if not info.get("applied", False) and abs(info.get("slope", 0.0)) > 0.021:
+        # estimate_skew's concentration gate can miss a true rotation under
+        # heavy noise; the pooled within-trajectory slope is immune to it.
+        angle = refine_skew(ink, float(np.degrees(np.arcsin(info["slope"]))))
+        if abs(angle) > 0.5:
+            fmask = rotate_gray(
+                (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
+            )
+            ink = despeckle(fmask >= 128)
+    ink = dewarp_washboard(ink)
+    angle = estimate_skew(ink)
+    if abs(angle) > 0.5:
+        # deskew by area-sampling the binary mask (bilinear + 0.5
+        # threshold): crisper than NN∘NN and cannot bridge the 2-px
+        # inter-glyph gaps the way grayscale re-thresholding does
+        fmask = rotate_gray(
+            (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
+        )
+        ink = despeckle(fmask >= 128)
+    return ink
+
+
+def binarize_deskew_batch(batch: pa.Table) -> pa.Table:
+    """(media_ref, width, height, pixels) → (media_ref, width, height, ink).
+
+    Ray Data map_batches stage (stateless task; Arrow in/out). ``ink`` is
+    the recovered binary mask, bit-packed (8× smaller than raw pixels);
+    the raw ``pixels`` column is dropped here — project early so
+    downstream batches shrink (SURVEY.md §7.4).
+    """
+    refs = batch["media_ref"].to_pylist()
+    widths = batch["width"].to_numpy()
+    heights = batch["height"].to_numpy()
+    pixels = batch["pixels"].to_pylist()
+    packed: list[bytes] = []
+    for i in range(len(refs)):
+        ink = preprocess_page(pixels[i], int(widths[i]), int(heights[i]))
+        packed.append(np.packbits(ink).tobytes())
+    return pa.table(
+        {
+            "media_ref": batch["media_ref"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "ink": pa.array(packed, type=pa.binary()),
+        }
+    )

@@ -757,61 +757,16 @@ def dewarp_washboard(ink: np.ndarray, *, min_amp: float = 1.5) -> np.ndarray:
     return ink
 
 
-def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
-    """decode → Sauvola binarize → despeckle → dewarp → deskew, one page."""
-    img = np.frombuffer(pixels, dtype=np.uint8, count=width * height).reshape(
-        height, width
-    )
-    ink = despeckle(sauvola(img))
-    ink = dewarp_washboard(ink)
-    angle = estimate_skew(ink)
-    # Correct only confident tilts: ≤0.5° drifts ~1.5 px across a page and
-    # per-glyph shirorekha top detection absorbs it, while "correcting" a
-    # straight page by a hallucinated fraction of a degree (estimator
-    # noise on pathologically regular glyph patterns) smears bit cells —
-    # found by the hypothesis clean-roundtrip property.
-    if abs(angle) > 0.5:
-        # estimate_skew's score peaks at the angle whose *application* (in
-        # rotate_gray's convention) re-aligns the line bands. Deskew by
-        # area-sampling the binary mask (bilinear + 0.5 threshold): crisper
-        # than NN∘NN (which erodes the 3×3 bit cells) and, unlike blurring
-        # the grayscale and re-thresholding, it cannot bridge the 2-px
-        # inter-glyph gaps.
-        fmask = rotate_gray(
-            (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
-        )
-        ink = despeckle(fmask >= 128)
-    return ink
+def __getattr__(name: str):
+    # preprocess_page / binarize_deskew_batch moved to stages.geometry
+    # (which imports this module's primitives one-way). This PEP-562
+    # re-export keeps old import paths working — it resolves at DRIVER
+    # import time, so by-value worker serialization never needs it.
+    if name in ("preprocess_page", "binarize_deskew_batch"):
+        from . import geometry
 
-
-# ---------------------------------------------------------------------------
-# Ray Data map_batches stage functions (stateless tasks; Arrow in/out)
-# ---------------------------------------------------------------------------
-
-
-def binarize_deskew_batch(batch: pa.Table) -> pa.Table:
-    """(media_ref, width, height, pixels) → (media_ref, width, height, ink).
-
-    ``ink`` is the deskewed binary mask, bit-packed (8× smaller than raw
-    pixels); the raw ``pixels`` column is dropped here — project early so
-    downstream batches shrink (SURVEY.md §7.4).
-    """
-    refs = batch["media_ref"].to_pylist()
-    widths = batch["width"].to_numpy()
-    heights = batch["height"].to_numpy()
-    pixels = batch["pixels"].to_pylist()
-    packed: list[bytes] = []
-    for i in range(len(refs)):
-        ink = preprocess_page(pixels[i], int(widths[i]), int(heights[i]))
-        packed.append(np.packbits(ink).tobytes())
-    return pa.table(
-        {
-            "media_ref": batch["media_ref"],
-            "width": batch["width"],
-            "height": batch["height"],
-            "ink": pa.array(packed, type=pa.binary()),
-        }
-    )
+        return getattr(geometry, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def unpack_ink(ink_bytes: bytes, width: int, height: int) -> np.ndarray:

@@ -44,7 +44,8 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: /tmp/sxray_fixtures are keyed by this, so stale goldens from a
 #: previous build can never be silently reused by the driver/bench.
 #: v5: dewarp λ grid batched + selected once per page (round-0 only).
-FIXTURE_VERSION = 5
+#: v6: parametric geometry recovery (stages/geometry.py) in preprocess_page.
+FIXTURE_VERSION = 6
 
 # Degradation severity envelope (within the extractor's calibrated range,
 # FIXTURES.md §2), now covering the reference's full postprocessing model
