@@ -87,27 +87,49 @@ def strip_line_tops(ink: np.ndarray, strip: int = STRIP, min_mass: int = 4):
     Returns (strip_centers_x, list-per-strip of float arrays of run-top
     rows). The shirorekha spans the full glyph width, making the top edge
     of each ink run the most stable line anchor under warps.
+
+    Fully vectorized: all strips' runs are found in ONE flattened
+    diff/merge pass (this runs 2-5x per page; the per-strip Python loop
+    was ~2.7 ms/page of the extract hot path).
     """
     h, w = ink.shape
     csum = np.zeros((h, w + 1), dtype=np.int32)
     np.cumsum(ink, axis=1, out=csum[:, 1:])
     edges = np.arange(0, w, strip)
-    centers = edges + min(strip, 4) / 2.0
-    all_tops = []
-    for e in edges:
-        p = csum[:, min(e + strip, w)] - csum[:, e]
-        idx = np.nonzero(p > 0)[0]
-        tops = []
-        if idx.size:
-            brk = np.nonzero(np.diff(idx) >= 4)[0]
-            starts = np.concatenate(([0], brk + 1))
-            ends = np.concatenate((brk, [idx.size - 1]))
-            for s0, e0 in zip(starts, ends):
-                y0, y1 = idx[s0], idx[e0] + 1
-                if p[y0:y1].sum() >= min_mass:
-                    tops.append(float(y0))
-        all_tops.append(np.asarray(tops))
-    return centers.astype(np.float64), all_tops
+    centers = (edges + min(strip, 4) / 2.0).astype(np.float64)
+    n_s = edges.size
+    P = csum[:, np.minimum(edges + strip, w)] - csum[:, edges]  # (h, n_s)
+    hp = h + 4  # 4 blank guard rows so runs cannot cross strips or merge
+    flat = np.zeros(hp * n_s + 1, dtype=np.int32)
+    flat[:-1].reshape(n_s, hp)[:, :h] = (P > 0).T
+    d = np.diff(np.concatenate(([0], flat)))
+    starts = np.nonzero(d == 1)[0]
+    ends = np.nonzero(d == -1)[0]           # exclusive
+    if starts.size == 0:
+        return centers, [np.empty(0)] * n_s
+    # merge runs separated by <= 2 blank rows (old semantics: a break
+    # needs diff(idx) >= 4, i.e. >= 3 blank rows); guard rows stop
+    # cross-strip merges
+    keep = np.empty(starts.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (starts[1:] - ends[:-1]) >= 3
+    rs = starts[keep]
+    # run ends: each merged run ends at the last end before the next start
+    nxt = np.concatenate((np.nonzero(keep)[0][1:], [starts.size]))
+    re = ends[nxt - 1]
+    # ink mass per merged run from the strip-wise cumulative of P
+    cumP = np.zeros(hp * n_s + 1, dtype=np.int64)
+    view = cumP[1:].reshape(n_s, hp)
+    view[:, :h] = np.cumsum(P.T, axis=1)
+    view[:, h:] = view[:, h - 1:h]  # pad rows carry the strip total
+    mass = cumP[re] - cumP[rs]
+    ok = mass >= min_mass
+    rs = rs[ok]
+    tops = (rs % hp).astype(np.float64)
+    sids = rs // hp
+    cut = np.searchsorted(sids, np.arange(n_s + 1))
+    all_tops = [tops[cut[i]:cut[i + 1]] for i in range(n_s)]
+    return centers, all_tops
 
 
 def track_lines(all_tops, max_gap: int = 3, min_len: int = 5):
@@ -120,31 +142,44 @@ def track_lines(all_tops, max_gap: int = 3, min_len: int = 5):
     anchor each with its own fixed effect); jumps are poison.
     Returns a list of (strip_idx array, top_y array) trajectories.
     """
-    tracks: list[dict] = []
-    for s, tops in enumerate(all_tops):
-        if tops.size == 0:
+    # pure-Python floats in the inner loop: ~10 candidate tops x ~15 live
+    # tracks per strip makes numpy per-op overhead dominate (measured
+    # 4.3 ms -> ~1 ms per page)
+    tracks: list[list] = []  # [last_y, last_s, vel, idxs, ys]
+    for s, tops_arr in enumerate(all_tops):
+        if tops_arr.size == 0:
             continue
-        act = [t for t in tracks if 0 < s - t["last_s"] <= max_gap]
-        used = np.zeros(tops.size, dtype=bool)
-        for t in sorted(act, key=lambda t: t["last_y"]):
-            g = s - t["last_s"]
-            pred = t["last_y"] + t["vel"] * g
-            d = np.abs(tops - pred)
-            d[used] = np.inf
-            j = int(np.argmin(d)) if d.size else 0
-            if d.size and d[j] <= 3.5 + 1.2 * (g - 1):
-                used[j] = True
-                step = (float(tops[j]) - t["last_y"]) / g
-                t["vel"] = 0.6 * t["vel"] + 0.4 * step if len(t["ys"]) > 1 else step
-                t["last_y"] = float(tops[j])
-                t["last_s"] = s
-                t["idxs"].append(s)
-                t["ys"].append(float(tops[j]))
-        for j in np.nonzero(~used)[0]:
-            tracks.append({"last_y": float(tops[j]), "last_s": s, "vel": 0.0,
-                           "idxs": [s], "ys": [float(tops[j])]})
-    return [(np.asarray(t["idxs"]), np.asarray(t["ys"]))
-            for t in tracks if len(t["idxs"]) >= min_len]
+        tops = tops_arr.tolist()
+        used = [False] * len(tops)
+        act = [t for t in tracks if 0 < s - t[1] <= max_gap]
+        act.sort(key=lambda t: t[0])
+        for t in act:
+            g = s - t[1]
+            pred = t[0] + t[2] * g
+            tol = 3.5 + 1.2 * (g - 1)
+            best_j = -1
+            best_d = tol
+            for j, tv in enumerate(tops):
+                if used[j]:
+                    continue
+                d = tv - pred if tv >= pred else pred - tv
+                if d <= best_d:
+                    best_d = d
+                    best_j = j
+            if best_j >= 0:
+                used[best_j] = True
+                tv = tops[best_j]
+                step = (tv - t[0]) / g
+                t[2] = 0.6 * t[2] + 0.4 * step if len(t[4]) > 1 else step
+                t[0] = tv
+                t[1] = s
+                t[3].append(s)
+                t[4].append(tv)
+        for j, tv in enumerate(tops):
+            if not used[j]:
+                tracks.append([tv, s, 0.0, [s], [tv]])
+    return [(np.asarray(t[3]), np.asarray(t[4]))
+            for t in tracks if len(t[3]) >= min_len]
 
 
 # ---------------------------------------------------------------------------
@@ -171,41 +206,68 @@ def _center(v, li, n_frag, w=None):
     return v - m[li], m
 
 
-def fit_washboard(x, ci, li, n_frag, wobs=None):
+def fit_washboard(x, ci, li, n_frag, wobs=None, lams=None):
     """Fixed-effects LSQ of c ~ a sin(kx) + b cos(kx) + e*x + y_i over the
-    wavelength grid. Returns (lam, a, b, e, sse, sse_nosine, y_frag)."""
+    wavelength grid. Returns (lam, a, b, e, sse, sse_nosine, y_frag).
+
+    Batched over the whole grid: per-fragment centering and the 3x3
+    normal equations for every candidate wavelength are built with two
+    trig evaluations and a handful of einsums (the per-lambda Python loop
+    was ~2.7 ms x 2 robust passes x rounds on the extract hot path)."""
+    lams = LAM_GRID if lams is None else np.asarray(lams, dtype=np.float64)
+    if lams.size == 0:
+        lams = LAM_GRID
     cc, _ = _center(ci, li, n_frag, wobs)
     xc, _ = _center(x, li, n_frag, wobs)
     w = np.ones_like(cc) if wobs is None else wobs
     den = (w * xc * xc).sum()
     e0 = (w * xc * cc).sum() / den if den > 1e-9 else 0.0
     sse0 = (w * (cc - e0 * xc) ** 2).sum()
-    best = None
-    for lam in LAM_GRID:
-        k = 2 * np.pi / lam
-        s = np.sin(k * x)
-        c = np.cos(k * x)
-        sc, _ = _center(s, li, n_frag, wobs)
-        cc2, _ = _center(c, li, n_frag, wobs)
-        X = np.stack([sc, cc2, xc], axis=1)
-        XtX = (X[:, :, None] * X[:, None, :] * w[:, None, None]).sum(axis=0)
-        Xty = (X * (w * cc)[:, None]).sum(axis=0)
-        XtX += np.eye(3) * 1e-6
-        try:
-            beta = np.linalg.solve(XtX, Xty)
-        except np.linalg.LinAlgError:
-            continue
-        r = cc - X @ beta
-        sse = (w * r * r).sum()
-        if best is None or sse < best[4]:
-            best = (lam, beta[0], beta[1], beta[2], sse)
-    if best is None:
+    k = (2 * np.pi / lams)[:, None]              # (L, 1)
+    S = np.sin(k * x[None, :])                   # (L, n)
+    C = np.cos(k * x[None, :])
+    # batched weighted per-fragment centering via one-hot matmul
+    # (np.add.at scatter is ~10x slower than BLAS here)
+    wrow = w[None, :]
+    n = x.size
+    M = np.zeros((n_frag, n))
+    M[li, np.arange(n)] = w
+    cnt = np.maximum(M.sum(axis=1), 1e-9)
+    Sc = S - ((S @ M.T) / cnt)[:, li]
+    Cc = C - ((C @ M.T) / cnt)[:, li]
+    wc = w * cc
+    # normal equations per lambda (xc shared)
+    ss = np.einsum("ln,ln->l", Sc * wrow, Sc)
+    sc_ = np.einsum("ln,ln->l", Sc * wrow, Cc)
+    sx = Sc @ (w * xc)
+    cx = Cc @ (w * xc)
+    cc_q = np.einsum("ln,ln->l", Cc * wrow, Cc)
+    xx = den
+    b1 = Sc @ wc
+    b2 = Cc @ wc
+    b3 = (xc * wc).sum()
+    L = lams.size
+    XtX = np.empty((L, 3, 3))
+    XtX[:, 0, 0] = ss + 1e-6
+    XtX[:, 0, 1] = XtX[:, 1, 0] = sc_
+    XtX[:, 0, 2] = XtX[:, 2, 0] = sx
+    XtX[:, 1, 1] = cc_q + 1e-6
+    XtX[:, 1, 2] = XtX[:, 2, 1] = cx
+    XtX[:, 2, 2] = xx + 1e-6
+    Xty = np.stack([b1, b2, np.full(L, b3)], axis=1)
+    try:
+        beta = np.linalg.solve(XtX, Xty)         # (L, 3)
+    except np.linalg.LinAlgError:
         return None
-    lam, a, b, e, sse = best
-    k = 2 * np.pi / lam
-    fit = a * np.sin(k * x) + b * np.cos(k * x) + e * x
+    yty = (w * cc * cc).sum()
+    sse = yty - np.einsum("lk,lk->l", beta, Xty)
+    j = int(np.argmin(sse))
+    lam = float(lams[j])
+    a, b, e = (float(beta[j, 0]), float(beta[j, 1]), float(beta[j, 2]))
+    kj = 2 * np.pi / lam
+    fit = a * np.sin(kj * x) + b * np.cos(kj * x) + e * x
     _, y_frag = _center(ci - fit, li, n_frag, wobs)
-    return lam, a, b, e, sse, sse0, y_frag
+    return lam, a, b, e, float(sse[j]), sse0, y_frag
 
 
 def fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol=None):
@@ -255,38 +317,65 @@ def fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs=None):
     e0 = (w * xc * cc).sum() / den_x if den_x > 1e-9 else 0.0
     r0 = cc - e0 * xc
     sse0 = (w * r0 * r0).sum()
+    n = x.size
+    M = np.zeros((n_frag, n))
+    M[li, np.arange(n)] = w
+    cnt = np.maximum(M.sum(axis=1), 1e-9)
+    strengths = np.arange(0.2, 0.95, 0.05)
+    wxc = w * xc
+    wcc = w * cc
+    b2 = (xc * wcc).sum()
+    yty = (cc * wcc).sum()
     best = None
+    # batched over the strength grid per (side, W): the 2-col LSQ reduces
+    # to closed-form dot products (the triple Python loop was ~7.6 ms per
+    # estimation on the extract hot path)
     for side in ("left", "right"):
         for W in np.arange(0.25, 0.61, 0.05) * w_px:
             dx = np.clip(W - x, 0, None) if side == "left" else np.clip(x - (w_px - W), 0, None)
-            for s in np.arange(0.2, 0.95, 0.05):
-                R = W / s
-                f = yt * (np.cos(dx / R) - 1.0)
-                fc, _ = _center(f, li, n_frag, wobs)
-                a11 = (w * fc * fc).sum()
-                a12 = (w * fc * xc).sum()
-                b1 = (w * fc * cc).sum()
-                b2 = (w * xc * cc).sum()
-                det = a11 * den_x - a12 * a12
-                if det < 1e-9 or a11 < 1e-9:
-                    continue
-                g = (den_x * b1 - a12 * b2) / det
-                e = (a11 * b2 - a12 * b1) / det
-                g = float(np.clip(g, 0.5, 1.6))
-                r = cc - g * fc - e * xc
-                sse = (w * r * r).sum()
-                if best is None or sse < best[3]:
-                    best = (side, W, R / np.sqrt(g), sse)
+            R = W / strengths
+            F = yt[None, :] * (np.cos(dx[None, :] / R[:, None]) - 1.0)
+            Fc = F - ((F @ M.T) / cnt)[:, li]
+            Fw = Fc * w[None, :]
+            a11 = np.einsum("sn,sn->s", Fw, Fc)
+            a12 = Fc @ wxc
+            b1 = Fc @ wcc
+            det = a11 * den_x - a12 * a12
+            ok = (det > 1e-9) & (a11 > 1e-9)
+            if not ok.any():
+                continue
+            g = np.where(ok, (den_x * b1 - a12 * b2) / np.where(ok, det, 1.0), 0.0)
+            e = np.where(ok, (a11 * b2 - a12 * b1) / np.where(ok, det, 1.0), 0.0)
+            g = np.clip(g, 0.5, 1.6)
+            # SSE by the quadratic form (g is clipped, so not always the
+            # exact LSQ minimizer identity)
+            sse = (yty - 2 * (g * b1 + e * b2)
+                   + g * g * a11 + 2 * g * e * a12 + e * e * den_x)
+            sse = np.where(ok, sse, np.inf)
+            j = int(np.argmin(sse))
+            if best is None or sse[j] < best[3]:
+                best = (side, W, (W / strengths[j]) / np.sqrt(g[j]), float(sse[j]))
     if best is None:
         return None
     side, W, R, sse = best
     return side, W, R, sse, sse0
 
 
-def estimate_components(ink: np.ndarray, dbg: bool = False):
+def estimate_components(
+    ink: np.ndarray, dbg: bool = False, do_cyl: bool = True,
+    lam_hint: float | None = None,
+):
     """Estimate every geometry component on a binary mask. Returns a dict
     (lam/a/b/amp/beta/slope/sse/sse0/cyl + observation arrays) or None
-    when the page has too little trackable structure."""
+    when the page has too little trackable structure.
+
+    ``do_cyl=False`` skips the cylinder grid (~8 ms) — callers pass the
+    per-strip ink-extent compression hint (cylinders compress rows toward
+    mid-page; washboard/rotation do not). ``lam_hint`` narrows the
+    wavelength grid to a +-2-step window around a previous round's value
+    (the wavelength is a page property, re-fitting the full grid every
+    refinement round is waste).
+    """
     h, w_px = ink.shape
     centers, tops = strip_line_tops(ink)
     trajs = track_lines(tops)
@@ -296,10 +385,13 @@ def estimate_components(ink: np.ndarray, dbg: bool = False):
     if si.size < 40:
         return None
     x = centers[si]
+    lams = LAM_GRID
+    if lam_hint is not None:
+        lams = LAM_GRID[np.abs(LAM_GRID - lam_hint) <= 16.0]
     wobs = None
     fitted = None
     for _ in range(2):  # robust two-pass: fit, reweight, refit
-        fitted = fit_washboard(x, ci, li, n_frag, wobs)
+        fitted = fit_washboard(x, ci, li, n_frag, wobs, lams=lams)
         if fitted is None:
             return None
         lam, a, b, e, sse, sse0, y_frag = fitted
@@ -308,15 +400,22 @@ def estimate_components(ink: np.ndarray, dbg: bool = False):
         resid = ci - fit - y_frag[li]
         wobs = 1.0 / (1.0 + (resid / 2.5) ** 4)
     amp = float(np.hypot(a, b))
-    cyl = fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs)
+    cyl = fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs) if do_cyl else None
     cylcol = None
     if cyl is not None and cyl[3] < 0.9 * cyl[4] and 0.25 <= cyl[1] / cyl[2] <= 1.0:
         side, W, R = cyl[0], cyl[1], cyl[2]
         dxc = np.clip(W - x, 0, None) if side == "left" else np.clip(x - (w_px - W), 0, None)
         cylcol = (y_frag - h / 2.0)[li] * (np.cos(dxc / R) - 1.0)
     beta = fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol)
+    # effective amplitude = max |field| over the page: a residual after a
+    # partially-corrected decay washboard can have a SMALL flat component
+    # with a LARGE y-gradient (amplitude crossing zero mid-page) — gating
+    # on the flat amplitude alone leaves such fields uncorrected
+    amp_eff = float(np.hypot(beta[0], beta[1])
+                    + (h / 2.0) * np.hypot(beta[2], beta[3]))
     out = {
         "lam": lam, "a": a, "b": b, "slope": float(beta[4]), "amp": amp,
+        "amp_eff": amp_eff,
         "beta": beta, "sse": sse, "sse0": sse0, "cyl": cyl,
         "n_obs": int(si.size), "h": h, "w": w_px,
     }
@@ -353,27 +452,11 @@ def _bilinear2d(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, fill) -> np.nda
     return top * (1 - fy) + bot * fy
 
 
-def _clean_page_gate(ink: np.ndarray) -> bool:
-    """True when the page shows no sign of ANY geometric component — the
-    ~2 ms pre-gate that spares clean pages the ~45 ms full estimation.
-
-    Three cheap signals, one per family: detrended strip-shift p75
-    (washboard; saturated shifts at A >= max_shift still exceed the bar),
-    the shift trend's slope (rotation), and the per-strip ink-extent ratio
-    at the page edges (cylinder compression squeezes rows toward mid-page,
-    which is INVISIBLE to mean-shift correlation — extent is not).
-    """
+def _extent_compression(ink: np.ndarray) -> float:
+    """Edge-vs-mid per-strip ink-extent ratio (<1 = rows squeezed toward
+    mid-page at an edge — the cylinder signature, INVISIBLE to mean-shift
+    correlation, so it gets its own signal)."""
     h, w = ink.shape
-    centers, shifts = estimate_column_shifts(ink)
-    if centers.size < 12:
-        return True  # too little structure for the full estimator anyway
-    # thresholds are deliberately conservative: a false positive costs
-    # ~45 ms of estimation, a false negative costs page correctness
-    slope, icpt = np.polyfit(centers, shifts, 1)
-    resid = shifts - (icpt + slope * centers)
-    if float(np.percentile(np.abs(resid), 75)) >= 0.5 or abs(slope) >= 0.008:
-        return False
-    # per-strip ink extent (first..last ink row), 8 px strips
     csum = np.zeros((h, w + 1), dtype=np.int32)
     np.cumsum(ink, axis=1, out=csum[:, 1:])
     edges = np.arange(0, w - 7, 8)
@@ -383,13 +466,35 @@ def _clean_page_gate(ink: np.ndarray) -> bool:
     ext = (last - first).astype(np.float64)
     valid = P.any(axis=0) & (ext >= 0.25 * h)
     if valid.sum() < 8:
-        return True
+        return 1.0
     ev = ext[valid]
     mid = float(np.median(ev))
     q = max(2, valid.sum() // 4)
     lo = float(np.median(ev[:q]))
     hi = float(np.median(ev[-q:]))
-    return min(lo, hi) / max(mid, 1.0) > 0.97
+    return min(lo, hi) / max(mid, 1.0)
+
+
+def _clean_page_gate(ink: np.ndarray) -> tuple[bool, float]:
+    """(is_clean, extent_ratio) — the ~2 ms pre-gate that spares clean
+    pages the ~45 ms full estimation.
+
+    Three cheap signals, one per family: detrended strip-shift p75
+    (washboard; saturated shifts at A >= max_shift still exceed the bar),
+    the shift trend's slope (rotation), and the ink-extent ratio
+    (cylinder). Thresholds are deliberately conservative: a false
+    positive costs ~45 ms of estimation, a false negative costs page
+    correctness.
+    """
+    centers, shifts = estimate_column_shifts(ink)
+    if centers.size < 12:
+        return True, 1.0  # too little structure for the full estimator
+    slope, icpt = np.polyfit(centers, shifts, 1)
+    resid = shifts - (icpt + slope * centers)
+    shifts_clean = (float(np.percentile(np.abs(resid), 75)) < 0.5
+                    and abs(slope) < 0.008)
+    ratio = _extent_compression(ink)
+    return shifts_clean and ratio > 0.97, ratio
 
 
 def recover_page_geometry(
@@ -410,7 +515,8 @@ def recover_page_geometry(
     if info is None:
         info = {}
     ink0 = despeckle(sauvola(img))
-    if _clean_page_gate(ink0):
+    clean, _ext = _clean_page_gate(ink0)
+    if clean:
         return ink0
     est = estimate_components(ink0, dbg=dbg)
     if est is None:
@@ -424,8 +530,9 @@ def recover_page_geometry(
     My, Mx = yy.copy(), xx.copy()     # total gather map observed<-corrected
     col_scale = np.ones(w)            # per-column vertical scale of the map
     prev_sev = None
+    prev_comp = None
     for _ in range(max_rounds):
-        amp = est["amp"]
+        amp = max(est["amp"], est["amp_eff"])
         cyl = est["cyl"]
         # washboard application gate: the reference family is lambda 90-150;
         # longer-wave "sines" are fit noise on blurred/clean pages
@@ -458,18 +565,29 @@ def recover_page_geometry(
         # downstream removes); genuine composed rotations that break the
         # lambda estimate are >= ~3 deg, so gate well above the noise
         ang = float(np.degrees(np.arcsin(np.clip(est["slope"], -0.3, 0.3))))
-        rot_on = abs(ang) > 2.2 and amp >= 3.0
+        # gate on the FLAT in-family sine amplitude: a junk long-wave
+        # y-gradient (amp_eff) on a noisy page must not enable the in-map
+        # rotation peel — the refine_skew fallback is more accurate there
+        rot_on = (abs(ang) > 2.2 and est["amp"] >= 3.0
+                  and est["lam"] <= LAM_APPLY_MAX)
         sev = max(cyl_sev, amp if wash_on else 0.0,
                   3.0 * abs(ang) if rot_on else 0.0)
+        comp = ("rot" if rot_on
+                else "cyl" if (cyl is not None and cyl_sev >= amp)
+                else "wash")
         if dbg:
-            print(f"  round: sev={sev:.2f} (amp={amp:.2f} wash={wash_on} "
-                  f"ang={ang:+.2f} cyl_sev={cyl_sev:.2f})")
-        # break only on clear REGRESSION: different components peel on
-        # successive rounds (a rotation peel leaves washboard amp intact),
-        # so demanding a monotone total-severity decrease exits too early
-        if sev < 1.2 or (prev_sev is not None and sev > prev_sev * 1.1):
+            print(f"  round: sev={sev:.2f} comp={comp} (amp={amp:.2f} "
+                  f"wash={wash_on} ang={ang:+.2f} cyl_sev={cyl_sev:.2f})")
+        # require real progress WITHIN a component (dribble rounds waste
+        # ~20 ms each and never converge), but allow a flat round when the
+        # peeled component CHANGES (a rotation peel leaves washboard amp
+        # intact by design)
+        if sev < 1.2:
+            break
+        if prev_sev is not None and sev > prev_sev * (1.1 if comp != prev_comp else 0.85):
             break
         prev_sev = sev
+        prev_comp = comp
         if rot_on:
             rad = np.arcsin(np.clip(est["slope"], -0.3, 0.3))
             c, s = np.cos(rad), np.sin(rad)
@@ -491,13 +609,15 @@ def recover_page_geometry(
         else:
             lam = est["lam"]
             a0, b0, a1, b1, _ = est["beta"]
-            # the physical decay scales the SAME sinusoid (phase preserved):
-            # project (a1,b1) onto (a0,b0); atten in [0.2, 1.0] bounds the
-            # relative per-half-page change to ~0.75
-            n2 = a0 * a0 + b0 * b0
-            rho = (a1 * a0 + b1 * b0) / n2 if n2 > 1e-9 else 0.0
-            rho = float(np.clip(rho, -0.75 / (h / 2.0), 0.75 / (h / 2.0)))
-            a1, b1 = rho * a0, rho * b0
+            # cap the y-gradient magnitude but do NOT phase-project it onto
+            # (a0,b0): a residual after a partially-corrected decay warp is
+            # genuinely gradient-dominated (flat part near zero), and the
+            # projection was measured to zero exactly that signal
+            g_amp = float(np.hypot(a1, b1)) * (h / 2.0)
+            g_cap = max(0.75 * float(np.hypot(a0, b0)), 3.0)
+            if g_amp > g_cap:
+                a1 *= g_cap / g_amp
+                b1 *= g_cap / g_amp
             k = 2 * np.pi / lam
             xs = np.arange(w, dtype=np.float64)
             sk, ck = np.sin(k * xs), np.cos(k * xs)
@@ -516,7 +636,7 @@ def recover_page_geometry(
         Mx[oob] = -10.0
         info["applied"] = True
         cur = despeckle(_bilinear2d(ink0 * 255.0, My, Mx, 0.0) >= 128)
-        est = estimate_components(cur, dbg=dbg)
+        est = estimate_components(cur, dbg=dbg, lam_hint=est["lam"])
         if est is None:
             break
     if not info["applied"]:

@@ -48,7 +48,9 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: v7: degradation envelope raised to the reference's full severity
 #: (rotation ±5°, washboard A 6–12, cylinder 0.4–0.8, blur 0.5–1.0,
 #: noise σ 2.55–12.75, free 1–3 composition in selection order).
-FIXTURE_VERSION = 7
+#: v8: geometry-recovery kernels batched/vectorized (decode-path change:
+#: marginal-tail pages may verify differently at generation).
+FIXTURE_VERSION = 8
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
