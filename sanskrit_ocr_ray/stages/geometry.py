@@ -305,59 +305,74 @@ def fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol=None):
 
 
 def fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs=None):
-    """Grid-fit c = y_i + g*(y_i - h/2)(cos(dx/R) - 1) + e*x over the
-    cylinder family (render_text.py:269-308). Both the candidate fits and
-    the baseline carry a free x-slope column so a rotation trend can never
-    masquerade as a cylinder. Returns (side, W, R, sse, sse0) or None."""
-    yt = (y_frag - h / 2.0)[li]
+    """Grid-fit the EXACT multiplicative cylinder observation model
+
+        c - h/2 = yt_i * cos(theta(x)) + e*x
+
+    over the family (render_text.py:269-308), with each fragment's TRUE
+    anchor yt_i profiled out in closed form per candidate. The earlier
+    additive form g*(y_obs - h/2)(cos - 1) used the OBSERVED anchors,
+    which are themselves compressed by cos(theta-bar) inside the strip —
+    a systematic curvature over-estimate (fitted s 0.88 vs true 0.75 at
+    the family's top severity) that no g rescale can absorb because the
+    inflation varies per fragment. Both the candidates and the baseline
+    carry a free x-slope column so a rotation trend can never masquerade
+    as a cylinder. Returns (side, W, R, sse, sse0) or None."""
     w = np.ones_like(ci) if wobs is None else wobs
-    cc, _ = _center(ci, li, n_frag, wobs)
-    xc, _ = _center(x, li, n_frag, wobs)
-    den_x = (w * xc * xc).sum()
-    e0 = (w * xc * cc).sum() / den_x if den_x > 1e-9 else 0.0
-    r0 = cc - e0 * xc
-    sse0 = (w * r0 * r0).sum()
     n = x.size
-    M = np.zeros((n_frag, n))
-    M[li, np.arange(n)] = w
-    cnt = np.maximum(M.sum(axis=1), 1e-9)
-    strengths = np.arange(0.2, 0.95, 0.05)
-    wxc = w * xc
-    wcc = w * cc
-    b2 = (xc * wcc).sum()
-    yty = (cc * wcc).sum()
-    best = None
-    # batched over the strength grid per (side, W): the 2-col LSQ reduces
-    # to closed-form dot products (the triple Python loop was ~7.6 ms per
-    # estimation on the extract hot path)
-    for side in ("left", "right"):
-        for W in np.arange(0.25, 0.61, 0.05) * w_px:
+    onehot = np.zeros((n_frag, n))
+    onehot[li, np.arange(n)] = 1.0
+    ct = ci - h / 2.0
+
+    def _scan(side, Ws, strengths):
+        found = None
+        for W in Ws:
             dx = np.clip(W - x, 0, None) if side == "left" else np.clip(x - (w_px - W), 0, None)
             R = W / strengths
-            F = yt[None, :] * (np.cos(dx[None, :] / R[:, None]) - 1.0)
-            Fc = F - ((F @ M.T) / cnt)[:, li]
-            Fw = Fc * w[None, :]
-            a11 = np.einsum("sn,sn->s", Fw, Fc)
-            a12 = Fc @ wxc
-            b1 = Fc @ wcc
-            det = a11 * den_x - a12 * a12
-            ok = (det > 1e-9) & (a11 > 1e-9)
-            if not ok.any():
-                continue
-            g = np.where(ok, (den_x * b1 - a12 * b2) / np.where(ok, det, 1.0), 0.0)
-            e = np.where(ok, (a11 * b2 - a12 * b1) / np.where(ok, det, 1.0), 0.0)
-            g = np.clip(g, 0.5, 1.6)
-            # SSE by the quadratic form (g is clipped, so not always the
-            # exact LSQ minimizer identity)
-            sse = (yty - 2 * (g * b1 + e * b2)
-                   + g * g * a11 + 2 * g * e * a12 + e * e * den_x)
-            sse = np.where(ok, sse, np.inf)
+            K = np.cos(dx[None, :] / R[:, None])        # (S, n)
+            # per-fragment projection residual operator M_k(v) =
+            #   v - K * (sum_i w K v / sum_i w K^2)[li]  — linear in v, so
+            # the global slope e profiles out exactly afterwards
+            den = np.maximum((K * K * w[None, :]) @ onehot.T, 1e-9)  # (S, n_frag)
+            num_c = (K * (w * ct)[None, :]) @ onehot.T
+            num_x = (K * (w * x)[None, :]) @ onehot.T
+            Rc = ct[None, :] - K * (num_c / den)[:, li]
+            Rx = x[None, :] - K * (num_x / den)[:, li]
+            exx = np.einsum("sn,sn->s", Rx * w[None, :], Rx)
+            exc = np.einsum("sn,sn->s", Rx * w[None, :], Rc)
+            scc = np.einsum("sn,sn->s", Rc * w[None, :], Rc)
+            ok = exx > 1e-9
+            e = np.where(ok, exc / np.where(ok, exx, 1.0), 0.0)
+            sse = scc - e * exc
             j = int(np.argmin(sse))
-            if best is None or sse[j] < best[3]:
-                best = (side, W, (W / strengths[j]) / np.sqrt(g[j]), float(sse[j]))
+            if found is None or sse[j] < found[3]:
+                found = (side, W, float(R[j]), float(sse[j]), float(strengths[j]))
+        return found
+
+    # baseline: same model at R -> inf (cos == 1): per-fragment demean + slope
+    base = _scan("left", [1.0], np.array([1e-6]))
+    sse0 = base[3] if base is not None else 0.0
+    best = None
+    for side in ("left", "right"):
+        cand = _scan(side, np.arange(0.25, 0.61, 0.05) * w_px,
+                     np.arange(0.2, 0.95, 0.05))
+        if cand is not None and (best is None or cand[3] < best[3]):
+            best = cand
     if best is None:
         return None
-    side, W, R, sse = best
+    # local continuous refinement around the coarse winner: the coarse grid
+    # (W step 0.05*w, strength step 0.05) leaves up to ~10% edge-theta
+    # error at the family's top severities (s 0.75, portion 0.5) — a
+    # +-10 px row error at the strip edge that no downstream stage repairs
+    side, Wc, _, _, sc = best
+    fine = _scan(
+        side,
+        np.arange(max(8.0, Wc - 20.0), min(0.62 * w_px, Wc + 20.0) + 1e-9, 4.0),
+        np.clip(np.arange(sc - 0.08, sc + 0.0801, 0.01), 0.05, 1.2),
+    )
+    if fine is not None and fine[3] <= best[3]:
+        best = fine
+    side, W, R, sse, _ = best
     return side, W, R, sse, sse0
 
 

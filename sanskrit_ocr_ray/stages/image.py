@@ -314,7 +314,13 @@ def cylinder_warp(
     map_x = xx + (R * np.sin(theta) - dx)
     scale_y = np.cos(theta)
     yy = np.arange(h, dtype=np.float64)[:, None]
-    map_y = np.where(theta[None, :] > 0, (yy - h / 2) / scale_y[None, :] + h / 2, yy)
+    # vertical scaling applies to the WHOLE strip (reference gates on the
+    # strip mask, render_text.py:301-303, not on theta's sign): cos is even
+    # and R*sin(dx/R) is even in strength's sign, so a negative strength is
+    # the SAME warp as its positive mirror — gating on theta > 0 silently
+    # dropped the vertical compression for negative strengths, leaving an
+    # x-only squeeze the line-top estimator is structurally blind to
+    map_y = np.where(dx[None, :] > 0, (yy - h / 2) / scale_y[None, :] + h / 2, yy)
     # bilinear gather at (map_y, map_x) — x map is per-column constant
     x0 = np.floor(map_x).astype(np.int64)
     fx = map_x - x0
@@ -386,9 +392,29 @@ def segment_lines(ink: np.ndarray) -> list[tuple[int, int]]:
 
 def segment_glyphs(line_ink: np.ndarray) -> list[tuple[int, int]]:
     """Glyph boxes [x0, x1) within one line band from the vertical projection
-    (akshara segmentation; shirorekha makes each glyph a solid column run)."""
+    (akshara segmentation; shirorekha makes each glyph a solid column run).
+
+    Runs wider than one glyph are FUSIONS — warp-strip resampling can
+    bridge the 2-px inter-glyph gap with a single stray pixel, and the
+    decoder then silently drops every glyph after the first. The layout's
+    pitch is a hard constant (PITCH=12, render-side glyphs.py:26), so a
+    fused run of width ~n*PITCH-2 splits deterministically into n
+    pitch-spaced boxes; the decoder's ±1 px dx search absorbs the residual
+    drift."""
     cols = line_ink.sum(axis=0)
-    return _runs(cols >= 1, min_gap=2, min_len=3)
+    runs = _runs(cols >= 1, min_gap=2, min_len=3)
+    out: list[tuple[int, int]] = []
+    for x0, x1 in runs:
+        w = x1 - x0
+        n = max(1, round((w + (PITCH - GLYPH_W)) / PITCH))
+        if n == 1 or w < GLYPH_W + 4:
+            out.append((x0, x1))
+            continue
+        step = (w - GLYPH_W) / (n - 1)
+        for k in range(n):
+            s = x0 + int(round(k * step))
+            out.append((s, min(s + GLYPH_W, x1)))
+    return out
 
 
 def decode_page(ink: np.ndarray, codebook) -> str:

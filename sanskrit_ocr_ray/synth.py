@@ -50,7 +50,7 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: noise σ 2.55–12.75, free 1–3 composition in selection order).
 #: v8: geometry-recovery kernels batched/vectorized (decode-path change:
 #: marginal-tail pages may verify differently at generation).
-FIXTURE_VERSION = 8
+FIXTURE_VERSION = 9
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
