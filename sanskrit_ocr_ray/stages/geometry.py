@@ -536,10 +536,13 @@ def recover_page_geometry(
     est = estimate_components(ink0, dbg=dbg)
     if est is None:
         return ink0
-    # initial-estimate slope only: post-peel re-estimates are polluted by
-    # residual warp artifacts; consumers use it as a deskew fallback ONLY
-    # when no warp was peeled (info["applied"] False)
+    # slope: the initial pooled trajectory slope (rotation prior).
+    # slope_resid: the slope of the LAST re-estimate — after peels it is
+    # the rotation still left in the output (a cylinder peel leaves a
+    # composed rotation fully intact), which the caller must remove
+    # BEFORE the fine dewarp (its warp fit mangles rotated pages).
     info["slope"] = est["slope"]
+    info["slope_resid"] = est["slope"]
     info["applied"] = False
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     My, Mx = yy.copy(), xx.copy()     # total gather map observed<-corrected
@@ -654,6 +657,7 @@ def recover_page_geometry(
         est = estimate_components(cur, dbg=dbg, lam_hint=est["lam"])
         if est is None:
             break
+        info["slope_resid"] = est["slope"]
     if not info["applied"]:
         return ink0
     out = despeckle(_bilinear2d(ink0 * 255.0, My, Mx, 0.0) >= 128)
@@ -719,10 +723,15 @@ def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
     )
     info: dict = {}
     ink = recover_page_geometry(img, info=info)
-    if not info.get("applied", False) and abs(info.get("slope", 0.0)) > 0.021:
+    if abs(info.get("slope_resid", 0.0)) > 0.021:
         # estimate_skew's concentration gate can miss a true rotation under
         # heavy noise; the pooled within-trajectory slope is immune to it.
-        angle = refine_skew(ink, float(np.degrees(np.arcsin(info["slope"]))))
+        # This runs on the RESIDUAL slope — after a cylinder/washboard peel
+        # a composed rotation is still fully present (the in-map rot peel
+        # only fires when composed with a significant sine), and feeding a
+        # rotated page to dewarp_washboard mangles it (measured nerr
+        # 0 → 155); the derotation must come first.
+        angle = refine_skew(ink, float(np.degrees(np.arcsin(info["slope_resid"]))))
         if abs(angle) > 0.5:
             fmask = rotate_gray(
                 (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True

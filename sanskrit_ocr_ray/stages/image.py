@@ -550,49 +550,73 @@ def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: i
     # have large per-cell margins), but the full bit-column strips —
     # including the expected-EMPTY gap rows between cells — can.
     candidates: list[tuple[int, int, int, str]] = []  # (margin, dy, dx, ch)
+    # dx reaches ±2: a single stray warp-resample pixel can extend the
+    # projection run 2 px left of the true glyph origin, and the
+    # misaligned all-cells-off read (bits 0) is parity-VALID — it decodes
+    # empty space confidently unless the true alignment is in the search
     for dy in (0, -1, 1, -2, 2):
-        for dx in (0, -1, 1):
+        for dx in (0, -1, 1, -2, 2):
             s = read(dy, dx)
             if s is None:
                 continue
             ch, margin = judge(s)
             if ch is not None:
                 candidates.append((margin, dy, dx, ch))
-    if not candidates:
-        return None
+    # NOTE: an empty candidate set does NOT return None here — a single
+    # flipped bit cell makes every aligned read parity-invalid, and those
+    # glyphs are exactly what the template rescue below recovers.
     candidates.sort(key=lambda c: -c[0])
-    if len(candidates) == 1:
-        return candidates[0][3]
-
-    strip_lo = BIT_ROWS[0]
-    strip_hi = BIT_ROWS[-1] + CELL
 
     def agreement(dy: int, dx: int, ch: str) -> float:
-        """Fraction of matching pixels over the two bit-column strips."""
+        """Fraction of matching pixels over the FULL glyph bitmap.
+
+        The shirorekha (2 solid rows) and stem (2 solid columns) are part
+        of every glyph — including them makes a parity-valid bits-0 read
+        off empty space (max cell margin, and perfect agreement on
+        cell-strips alone) structurally impossible to prefer over the true
+        glyph: empty space cannot match 44 solid head/stem pixels."""
         bm = codebook.bitmaps[ord(ch) - 0x0900]
-        y0 = top + dy + strip_lo
-        y1 = top + dy + strip_hi
-        if y0 < 0 or y1 > bh:
+        y0 = top + dy
+        y1 = y0 + bm.shape[0]
+        xa = x0 + dx
+        xb = xa + bm.shape[1]
+        if y0 < 0 or y1 > bh or xa < 0 or xb > bw:
             return 0.0
-        total = 0
-        match = 0
-        for cx in BIT_COLS:
-            xa = x0 + dx + cx
-            xb = xa + CELL
-            if xa < 0 or xb > bw:
-                return 0.0
-            obs = band[y0:y1, xa:xb]
-            exp = bm[strip_lo:strip_hi, cx : cx + CELL]
-            match += int((obs == exp).sum())
-            total += obs.size
-        return match / total if total else 0.0
+        obs = band[y0:y1, xa:xb]
+        return float((obs == bm).sum()) / bm.size
 
     best_char, best_key = None, (-1.0, -1)
-    for margin, dy, dx, ch in candidates[:8]:
+    for margin, dy, dx, ch in candidates:
         a = agreement(dy, dx, ch)
         key = (a, margin)
         if key > best_key:
             best_key, best_char = key, ch
+    if best_key[0] >= 0.82:
+        return best_char
+    # template rescue: a single flipped bit cell makes EVERY aligned read
+    # parity-invalid, so the candidate set is empty (glyph silently
+    # dropped) or only wrong parses survive. Brute-match the observed
+    # window against all 128 bitmaps over the same alignment search; the
+    # true glyph still agrees on ~94% of pixels after a one-cell error,
+    # while empty space caps at ~0.76 (shirorekha+stem mismatch), so the
+    # 0.85 floor cannot false-accept a junk box.
+    bms3 = codebook.bitmaps
+    r_best, r_ch = 0.0, None
+    for dy in (0, -1, 1, -2, 2):
+        y0 = top + dy
+        if y0 < 0 or y0 + bms3.shape[1] > bh:
+            continue
+        for dx in (0, -1, 1, -2, 2):
+            xa = x0 + dx
+            if xa < 0 or xa + bms3.shape[2] > bw:
+                continue
+            obs = band[y0 : y0 + bms3.shape[1], xa : xa + bms3.shape[2]]
+            sc = (bms3 == obs[None]).reshape(128, -1).mean(axis=1)
+            j = int(np.argmax(sc))
+            if sc[j] > r_best:
+                r_best, r_ch = float(sc[j]), chr(0x0900 + j)
+    if r_best >= 0.85 and r_best > best_key[0]:
+        return r_ch
     return best_char
 
 

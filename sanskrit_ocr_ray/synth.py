@@ -50,7 +50,10 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: noise σ 2.55–12.75, free 1–3 composition in selection order).
 #: v8: geometry-recovery kernels batched/vectorized (decode-path change:
 #: marginal-tail pages may verify differently at generation).
-FIXTURE_VERSION = 9
+#: v10: residual-slope derotation after warp peels + full-bitmap agreement
+#: + template-rescue decoder (decode-path change: composed-stack tail pages
+#: verify differently at generation; measured sampler fails 20/150 → 14/150).
+FIXTURE_VERSION = 10
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
