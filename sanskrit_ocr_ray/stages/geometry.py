@@ -206,23 +206,43 @@ def _center(v, li, n_frag, w=None):
     return v - m[li], m
 
 
-def fit_washboard(x, ci, li, n_frag, wobs=None, lams=None):
-    """Fixed-effects LSQ of c ~ a sin(kx) + b cos(kx) + e*x + y_i over the
-    wavelength grid. Returns (lam, a, b, e, sse, sse_nosine, y_frag).
+def fit_washboard(x, ci, li, n_frag, wobs=None, lams=None, extra=None):
+    """Fixed-effects LSQ of c ~ a sin(kx) + b cos(kx) + e*x [+ g*extra]
+    + y_i over the wavelength grid. Returns
+    (lam, a, b, e, sse, sse_nosine, y_frag, g).
 
-    Batched over the whole grid: per-fragment centering and the 3x3
-    normal equations for every candidate wavelength are built with two
-    trig evaluations and a handful of einsums (the per-lambda Python loop
-    was ~2.7 ms x 2 robust passes x rounds on the extract hot path)."""
+    ``extra`` (optional, per-observation) adds one free column shared by
+    every candidate wavelength — used for a co-present cylinder's field so
+    its edge dent cannot capture the wavelength search (measured: a
+    cylinder+washboard page fit lam 305 (junk, out of family) without the
+    column vs the true 90-150 with it). ``sse_nosine`` includes the extra
+    column, so the wash_on variance-explained gate still isolates the
+    sine's own contribution.
+
+    Batched over the whole grid: per-fragment centering and the normal
+    equations for every candidate wavelength are built with two trig
+    evaluations and a handful of einsums (the per-lambda Python loop was
+    ~2.7 ms x 2 robust passes x rounds on the extract hot path)."""
     lams = LAM_GRID if lams is None else np.asarray(lams, dtype=np.float64)
     if lams.size == 0:
         lams = LAM_GRID
     cc, _ = _center(ci, li, n_frag, wobs)
     xc, _ = _center(x, li, n_frag, wobs)
     w = np.ones_like(cc) if wobs is None else wobs
-    den = (w * xc * xc).sum()
-    e0 = (w * xc * cc).sum() / den if den > 1e-9 else 0.0
-    sse0 = (w * (cc - e0 * xc) ** 2).sum()
+    fixed = [xc]
+    if extra is not None:
+        fixed.append(_center(extra, li, n_frag, wobs)[0])
+    F = np.stack(fixed, axis=1)                  # (n, nf) shared columns
+    nf = F.shape[1]
+    WF = F * w[:, None]
+    G = F.T @ WF                                 # (nf, nf)
+    gy = WF.T @ cc
+    Greg = G + 1e-6 * np.eye(nf)
+    try:
+        beta0 = np.linalg.solve(Greg, gy)
+    except np.linalg.LinAlgError:
+        return None
+    sse0 = float((w * (cc - F @ beta0) ** 2).sum())
     k = (2 * np.pi / lams)[:, None]              # (L, 1)
     S = np.sin(k * x[None, :])                   # (L, n)
     C = np.cos(k * x[None, :])
@@ -236,27 +256,30 @@ def fit_washboard(x, ci, li, n_frag, wobs=None, lams=None):
     Sc = S - ((S @ M.T) / cnt)[:, li]
     Cc = C - ((C @ M.T) / cnt)[:, li]
     wc = w * cc
-    # normal equations per lambda (xc shared)
+    # normal equations per lambda (fixed columns shared)
     ss = np.einsum("ln,ln->l", Sc * wrow, Sc)
     sc_ = np.einsum("ln,ln->l", Sc * wrow, Cc)
-    sx = Sc @ (w * xc)
-    cx = Cc @ (w * xc)
     cc_q = np.einsum("ln,ln->l", Cc * wrow, Cc)
-    xx = den
+    SF = Sc @ WF                                 # (L, nf)
+    CF = Cc @ WF
     b1 = Sc @ wc
     b2 = Cc @ wc
-    b3 = (xc * wc).sum()
     L = lams.size
-    XtX = np.empty((L, 3, 3))
+    m = 2 + nf
+    XtX = np.empty((L, m, m))
     XtX[:, 0, 0] = ss + 1e-6
     XtX[:, 0, 1] = XtX[:, 1, 0] = sc_
-    XtX[:, 0, 2] = XtX[:, 2, 0] = sx
     XtX[:, 1, 1] = cc_q + 1e-6
-    XtX[:, 1, 2] = XtX[:, 2, 1] = cx
-    XtX[:, 2, 2] = xx + 1e-6
-    Xty = np.stack([b1, b2, np.full(L, b3)], axis=1)
+    XtX[:, 0, 2:] = SF
+    XtX[:, 2:, 0] = SF
+    XtX[:, 1, 2:] = CF
+    XtX[:, 2:, 1] = CF
+    XtX[:, 2:, 2:] = Greg[None]
+    Xty = np.concatenate(
+        [b1[:, None], b2[:, None], np.broadcast_to(gy[None], (L, nf))], axis=1
+    )
     try:
-        beta = np.linalg.solve(XtX, Xty)         # (L, 3)
+        beta = np.linalg.solve(XtX, Xty)         # (L, m)
     except np.linalg.LinAlgError:
         return None
     yty = (w * cc * cc).sum()
@@ -264,10 +287,13 @@ def fit_washboard(x, ci, li, n_frag, wobs=None, lams=None):
     j = int(np.argmin(sse))
     lam = float(lams[j])
     a, b, e = (float(beta[j, 0]), float(beta[j, 1]), float(beta[j, 2]))
+    g = float(beta[j, 3]) if extra is not None else 0.0
     kj = 2 * np.pi / lam
     fit = a * np.sin(kj * x) + b * np.cos(kj * x) + e * x
+    if extra is not None:
+        fit = fit + g * extra
     _, y_frag = _center(ci - fit, li, n_frag, wobs)
-    return lam, a, b, e, float(sse[j]), sse0, y_frag
+    return lam, a, b, e, float(sse[j]), sse0, y_frag, g
 
 
 def fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol=None):
@@ -402,26 +428,95 @@ def estimate_components(
     x = centers[si]
     lams = LAM_GRID
     if lam_hint is not None:
-        lams = LAM_GRID[np.abs(LAM_GRID - lam_hint) <= 16.0]
+        lams = np.arange(lam_hint - 16.0, lam_hint + 16.01, 1.5)
     wobs = None
     fitted = None
     for _ in range(2):  # robust two-pass: fit, reweight, refit
         fitted = fit_washboard(x, ci, li, n_frag, wobs, lams=lams)
         if fitted is None:
             return None
-        lam, a, b, e, sse, sse0, y_frag = fitted
+        lam, a, b, e, sse, sse0, y_frag, _g = fitted
         k = 2 * np.pi / lam
         fit = a * np.sin(k * x) + b * np.cos(k * x) + e * x
         resid = ci - fit - y_frag[li]
         wobs = 1.0 / (1.0 + (resid / 2.5) ** 4)
-    amp = float(np.hypot(a, b))
+    # fine local wavelength refinement AFTER both robust full-grid passes:
+    # the 7.5-px coarse grid leaves a beat residual (phase error up to
+    # ~1.2 rad across the page at lam 95-vs-90.7) that is edge-heavy — the
+    # de-sined cylinder refit then absorbs it as a PHANTOM cylinder
+    # (measured: a pure-washboard page peeled 2 junk cylinder rounds
+    # before the real sine came off). Kept SEPARATE from the robust loop:
+    # narrowing the second pass to the first pass's window locks in a
+    # subharmonic the reweighted full-grid pass would have escaped
+    # (measured lam 76 lock vs true 142 on a wash+cyl page).
+    fine = fit_washboard(
+        x, ci, li, n_frag, wobs, lams=np.arange(lam - 7.5, lam + 7.51, 1.5)
+    )
+    if fine is not None:
+        fitted = fine
+        lam, a, b, e, sse, sse0, y_frag, _g = fine
+        lams = np.arange(lam - 7.5, lam + 7.51, 1.5)
     cyl = fit_cylinder(x, ci, li, n_frag, y_frag, h, w_px, wobs) if do_cyl else None
+    cyl_desined = False
+
+    def _cyl_basis(c, anchors):
+        side, W, R = c[0], c[1], c[2]
+        dxc = (np.clip(W - x, 0, None) if side == "left"
+               else np.clip(x - (w_px - W), 0, None))
+        return (anchors - h / 2.0)[li] * (np.cos(dxc / R) - 1.0)
+
+    # --- joint washboard+cylinder refinement -------------------------
+    # Fit sequentially-blind, each family sees the other as unmodeled
+    # structure: a cylinder's edge dent captures the wavelength search
+    # (lam 305 junk fit on a true-lam-120 page), and an unremoved sine
+    # biases the cylinder's side/W/strength AND floods its no-cylinder
+    # baseline, so the csse/csse0 ratio gate can never fire. When the raw
+    # cylinder fit is even loosely plausible: refit the sine with the
+    # cylinder field as a free column, then refit the cylinder on the
+    # DE-SINED observations so its SSE ratio measures only itself.
+    if (
+        cyl is not None
+        and (1 - np.cos(min(cyl[1] / cyl[2], 1.2))) * (h / 2.0) >= 1.5
+        and 0.25 <= cyl[1] / cyl[2] <= 1.2
+        and cyl[3] < 0.98 * cyl[4]
+    ):
+        refit = fit_washboard(
+            x, ci, li, n_frag, wobs, lams=lams, extra=_cyl_basis(cyl, y_frag)
+        )
+        if refit is not None:
+            lam, a, b, e, sse, sse0, y_frag, _g = refit
+            kj = 2 * np.pi / lam
+            sine = a * np.sin(kj * x) + b * np.cos(kj * x)
+            cyl2 = fit_cylinder(
+                x, ci - sine, li, n_frag, y_frag, h, w_px, wobs
+            )
+            if cyl2 is not None:
+                cyl = cyl2
+                cyl_desined = True
+    amp = float(np.hypot(a, b))
     cylcol = None
     if cyl is not None and cyl[3] < 0.9 * cyl[4] and 0.25 <= cyl[1] / cyl[2] <= 1.0:
-        side, W, R = cyl[0], cyl[1], cyl[2]
-        dxc = np.clip(W - x, 0, None) if side == "left" else np.clip(x - (w_px - W), 0, None)
-        cylcol = (y_frag - h / 2.0)[li] * (np.cos(dxc / R) - 1.0)
+        cylcol = _cyl_basis(cyl, y_frag)
     beta = fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol)
+    if cylcol is not None:
+        # decay-aware cylinder refit: a DECAY washboard's y-gradient field
+        # (a1 sin + b1 cos)*yt is structurally confusable with the
+        # cylinder's yt*(cos theta - 1) — the flat de-sine above leaves it
+        # in, and the contaminated fit drifts in W/strength (fitted W 80
+        # vs true 140 on a decay-wash+cyl page). Subtract the FULL decay
+        # field (flat + gradient, cylinder column co-fit by fit_decay) and
+        # refit; keep the refit only if it still clears the strict gates.
+        a0d, b0d, a1d, b1d, _e = beta
+        yt = (y_frag - h / 2.0)[li]
+        kj = 2 * np.pi / lam
+        field_ws = (a0d + a1d * yt) * np.sin(kj * x) + (b0d + b1d * yt) * np.cos(kj * x)
+        cyl3 = fit_cylinder(x, ci - field_ws, li, n_frag, y_frag, h, w_px, wobs)
+        if (cyl3 is not None and cyl3[3] < 0.9 * cyl3[4]
+                and 0.25 <= cyl3[1] / cyl3[2] <= 1.0):
+            cyl = cyl3
+            cyl_desined = True
+            cylcol = _cyl_basis(cyl, y_frag)
+            beta = fit_decay(x, ci, li, n_frag, lam, y_frag, h, cylcol)
     # effective amplitude = max |field| over the page: a residual after a
     # partially-corrected decay washboard can have a SMALL flat component
     # with a LARGE y-gradient (amplitude crossing zero mid-page) — gating
@@ -432,6 +527,7 @@ def estimate_components(
         "lam": lam, "a": a, "b": b, "slope": float(beta[4]), "amp": amp,
         "amp_eff": amp_eff,
         "beta": beta, "sse": sse, "sse0": sse0, "cyl": cyl,
+        "cyl_desined": cyl_desined,
         "n_obs": int(si.size), "h": h, "w": w_px,
     }
     if dbg:
@@ -470,16 +566,31 @@ def _bilinear2d(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, fill) -> np.nda
 def _extent_compression(ink: np.ndarray) -> float:
     """Edge-vs-mid per-strip ink-extent ratio (<1 = rows squeezed toward
     mid-page at an edge — the cylinder signature, INVISIBLE to mean-shift
-    correlation, so it gets its own signal)."""
+    correlation, so it gets its own signal).
+
+    Extents are the central-96%-ink-mass row range per strip, not
+    first/last inked row: noise specks that survive despeckle sit at
+    random rows and pull a first/last-row extent to the page borders,
+    masking a real cylinder's compression (measured 0.971 vs true ~0.89
+    on a cylinder+noise page — a clean-gate false pass that skipped
+    recovery entirely)."""
     h, w = ink.shape
     csum = np.zeros((h, w + 1), dtype=np.int32)
     np.cumsum(ink, axis=1, out=csum[:, 1:])
     edges = np.arange(0, w - 7, 8)
-    P = np.stack([csum[:, min(e + 8, w)] - csum[:, e] for e in edges], axis=1) > 0
-    first = P.argmax(axis=0)
-    last = h - 1 - P[::-1].argmax(axis=0)
+    mass = np.stack(
+        [csum[:, min(e + 8, w)] - csum[:, e] for e in edges], axis=1
+    ).astype(np.float64)                       # (h, n_strips)
+    P = mass > 0
+    cum = np.cumsum(mass, axis=0)
+    tot = cum[-1]                              # (n_strips,)
+    lo_t = 0.02 * tot
+    hi_t = 0.98 * tot
+    # first row with cum >= lo_t / >= hi_t per strip
+    first = (cum < lo_t[None, :]).sum(axis=0)
+    last = (cum < hi_t[None, :]).sum(axis=0)
     ext = (last - first).astype(np.float64)
-    valid = P.any(axis=0) & (ext >= 0.25 * h)
+    valid = (tot > 0) & (ext >= 0.25 * h)
     if valid.sum() < 8:
         return 1.0
     ev = ext[valid]
@@ -494,13 +605,18 @@ def _clean_page_gate(ink: np.ndarray) -> tuple[bool, float]:
     """(is_clean, extent_ratio) — the ~2 ms pre-gate that spares clean
     pages the ~45 ms full estimation.
 
-    Three cheap signals, one per family: detrended strip-shift p75
-    (washboard; saturated shifts at A >= max_shift still exceed the bar),
-    the shift trend's slope (rotation), and the ink-extent ratio
-    (cylinder). Thresholds are deliberately conservative: a false
+    Four cheap signals: detrended strip-shift p75 (washboard; saturated
+    shifts at A >= max_shift still exceed the bar), the shift trend's
+    slope (rotation), the ink-extent ratio (cylinder), and the top/bottom
+    THIRD-slab detrended shift p75 (cylinder again: full-slab mean shifts
+    cancel — compression moves the top half down and the bottom half up
+    by the same amount — but each third's own profile shows the edge
+    ramp; measured p90 0.54 on photometric-only pages vs p10 1.24 on
+    cylinder pages). Thresholds are deliberately conservative: a false
     positive costs ~45 ms of estimation, a false negative costs page
     correctness.
     """
+    h = ink.shape[0]
     centers, shifts = estimate_column_shifts(ink)
     if centers.size < 12:
         return True, 1.0  # too little structure for the full estimator
@@ -508,8 +624,19 @@ def _clean_page_gate(ink: np.ndarray) -> tuple[bool, float]:
     resid = shifts - (icpt + slope * centers)
     shifts_clean = (float(np.percentile(np.abs(resid), 75)) < 0.5
                     and abs(slope) < 0.008)
+    slab_clean = True
+    if shifts_clean:  # only pay the slab passes when still undecided
+        for y0, y1 in ((0, h // 3), (2 * h // 3, h)):
+            c, s = estimate_column_shifts(ink, y0=y0, y1=y1)
+            if c.size < 12:
+                continue
+            sl, ic = np.polyfit(c, s, 1)
+            r = s - (ic + sl * c)
+            if float(np.percentile(np.abs(r), 75)) >= 0.7:
+                slab_clean = False
+                break
     ratio = _extent_compression(ink)
-    return shifts_clean and ratio > 0.97, ratio
+    return shifts_clean and slab_clean and ratio > 0.97, ratio
 
 
 def recover_page_geometry(
@@ -565,11 +692,20 @@ def recover_page_geometry(
             # a strength floor below the family's 0.4 minimum; spurious
             # fits on clean/blurred pages sit at strength <= 0.25. The
             # sine-SSE comparison only counts when the sine is itself
-            # applicable: an out-of-family long-wave fit absorbing part of
-            # a real cylinder must not veto it.
+            # applicable (an out-of-family long-wave fit absorbing part of
+            # a real cylinder must not veto it) AND the cylinder was NOT
+            # refit on de-sined observations — after the joint refit
+            # est["sse"] includes the cylinder column, so the comparison
+            # would veto every real cylinder.
+            # W cap: the reference family's portion is 0.35-0.5 of the
+            # page; fits beyond 0.55*w are a decay washboard's y-gradient
+            # masquerading as a page-wide cylinder (measured W 0.62*w
+            # phantom on a pure decay-wash page)
             if (csse > 0.9 * csse0 or cyl_sev < 1.5
                     or not (0.32 <= W / R <= 0.95)
-                    or (est["lam"] <= LAM_APPLY_MAX and csse > est["sse"])):
+                    or W > 0.55 * est["w"]
+                    or (not est.get("cyl_desined", False)
+                        and est["lam"] <= LAM_APPLY_MAX and csse > est["sse"])):
                 cyl = None
                 cyl_sev = 0.0
         # rotation peels here ONLY when composed with a significant sine:

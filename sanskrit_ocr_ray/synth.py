@@ -53,7 +53,11 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: v10: residual-slope derotation after warp peels + full-bitmap agreement
 #: + template-rescue decoder (decode-path change: composed-stack tail pages
 #: verify differently at generation; measured sampler fails 20/150 → 14/150).
-FIXTURE_VERSION = 10
+#: v11: joint washboard+cylinder estimation (cylinder column in the sine
+#: fit, de-sined + decay-aware cylinder refits, fine-grid wavelength pass,
+#: third-slab clean-gate signal, family W cap) — sampler fails 14 → 8/150,
+#: single-class 266 → 268/270.
+FIXTURE_VERSION = 11
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
