@@ -480,19 +480,33 @@ def estimate_components(
         and 0.25 <= cyl[1] / cyl[2] <= 1.2
         and cyl[3] < 0.98 * cyl[4]
     ):
-        refit = fit_washboard(
-            x, ci, li, n_frag, wobs, lams=lams, extra=_cyl_basis(cyl, y_frag)
-        )
-        if refit is not None:
+        # severe compositions (top-strength cylinder + decay washboard)
+        # can leave even the cylinder-column fit on an out-of-family
+        # wavelength — the biased raw basis does not absorb the true dent.
+        # FORCE the sine into the reference family and alternate
+        # sine <-> de-sined cylinder to a fixed point (2 rounds suffice;
+        # measured lam 320 -> 130 on a true-132 page, basis coefficient
+        # converging to 1.0).
+        n_alt = 2 if lam > LAM_APPLY_MAX else 1
+        alt_lams = (np.arange(85.0, 160.1, 3.75)
+                    if lam > LAM_APPLY_MAX else lams)
+        for _ in range(n_alt):
+            refit = fit_washboard(
+                x, ci, li, n_frag, wobs, lams=alt_lams,
+                extra=_cyl_basis(cyl, y_frag),
+            )
+            if refit is None:
+                break
             lam, a, b, e, sse, sse0, y_frag, _g = refit
             kj = 2 * np.pi / lam
             sine = a * np.sin(kj * x) + b * np.cos(kj * x)
             cyl2 = fit_cylinder(
                 x, ci - sine, li, n_frag, y_frag, h, w_px, wobs
             )
-            if cyl2 is not None:
-                cyl = cyl2
-                cyl_desined = True
+            if cyl2 is None:
+                break
+            cyl = cyl2
+            cyl_desined = True
     amp = float(np.hypot(a, b))
     cylcol = None
     if cyl is not None and cyl[3] < 0.9 * cyl[4] and 0.25 <= cyl[1] / cyl[2] <= 1.0:
@@ -722,8 +736,17 @@ def recover_page_geometry(
         # gate on the FLAT in-family sine amplitude: a junk long-wave
         # y-gradient (amp_eff) on a noisy page must not enable the in-map
         # rotation peel — the refine_skew fallback is more accurate there
-        rot_on = (abs(ang) > 2.2 and est["amp"] >= 3.0
-                  and est["lam"] <= LAM_APPLY_MAX)
+        # ... OR composed with a gate-passing cylinder: peeling the
+        # cylinder under a still-present rotation applies the edge
+        # correction at tilted (wrong) columns — tan(4.8deg)*h = 27 px of
+        # column misalignment across the page (measured 70-edit decode on
+        # a cyl+rot page whose cylinder fit was near-exact). The slope is
+        # trustworthy there: fit_decay co-fits it WITH the cylinder
+        # column, so the lam junk-fit condition does not apply.
+        rot_on = abs(ang) > 2.2 and (
+            (est["amp"] >= 3.0 and est["lam"] <= LAM_APPLY_MAX)
+            or cyl is not None
+        )
         sev = max(cyl_sev, amp if wash_on else 0.0,
                   3.0 * abs(ang) if rot_on else 0.0)
         comp = ("rot" if rot_on
@@ -738,7 +761,11 @@ def recover_page_geometry(
         # intact by design)
         if sev < 1.2:
             break
-        if prev_sev is not None and sev > prev_sev * (1.1 if comp != prev_comp else 0.85):
+        # no growth bar right after a rotation peel: derotation leaves
+        # every other component intact AND un-masks components the tilted
+        # fit underestimated, so severity legitimately rises
+        if (prev_sev is not None and prev_comp != "rot"
+                and sev > prev_sev * (1.1 if comp != prev_comp else 0.85)):
             break
         prev_sev = sev
         prev_comp = comp

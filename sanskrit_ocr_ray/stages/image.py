@@ -544,12 +544,14 @@ def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: i
         if ch is not None and margin >= 5:
             return ch
 
-    # collect every parity-valid parse across the alignment search, then
-    # pick by STRUCTURAL agreement: cell sums alone cannot distinguish the
-    # true read from one shifted onto the shirorekha/empty space (both can
-    # have large per-cell margins), but the full bit-column strips —
-    # including the expected-EMPTY gap rows between cells — can.
-    candidates: list[tuple[int, int, int, str]] = []  # (margin, dy, dx, ch)
+    # collect every parity-valid parse across the alignment search —
+    # candidate chars only; their read alignments are NOT trusted (a
+    # parity-valid parse can sit at a warp-shifted offset while the char
+    # is right), and a parse's OWN-alignment agreement can lose to a junk
+    # bits-0 parse at a different offset (measured 0.850 empty-space vs
+    # 0.844 true-char own-alignment, while the true char scores 0.900 at
+    # its BEST alignment).
+    cand_chars: set[str] = set()
     # dx reaches ±2: a single stray warp-resample pixel can extend the
     # projection run 2 px left of the true glyph origin, and the
     # misaligned all-cells-off read (bits 0) is parity-VALID — it decodes
@@ -561,63 +563,48 @@ def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: i
                 continue
             ch, margin = judge(s)
             if ch is not None:
-                candidates.append((margin, dy, dx, ch))
-    # NOTE: an empty candidate set does NOT return None here — a single
-    # flipped bit cell makes every aligned read parity-invalid, and those
-    # glyphs are exactly what the template rescue below recovers.
-    candidates.sort(key=lambda c: -c[0])
+                cand_chars.add(ch)
 
-    def agreement(dy: int, dx: int, ch: str) -> float:
-        """Fraction of matching pixels over the FULL glyph bitmap.
-
-        The shirorekha (2 solid rows) and stem (2 solid columns) are part
-        of every glyph — including them makes a parity-valid bits-0 read
-        off empty space (max cell margin, and perfect agreement on
-        cell-strips alone) structurally impossible to prefer over the true
-        glyph: empty space cannot match 44 solid head/stem pixels."""
-        bm = codebook.bitmaps[ord(ch) - 0x0900]
-        y0 = top + dy
-        y1 = y0 + bm.shape[0]
-        xa = x0 + dx
-        xb = xa + bm.shape[1]
-        if y0 < 0 or y1 > bh or xa < 0 or xb > bw:
-            return 0.0
-        obs = band[y0:y1, xa:xb]
-        return float((obs == bm).sum()) / bm.size
-
-    best_char, best_key = None, (-1.0, -1)
-    for margin, dy, dx, ch in candidates:
-        a = agreement(dy, dx, ch)
-        key = (a, margin)
-        if key > best_key:
-            best_key, best_char = key, ch
-    if best_key[0] >= 0.82:
-        return best_char
-    # template rescue: a single flipped bit cell makes EVERY aligned read
-    # parity-invalid, so the candidate set is empty (glyph silently
-    # dropped) or only wrong parses survive. Brute-match the observed
-    # window against all 128 bitmaps over the same alignment search; the
-    # true glyph still agrees on ~94% of pixels after a one-cell error,
-    # while empty space caps at ~0.76 (shirorekha+stem mismatch), so the
-    # 0.85 floor cannot false-accept a junk box.
-    bms3 = codebook.bitmaps
-    r_best, r_ch = 0.0, None
+    # template match over ALL 128 bitmaps x the full alignment search,
+    # keeping each char's BEST-alignment score. The full bitmap
+    # (shirorekha 2 solid rows + stem 2 solid columns + expected-EMPTY
+    # gaps) separates the true char from both empty space (caps ~0.76 —
+    # cannot match 44 solid head/stem px) and one-bit-flipped neighbours
+    # (true char still agrees ~94% after a one-cell error). Selection:
+    #   - a parity-valid candidate char wins by argmax of best-alignment
+    #     score, UNCONDITIONALLY (on blur/noise-eroded pages absolute
+    #     scores drop below any fixed floor while parity still decodes
+    #     right — flooring candidates was measured to DROP glyphs and
+    #     triple the sampler fails);
+    #   - a non-candidate char (parity broken by a flipped cell) must
+    #     clear 0.85 AND beat the best candidate by > 0.03;
+    #   - with no candidates at all, 0.85 keeps junk boxes at None.
+    bms = codebook.bitmaps
+    scores = np.zeros(128)
     for dy in (0, -1, 1, -2, 2):
         y0 = top + dy
-        if y0 < 0 or y0 + bms3.shape[1] > bh:
+        if y0 < 0 or y0 + bms.shape[1] > bh:
             continue
         for dx in (0, -1, 1, -2, 2):
             xa = x0 + dx
-            if xa < 0 or xa + bms3.shape[2] > bw:
+            if xa < 0 or xa + bms.shape[2] > bw:
                 continue
-            obs = band[y0 : y0 + bms3.shape[1], xa : xa + bms3.shape[2]]
-            sc = (bms3 == obs[None]).reshape(128, -1).mean(axis=1)
-            j = int(np.argmax(sc))
-            if sc[j] > r_best:
-                r_best, r_ch = float(sc[j]), chr(0x0900 + j)
-    if r_best >= 0.85 and r_best > best_key[0]:
-        return r_ch
-    return best_char
+            obs = band[y0 : y0 + bms.shape[1], xa : xa + bms.shape[2]]
+            np.maximum(
+                scores, (bms == obs[None]).reshape(128, -1).mean(axis=1),
+                out=scores,
+            )
+    j = int(np.argmax(scores))
+    if not cand_chars:
+        return chr(0x0900 + j) if scores[j] >= 0.85 else None
+    # tie-break by codepoint: set iteration order is hash-randomized per
+    # process, and equal-score ties OCCUR (two parses reading the same
+    # strips) — max() over a raw set decoded differently per Ray worker
+    best_c = min(cand_chars, key=lambda c: (-scores[ord(c) - 0x0900], c))
+    if (chr(0x0900 + j) not in cand_chars and scores[j] >= 0.85
+            and scores[j] > scores[ord(best_c) - 0x0900] + 0.03):
+        return chr(0x0900 + j)
+    return best_c
 
 
 def estimate_column_shifts(

@@ -57,7 +57,10 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: fit, de-sined + decay-aware cylinder refits, fine-grid wavelength pass,
 #: third-slab clean-gate signal, family W cap) — sampler fails 14 → 8/150,
 #: single-class 266 → 268/270.
-FIXTURE_VERSION = 11
+#: v12: rotation-with-cylinder in-map peel, family-forced sine<->cylinder
+#: alternation, best-alignment argmax glyph selection (decode-path
+#: changes; every remaining sampler fail is <= 4 glyph edits).
+FIXTURE_VERSION = 12
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
