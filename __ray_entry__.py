@@ -157,6 +157,7 @@ def _multimodal_features(sf_dir: str):
 
     # imported HERE (driver side) so `recast` closes over the symbols —
     # workers can't re-import the package by name (it ships by value)
+    from sanskrit_ocr_ray.stages.jpeg import jpeg_encode
     from sanskrit_ocr_ray.stages.multimodal import FeatureExtractor
     from sanskrit_ocr_ray.stages.png import png_encode
     from sanskrit_ocr_ray.util import md5_u64
@@ -164,10 +165,11 @@ def _multimodal_features(sf_dir: str):
     fx = _fixture_for(sf_dir)
 
     def recast(batch: pa.Table) -> pa.Table:
-        # half the pages (by md5(media_ref) parity — deterministic) travel
-        # as REAL PNG payloads through the pure-Python codec; the other
-        # half stay raw8. Decode recovers identical pixels either way, so
-        # the oracle's "every row yields 16 features, no errors" holds.
+        # a third of the pages (by md5(media_ref) mod 3 — deterministic)
+        # travel as REAL PNG payloads, a third as REAL baseline JPEG
+        # (lossy — fine: the oracle checks 16 features + no errors, not
+        # feature values), the rest stay raw8. All three decode through
+        # the same pure-Python codecs the FeatureExtractor uses.
         n = batch.num_rows
         refs = batch["media_ref"].to_pylist()
         widths = batch["width"].to_pylist()
@@ -175,10 +177,15 @@ def _multimodal_features(sf_dir: str):
         pixels = batch["pixels"].to_pylist()
         types, payloads = [], []
         for r, w, h, p in zip(refs, widths, heights, pixels):
-            if md5_u64(r) % 2 == 0:
+            sel = md5_u64(r) % 3
+            if sel == 0:
                 img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
                 types.append("image/png")
                 payloads.append(png_encode(img, level=1))
+            elif sel == 1:
+                img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
+                types.append("image/jpeg")
+                payloads.append(jpeg_encode(img, quality=85))
             else:
                 types.append("image/raw8")
                 payloads.append(p)

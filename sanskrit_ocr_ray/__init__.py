@@ -48,6 +48,9 @@ def _register_for_ray() -> None:
         "stages.dedup",
         "stages.text_analysis",
         "stages.similarity",
+        "stages.png",
+        "stages.jpeg",
+        "stages.wav",
         "stages.multimodal",
         "stages.relational",
         "stages.corpus",

@@ -6,12 +6,13 @@ sized by *byte budget*, not row count. The raw-grayscale page path
 (stages/image.py) is fully real, as are every raw-layout kernel below
 (raw8 image features/resize, pcm16 windowed energy, raw8 multi-frame
 video sampling — real byte decode, vectorized integer kernels, exact
-DuckDB oracles). PNG decode is REAL too (pure-Python codec over stdlib
-zlib, :mod:`stages.png`); only the decode steps whose codecs genuinely
-need native libraries (JPEG, compressed audio/video) remain STUBBED
-behind ``NotImplementedError`` — the Ray-side plumbing (schemas, batch
-sizing, actor signature, output layout) is real and tested
-(tests/test_multimodal.py), and malformed payloads quarantine per-row.
+DuckDB oracles). The container codecs are REAL pure-Python
+implementations too: PNG (stdlib zlib, :mod:`stages.png`), baseline
+JPEG (full T.81 sequential DCT + huffman, :mod:`stages.jpeg`) and
+RIFF/WAVE PCM (:mod:`stages.wav`). Only formats whose codecs genuinely
+need native libraries (compressed audio/video) remain unavailable —
+``decode_payload`` raises, the actor-pool stages quarantine the row
+per-row (tests/test_multimodal.py), never the batch.
 """
 
 from __future__ import annotations
@@ -21,7 +22,9 @@ import pyarrow as pa
 
 # top-level (not runtime) import: the package ships to workers by value,
 # so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
+from .jpeg import jpeg_decode
 from .png import png_decode
+from .wav import wav_decode, wav_encode
 
 #: media payload table with codec metadata
 MULTIMODAL_SCHEMA = pa.schema(
@@ -48,10 +51,10 @@ def decode_payload(media_type: str, payload: bytes, width: int, height: int) -> 
     if media_type == "image/png":
         return png_decode(payload)
     if media_type == "image/jpeg":
-        raise NotImplementedError(
-            "JPEG decode requires PIL/cv2 (absent in this container); "
-            "plug a codec into decode_payload — pipeline plumbing is format-agnostic"
-        )
+        return jpeg_decode(payload)
+    if media_type == "audio/wav":
+        samples, _rate, _ch = wav_decode(payload)
+        return samples.reshape(-1)  # interleave channels for feature kernels
     raise NotImplementedError(f"unknown media_type {media_type!r}")
 
 
@@ -208,12 +211,20 @@ def synth_pcm16_batch(
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     i = np.arange(n_samples, dtype=np.int64)
     s = (((ids[:, None] * 31 + i[None, :] * 7) % 4096) - 2048).astype("<i2")
+    # even doc_ids ship inside a REAL RIFF/WAVE container (lossless PCM16,
+    # so windowed energies — and the DuckDB oracle — are unchanged); odd
+    # ones stay raw s16le. Deterministic per doc, parallelism-invariant.
+    types = ["audio/wav" if d % 2 == 0 else "audio/pcm16" for d in ids]
+    payloads = [
+        wav_encode(row, 16000) if t == "audio/wav" else row.tobytes()
+        for row, t in zip(s, types)
+    ]
     return pa.table(
         {
             id_col: batch[id_col],
-            "media_type": pa.array(["audio/pcm16"] * len(ids), type=pa.string()),
+            "media_type": pa.array(types, type=pa.string()),
             "sample_rate": pa.array([16000] * len(ids), type=pa.int32()),
-            "payload": pa.array([row.tobytes() for row in s], type=pa.binary()),
+            "payload": pa.array(payloads, type=pa.binary()),
         }
     )
 
@@ -228,9 +239,14 @@ def audio_energy(ds, *, window: int = 256, id_col: str = "doc_id"):
     def per_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         payloads = batch["payload"].to_pylist()
+        types = (batch["media_type"].to_pylist()
+                 if "media_type" in batch.column_names else [None] * len(ids))
         out_id, out_w, out_e = [], [], []
-        for did, p in zip(ids, payloads):
-            x = np.frombuffer(p, dtype="<i2").astype(np.int64)
+        for did, p, mt in zip(ids, payloads, types):
+            if mt == "audio/wav":
+                x = wav_decode(p)[0].reshape(-1).astype(np.int64)
+            else:
+                x = np.frombuffer(p, dtype="<i2").astype(np.int64)
             n_win = (len(x) + window - 1) // window
             wins = np.arange(len(x)) // window
             e = np.bincount(wins, weights=(x * x).astype(np.float64), minlength=n_win)

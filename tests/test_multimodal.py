@@ -75,9 +75,23 @@ def test_codec_formats():
     np.testing.assert_array_equal(out, img)
     with pytest.raises(ValueError):
         decode_payload("image/png", b"x", 1, 1)
-    # JPEG / compressed video stay honestly stubbed (no native codecs here)
-    with pytest.raises(NotImplementedError):
+    # JPEG and WAV are real codecs now: valid payloads decode, malformed
+    # raise ValueError; compressed video stays honestly stubbed
+    from sanskrit_ocr_ray.stages.jpeg import jpeg_encode
+    from sanskrit_ocr_ray.stages.wav import wav_encode
+
+    flat = np.full((8, 8), 77, np.uint8)
+    np.testing.assert_array_equal(
+        decode_payload("image/jpeg", jpeg_encode(flat, quality=90), 8, 8), flat
+    )
+    with pytest.raises(ValueError):
         decode_payload("image/jpeg", b"x", 1, 1)
+    pcm = np.arange(16, dtype=np.int16)
+    np.testing.assert_array_equal(
+        decode_payload("audio/wav", wav_encode(pcm, 8000), 0, 0), pcm
+    )
+    with pytest.raises(ValueError):
+        decode_payload("audio/wav", b"x", 0, 0)
     with pytest.raises(NotImplementedError):
         decode_payload("video/mp4", b"x", 0, 0)
 
