@@ -60,7 +60,10 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: v12: rotation-with-cylinder in-map peel, family-forced sine<->cylinder
 #: alternation, best-alignment argmax glyph selection (decode-path
 #: changes; every remaining sampler fail is <= 4 glyph edits).
-FIXTURE_VERSION = 12
+#: v13: float32 batched cylinder grid + bilinear gathers, one-shot
+#: template match (1.75x faster page recovery; marginal-tail pages
+#: verify differently at generation).
+FIXTURE_VERSION = 13
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
