@@ -40,12 +40,15 @@ calibration suites, tools/calibrate_degradations.py):
   across a long word gap, and loose nearest-neighbour matching jumps to
   the adjacent line, creating pitch-aliased false trajectories that
   converge to a self-consistent WRONG fixed point.
-- The application medium is chosen PER COLUMN by the map's vertical
-  scale: compressed cylinder strips need the grayscale's sub-pixel
-  information (25/25 exact via grayscale vs 7/25 via mask hop), while
-  shift-dominated regions (washboard / rotation) must stay on the binary
-  mask — a second grayscale interpolation on noisy pages erodes the 3x3
-  bit cells (nerr 0 mask vs 109 gray on a noise+rot+wash page).
+- The final application samples the GRAYSCALE through the total map with
+  a Catmull-Rom (bicubic) kernel and re-binarizes with Sauvola: warps
+  point-decimate rows (up to 1.43x inside a strength-0.8 cylinder strip),
+  and both a bilinear gray gather and the thresholded-mask hop lose
+  enough bit-cell mass to flip a cell together with its parity cell — a
+  wrong-but-parity-valid decode. Catmull-Rom's negative lobes keep stroke
+  edges ~1 px sharp; measured 60/60 single-class cylinder and 148/150
+  full-sampler vs 55/60 / 141/150 for the round-2 per-column mask/gray
+  split (whose bilinear-gray erosion mode this kernel retires).
 """
 
 from __future__ import annotations
@@ -63,6 +66,7 @@ from .image import (
     dewarp_washboard,
     estimate_column_shifts,
     estimate_skew,
+    gaussian_blur,
     rotate_gray,
     sauvola,
 )
@@ -608,6 +612,55 @@ def _bilinear2d_pair(a: np.ndarray, b: np.ndarray | None, ys: np.ndarray,
     return _one(a), (_one(b) if b is not None else None)
 
 
+def _bicubic2d(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, fill) -> np.ndarray:
+    """Catmull-Rom bicubic gather with border fill.
+
+    Used ONLY for the final grayscale reconstruction of cylinder-compressed
+    strips: the forward warp point-decimates rows by 1/cos(theta) (up to
+    1.43x at strength 0.8), and a bilinear inverse is a second low-pass on
+    top of that — the composed blur smears 3x3 bit cells enough to flip a
+    data cell together with the parity cell (a wrong-but-parity-valid
+    decode; measured 5/60 single-class cylinder pages). Catmull-Rom's
+    negative lobes partially invert the tent kernel, keeping stroke edges
+    ~1 px sharp. Overshoot is clipped by the caller before Sauvola.
+    """
+    h, w = img.shape
+    ys = ys.astype(np.float32, copy=False)
+    xs = xs.astype(np.float32, copy=False)
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    fy = (ys - y0)[..., None]
+    fx = (xs - x0)[..., None]
+
+    def _cr_weights(f):
+        # Catmull-Rom at taps (-1, 0, 1, 2)
+        f2 = f * f
+        f3 = f2 * f
+        return np.concatenate(
+            [
+                0.5 * (-f3 + 2 * f2 - f),
+                0.5 * (3 * f3 - 5 * f2 + 2),
+                0.5 * (-3 * f3 + 4 * f2 + f),
+                0.5 * (f3 - f2),
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+    wy = _cr_weights(fy)                      # (..., 4)
+    wx = _cr_weights(fx)
+    pad = np.full((h + 4, w + 4), fill, dtype=np.float32)
+    pad[2:-2, 2:-2] = img
+    acc = np.zeros(ys.shape, dtype=np.float32)
+    for j in range(4):
+        yc = np.clip(y0 + (j + 1), 0, h + 3)
+        row = np.zeros(ys.shape, dtype=np.float32)
+        for i in range(4):
+            xc = np.clip(x0 + (i + 1), 0, w + 3)
+            row += pad[yc, xc] * wx[..., i]
+        acc += row * wy[..., j]
+    return acc
+
+
 def _extent_compression(ink: np.ndarray) -> float:
     """Edge-vs-mid per-strip ink-extent ratio (<1 = rows squeezed toward
     mid-page at an edge — the cylinder signature, INVISIBLE to mean-shift
@@ -684,8 +737,51 @@ def _clean_page_gate(ink: np.ndarray) -> tuple[bool, float]:
     return shifts_clean and slab_clean and ratio > 0.97, ratio
 
 
+def _cyl_inverse_maps(side: str, W: float, R: float, h: int, w: int, yy: np.ndarray):
+    """Inverse gather maps (gy, gx) undoing one cylindrical edge warp."""
+    xs = np.arange(w, dtype=np.float64)
+    dx = np.clip(W - xs, 0, None) if side == "left" else np.clip(xs - (w - W), 0, None)
+    th = dx / R
+    map_x = xs + (R * np.sin(th) - dx)     # true col for observed col
+    xstar = np.interp(xs, map_x, xs)       # observed col for true col
+    thstar = np.interp(xstar, xs, th)
+    gy = (yy - h / 2.0) * np.cos(thstar)[None, :] + h / 2.0
+    gx = np.broadcast_to(xstar[None, :], (h, w)).copy()
+    return gy, gx
+
+
+def _residual_severity(ink: np.ndarray) -> float:
+    """Max gate-passing component severity left in a recovered mask —
+    the comparator for the composition-order retry (smaller = cleaner).
+
+    The cylinder W cap is RELAXED here (0.75w vs the peel loop's 0.55w):
+    a wrong-frame wash-first peel leaves a residual cylinder whose refit
+    drifts WIDE (measured W 0.53w true -> 0.59w residual), and the loop's
+    cap then hides exactly the signal this comparator exists to see. The
+    strength floor and SSE-ratio gates stay — they are what separates a
+    real leftover cylinder (ratio 0.36) from a cleanly-peeled page's fit
+    noise (ratio 0.96, strength 0.21)."""
+    h, w = ink.shape
+    est = estimate_components(ink)
+    if est is None:
+        return 0.0
+    sev = 0.0
+    amp = max(est["amp"], est["amp_eff"])
+    if est["lam"] <= LAM_APPLY_MAX and est["sse"] < 0.8 * est["sse0"] and amp >= 1.2:
+        sev = amp
+    cyl = est["cyl"]
+    if cyl is not None:
+        side, W, R, csse, csse0 = cyl
+        cs = (1 - np.cos(min(W / R, 1.2))) * (h / 2.0)
+        if (csse < 0.9 * csse0 and 0.32 <= W / R <= 0.95 and W <= 0.75 * w
+                and cs >= 1.5):
+            sev = max(sev, cs)
+    return sev
+
+
 def recover_page_geometry(
-    img: np.ndarray, dbg: bool = False, max_rounds: int = 7, info: dict | None = None
+    img: np.ndarray, dbg: bool = False, max_rounds: int = 7, info: dict | None = None,
+    _force_cyl: tuple | None = None,
 ) -> np.ndarray:
     """Geometry-recovering binarization of one grayscale page.
 
@@ -697,14 +793,23 @@ def recover_page_geometry(
     prior for the deskew fallback) and ``applied`` (whether any warp was
     peeled). Falls back to the plain binarized mask when the page has no
     estimable structure or no significant component.
+
+    ``_force_cyl`` (side, W, R) applies that cylinder inverse as round 1
+    unconditionally — the composition-order retry below passes it when the
+    default wash-first peel stalls on a persistent cylinder (the reference
+    applies transforms in random order; a cylinder applied ON TOP of the
+    washboard must come off FIRST, but it is invisible to round-0
+    estimation under a 7+ px sine, so the default order can only discover
+    it after a wash peel taken in the wrong frame).
     """
     h, w = img.shape
     if info is None:
         info = {}
     ink0 = despeckle(sauvola(img))
-    clean, _ext = _clean_page_gate(ink0)
-    if clean:
-        return ink0
+    if _force_cyl is None:
+        clean, _ext = _clean_page_gate(ink0)
+        if clean:
+            return ink0
     est = estimate_components(ink0, dbg=dbg)
     if est is None:
         return ink0
@@ -719,9 +824,30 @@ def recover_page_geometry(
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     My, Mx = yy.copy(), xx.copy()     # total gather map observed<-corrected
     ink255 = ink0.astype(np.float32) * np.float32(255.0)
-    col_scale = np.ones(w)            # per-column vertical scale of the map
     prev_sev = None
     prev_comp = None
+    peels: list[tuple[str, tuple | None]] = []
+    stalled_cyl: tuple | None = None
+    if _force_cyl is not None:
+        side_f, W_f, R_f = _force_cyl
+        gy, gx = _cyl_inverse_maps(side_f, W_f, R_f, h, w, yy)
+        My, Mx = _bilinear2d_pair(My, Mx, gy, gx, fill=np.nan)
+        oob = ~np.isfinite(My) | ~np.isfinite(Mx)
+        My[oob] = -10.0
+        Mx[oob] = -10.0
+        info["applied"] = True
+        peels.append(("cyl", _force_cyl))
+        prev_sev = (1 - np.cos(min(W_f / R_f, 1.2))) * (h / 2.0)
+        prev_comp = "cyl"
+        if dbg:
+            print(f"  forced cyl-first peel [{side_f} W={W_f:.0f} s={W_f/R_f:.2f}]")
+        cur = despeckle(_bilinear2d(ink255, My, Mx, 0.0) >= 128)
+        est = estimate_components(cur, dbg=dbg)
+        if est is None:
+            est = {"amp": 0.0, "amp_eff": 0.0, "lam": 1e9, "a": 0, "b": 0,
+                   "slope": info["slope"], "sse": 1.0, "sse0": 1.0, "cyl": None,
+                   "beta": np.zeros(5), "h": h, "w": w}
+        info["slope_resid"] = est["slope"]
     for _ in range(max_rounds):
         amp = max(est["amp"], est["amp_eff"])
         cyl = est["cyl"]
@@ -775,7 +901,13 @@ def recover_page_geometry(
         # a cyl+rot page whose cylinder fit was near-exact). The slope is
         # trustworthy there: fit_decay co-fits it WITH the cylinder
         # column, so the lam junk-fit condition does not apply.
-        rot_on = abs(ang) > 2.2 and (
+        # the rotation bar is LOWER when a gate-passing cylinder is present:
+        # the slope is co-fit with the cylinder column (trustworthy down to
+        # ~1 deg), and a rotation left to the post-hoc mask derotation costs
+        # the cylinder strip a SECOND lossy resample on top of the gray
+        # reconstruction (measured: a 2.0-deg rotate+cylinder page decoded
+        # one wrong-but-parity-valid glyph via that double hop)
+        rot_on = abs(ang) > (1.2 if cyl is not None else 2.2) and (
             (est["amp"] >= 3.0 and est["lam"] <= LAM_APPLY_MAX)
             or cyl is not None
         )
@@ -798,27 +930,24 @@ def recover_page_geometry(
         # fit underestimated, so severity legitimately rises
         if (prev_sev is not None and prev_comp != "rot"
                 and sev > prev_sev * (1.1 if comp != prev_comp else 0.85)):
+            # a gate-passing cylinder whose severity GROWS after a wash
+            # peel marks a composition-order miss: capture it for the
+            # retry below (it was never peeled, so it is not in ``peels``)
+            if comp == "cyl" and cyl is not None:
+                stalled_cyl = cyl
             break
         prev_sev = sev
         prev_comp = comp
+        peels.append((comp, cyl if comp == "cyl" else None))
         if rot_on:
             rad = np.arcsin(np.clip(est["slope"], -0.3, 0.3))
             c, s = np.cos(rad), np.sin(rad)
             cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
             gy = c * (yy - cy) + s * (xx - cx) + cy
             gx = -s * (yy - cy) + c * (xx - cx) + cx
-            new_scale = np.ones(w)
         elif cyl is not None and cyl_sev >= amp:
             side, W, R, _, _ = cyl
-            xs = np.arange(w, dtype=np.float64)
-            dx = np.clip(W - xs, 0, None) if side == "left" else np.clip(xs - (w - W), 0, None)
-            th = dx / R
-            map_x = xs + (R * np.sin(th) - dx)     # true col for observed col
-            xstar = np.interp(xs, map_x, xs)       # observed col for true col
-            thstar = np.interp(xstar, xs, th)
-            gy = (yy - h / 2.0) * np.cos(thstar)[None, :] + h / 2.0
-            gx = np.broadcast_to(xstar[None, :], (h, w)).copy()
-            new_scale = np.cos(thstar)
+            gy, gx = _cyl_inverse_maps(side, W, R, h, w, yy)
         else:
             lam = est["lam"]
             a0, b0, a1, b1, _ = est["beta"]
@@ -838,15 +967,14 @@ def recover_page_geometry(
             B = 1.0 + a1 * sk + b1 * ck
             gy = A[None, :] + B[None, :] * (yy - h / 2.0) + h / 2.0
             gx = xx
-            new_scale = np.minimum(B, 1.0)
-        # compose the total map: sample My/Mx at (gy,gx); per-column scale
-        # composes by sampling at the new map's column positions
-        col_scale = np.interp(gx[h // 2], np.arange(w), col_scale) * new_scale
+        # compose the total map: sample My/Mx at (gy,gx)
         My, Mx = _bilinear2d_pair(My, Mx, gy, gx, fill=np.nan)
         oob = ~np.isfinite(My) | ~np.isfinite(Mx)
         My[oob] = -10.0
         Mx[oob] = -10.0
         info["applied"] = True
+        # per-round re-estimates run on the cheap mask hop — the estimator
+        # only needs line tops, not bit-cell fidelity
         cur = despeckle(_bilinear2d(ink255, My, Mx, 0.0) >= 128)
         est = estimate_components(cur, dbg=dbg, lam_hint=est["lam"])
         if est is None:
@@ -854,13 +982,44 @@ def recover_page_geometry(
         info["slope_resid"] = est["slope"]
     if not info["applied"]:
         return ink0
-    out = despeckle(_bilinear2d(ink255, My, Mx, 0.0) >= 128)
-    needs_gray = col_scale < 0.96
-    if needs_gray.any():
-        fill = float(np.median(img))
-        gray = _bilinear2d(img.astype(np.float64), My, Mx, fill)
-        gmask = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
-        out = np.where(needs_gray[None, :], gmask, out)
+    # final application medium: Catmull-Rom gather of the GRAYSCALE through
+    # the total map, then Sauvola. History: round 2 used a bilinear mask
+    # hop outside cylinder strips because bilinear-gray erosion broke a
+    # noisy wash+rot page (nerr 109); with the bicubic kernel the gray
+    # medium beats the mask hop on EVERY class — the mask hop loses a bit
+    # cell to fractional-shift erosion even at cos(theta) ~ 0.98 (a
+    # wrong-but-parity-valid decode on 5/60 cylinder pages), while bicubic
+    # keeps stroke edges ~1 px sharp and Sauvola re-thresholds cleanly
+    # (full-envelope suite: 60/60 cylinder, 148/150 reference sampler vs
+    # 55/60, 141/150 for the per-column mask/gray split).
+    fill = float(np.median(img))
+    gray = _bicubic2d(img.astype(np.float32), My, Mx, fill)
+    out = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
+    # composition-order retry: the reference samples transform order
+    # randomly, and a cylinder applied ON TOP of a strong washboard is
+    # invisible to round-0 estimation (the unremoved sine floods its SSE
+    # gate) — the default run then peels wash first, IN THE WRONG FRAME,
+    # and the leftover cylinder stalls the loop. Retry once with the
+    # discovered cylinder peeled first; keep whichever output re-estimates
+    # cleaner. Rare (stall-only), so the extra full pass is paid ~never.
+    if _force_cyl is None and peels and peels[0][0] == "wash":
+        first_cyl = stalled_cyl or next(
+            (p[1] for p in peels if p[0] == "cyl"), None)
+        if first_cyl is not None:
+            r1 = _residual_severity(out)
+            if stalled_cyl is not None or r1 >= 1.5:
+                side_c, W_c, R_c = first_cyl[0], first_cyl[1], first_cyl[2]
+                info2: dict = {}
+                out2 = recover_page_geometry(
+                    img, dbg=dbg, max_rounds=max_rounds, info=info2,
+                    _force_cyl=(side_c, W_c, R_c),
+                )
+                r2 = _residual_severity(out2)
+                if dbg:
+                    print(f"  order-retry: residual sev {r1:.2f} -> {r2:.2f}")
+                if r2 < r1 - 0.3:
+                    info.update(info2)
+                    return out2
     return out
 
 
@@ -900,6 +1059,38 @@ def refine_skew(ink: np.ndarray, hint_deg: float, half: float = 0.7,
 # ---------------------------------------------------------------------------
 
 
+def _unsharp_if_blurred(img: np.ndarray) -> np.ndarray:
+    """Gated unsharp pre-pass for heavily blurred pages.
+
+    Blur severity is the mid-band occupancy between the quantile-anchored
+    ink (p2) and paper (p85) modes — invariant to the degradation model's
+    brightness/contrast remaps, which only move the modes, while blur
+    fills the valley between them. Measured separation (8-page sweep,
+    /tmp-calibrated): blur sigma >= 0.75 scores >= 0.45 in every
+    composition; the heaviest non-blur stack (noise sigma 12.75) tops out
+    at 0.34; warps sit at 0.15-0.22; clean/brightness/contrast/rotation
+    at 0. At sigma ~1.0 the Sauvola mask loses thin-stroke recall (a
+    shirorekha eroded to nothing decodes a wrong-but-parity-valid glyph);
+    one unsharp round restores the edge contrast the threshold needs.
+    Mild blur (sigma 0.5, score <= 0.09) stays untouched — Sauvola's k is
+    already calibrated for it.
+    """
+    g = img.astype(np.float64)
+    lo = float(np.percentile(g, 2))
+    hi = float(np.percentile(g, 85))
+    span = max(hi - lo, 1.0)
+    t_lo = lo + 0.30 * span
+    t_hi = lo + 0.75 * span
+    dark = (g < t_hi).sum()
+    if dark == 0:
+        return img
+    mid = ((g > t_lo) & (g < t_hi)).sum()
+    if mid / dark < 0.44:
+        return img
+    sharp = g + 1.2 * (g - gaussian_blur(g, 0.8))
+    return np.clip(sharp, 0, 255).astype(np.uint8)
+
+
 def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
     """decode → parametric geometry recovery → fine dewarp → deskew.
 
@@ -915,8 +1106,29 @@ def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
     img = np.frombuffer(pixels, dtype=np.uint8, count=width * height).reshape(
         height, width
     )
+    img = _unsharp_if_blurred(img)
     info: dict = {}
     ink = recover_page_geometry(img, info=info)
+    # while no warp map was applied, ``ink`` is the virgin Sauvola mask of
+    # ``img`` — a rotation is then best applied to the GRAYSCALE (one
+    # bilinear interpolation + re-binarize) instead of the mask hop, which
+    # stacks a second resample on the thresholded image (measured: a
+    # rotate+blur page flipped one bit cell via the mask hop, exact via
+    # gray). After any peel/derotation the mask hop is the right medium
+    # (re-deriving the composed grayscale would double-interpolate).
+    virgin = not info.get("applied", False)
+
+    def _derotate(angle: float) -> None:
+        nonlocal ink, virgin
+        if virgin:
+            ink = despeckle(sauvola(rotate_gray(img, angle, bilinear=True)))
+        else:
+            fmask = rotate_gray(
+                (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
+            )
+            ink = despeckle(fmask >= 128)
+        virgin = False
+
     if abs(info.get("slope_resid", 0.0)) > 0.021:
         # estimate_skew's concentration gate can miss a true rotation under
         # heavy noise; the pooled within-trajectory slope is immune to it.
@@ -927,20 +1139,17 @@ def preprocess_page(pixels: bytes, width: int, height: int) -> np.ndarray:
         # 0 → 155); the derotation must come first.
         angle = refine_skew(ink, float(np.degrees(np.arcsin(info["slope_resid"]))))
         if abs(angle) > 0.5:
-            fmask = rotate_gray(
-                (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
-            )
-            ink = despeckle(fmask >= 128)
-    ink = dewarp_washboard(ink)
+            _derotate(angle)
+    dewarped = dewarp_washboard(ink)
+    if dewarped is not ink:  # fine dewarp resampled the mask
+        virgin = False
+        ink = dewarped
     angle = estimate_skew(ink)
     if abs(angle) > 0.5:
-        # deskew by area-sampling the binary mask (bilinear + 0.5
-        # threshold): crisper than NN∘NN and cannot bridge the 2-px
-        # inter-glyph gaps the way grayscale re-thresholding does
-        fmask = rotate_gray(
-            (ink * 255).astype(np.uint8), angle, fill=0.0, bilinear=True
-        )
-        ink = despeckle(fmask >= 128)
+        # deskew by area-sampling (bilinear + 0.5 threshold on the mask, or
+        # one grayscale interpolation + Sauvola on virgin pages): crisper
+        # than NN∘NN and cannot bridge the 2-px inter-glyph gaps
+        _derotate(angle)
     return ink
 
 

@@ -63,7 +63,12 @@ PAGE_W, PAGE_H = 400, 320  # render_text.py:13-14 defaults
 #: v13: float32 batched cylinder grid + bilinear gathers, one-shot
 #: template match (1.75x faster page recovery; marginal-tail pages
 #: verify differently at generation).
-FIXTURE_VERSION = 13
+#: v14: Catmull-Rom grayscale application medium (retires the per-column
+#: mask/gray split), in-map rotation peel down to 1.2 deg under a
+#: cylinder, gated unsharp pre-pass for heavy blur, composition-order
+#: retry on a stalled persistent cylinder — sampler fallback
+#: 6.0% -> 0.7% (149/150; 270/270 single-class).
+FIXTURE_VERSION = 14
 
 # Degradation severity envelope: the reference's ACTUAL postprocessing
 # model at its ACTUAL parameter ranges (render_text.py:334-411,
