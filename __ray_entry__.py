@@ -166,10 +166,11 @@ def _multimodal_features(sf_dir: str):
 
     def recast(batch: pa.Table) -> pa.Table:
         # a third of the pages (by md5(media_ref) mod 3 — deterministic)
-        # travel as REAL PNG payloads, a third as REAL baseline JPEG
-        # (lossy — fine: the oracle checks 16 features + no errors, not
-        # feature values), the rest stay raw8. All three decode through
-        # the same pure-Python codecs the FeatureExtractor uses.
+        # travel as REAL PNG payloads, a third as REAL JPEG — half of
+        # those progressive SOF2, half baseline SOF0 (lossy — fine: the
+        # oracle checks 16 features + no errors, not feature values) —
+        # and the rest stay raw8. All of them decode through the same
+        # pure-Python codecs the FeatureExtractor uses.
         n = batch.num_rows
         refs = batch["media_ref"].to_pylist()
         widths = batch["width"].to_pylist()
@@ -185,7 +186,8 @@ def _multimodal_features(sf_dir: str):
             elif sel == 1:
                 img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
                 types.append("image/jpeg")
-                payloads.append(jpeg_encode(img, quality=85))
+                prog = (md5_u64(r) // 3) % 2 == 0
+                payloads.append(jpeg_encode(img, quality=85, progressive=prog))
             else:
                 types.append("image/raw8")
                 payloads.append(p)

@@ -13,10 +13,23 @@ Scope (everything a *baseline* JFIF file uses):
   4:2:2, 4:2:0), restart markers, 0xFF00 byte unstuffing, unknown APPn /
   COM chunks skipped.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK raise
+Progressive (SOF2) is supported on BOTH sides per ITU T.81 Annex G:
+- decoder: spectral selection + successive approximation, interleaved
+  and single-component DC scans, non-interleaved AC scans, EOB runs,
+  AC/DC refinement passes, restart markers (the algorithms mirror
+  T.81 G.2 / the well-known libjpeg decode_mcu_{DC,AC}_{first,refine}
+  structure, which is the de-facto conformance reference);
+- encoder: ``progressive=True`` emits a libjpeg-style scan script
+  (DC at Al=1 + refine; per-component AC bands at Al=2 refined 2->1->0)
+  with flat fixed Huffman tables that include the EOBn symbols Annex K
+  lacks.
+
+Arithmetic coding, 12-bit precision, hierarchical and CMYK raise
 ``ValueError`` so actor-pool stages quarantine the row per SURVEY.md M11.
 JPEG is lossy: tests assert PSNR bounds and exactness on flat blocks, not
-bit equality (tests/test_jpeg.py).
+bit equality; progressive-vs-sequential decode of the same image asserts
+EXACT pixel equality (same quantized coefficients, different
+serialization — tests/test_jpeg.py).
 """
 
 from __future__ import annotations
@@ -104,6 +117,18 @@ HUFF_AC_CHR = (
         0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
         0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
     ],
+)
+
+# Flat fixed-length Huffman specs for progressive scans: Annex K's AC
+# tables lack the EOBn symbols (r<<4 for r=1..14) progressive EOB runs
+# need, and per-scan optimized tables are overkill for a baseline codec.
+# All DC symbols at 4 bits (12 codes, max 11 != the all-ones code) and
+# all AC symbols at 8 bits (176 codes, max 175) are canonically valid.
+_FLAT_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8,
+    sorted([r << 4 for r in range(15)] + [0xF0]
+           + [(r << 4) | s for r in range(16) for s in range(1, 11)]),
 )
 
 # orthonormal 8x8 DCT-II matrix: dct2(B) = D @ B @ D.T; idct = D.T @ C @ D
@@ -222,8 +247,226 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
-    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to baseline JFIF."""
+# --- progressive scan emitters (T.81 Annex G; structure mirrors the
+# libjpeg encode_mcu_{DC,AC}_{first,refine} reference algorithms) ---
+
+
+def _emit_dc_val(w: _BitWriter, coef0: int, pred: int, ah: int, al: int,
+                 dc: dict) -> int:
+    v = coef0 >> al  # arithmetic shift = T.81 DC point transform
+    if ah:  # refinement: one raw bit per block
+        w.put(v & 1, 1)
+        return pred
+    diff = v - pred
+    s = _category(diff)
+    code, length = dc[s]
+    w.put(code, length)
+    if s:
+        w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    return v
+
+
+def _emit_prog_dc_scan(w: _BitWriter, comps_in: tuple, comp_zz: list,
+                       comp_nb: list, hs: list, ah: int, al: int,
+                       dc: dict) -> None:
+    preds = [0] * len(comps_in)
+    if len(comps_in) > 1:
+        # interleaved: same MCU traversal as the sequential encoder
+        y_zz, y_bw = comp_zz[0]
+        mcus_x = y_bw // hs[0][1]
+        mcus_y = (y_zz.shape[0] // y_bw) // hs[0][0]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for si, ci in enumerate(comps_in):
+                    zz, bw = comp_zz[ci]
+                    for by in range(hs[ci][0]):
+                        for bx in range(hs[ci][1]):
+                            idx = (my * hs[ci][0] + by) * bw + mx * hs[ci][1] + bx
+                            preds[si] = _emit_dc_val(
+                                w, int(zz[idx][0]), preds[si], ah, al, dc)
+    else:
+        ci = comps_in[0]
+        zz, bw = comp_zz[ci]
+        nbh, nbw = comp_nb[ci]
+        for row in range(nbh):
+            for col in range(nbw):
+                preds[0] = _emit_dc_val(
+                    w, int(zz[row * bw + col][0]), preds[0], ah, al, dc)
+
+
+class _ProgACEncoder:
+    """Entropy state for one progressive AC scan: the EOB-run counter,
+    the correction bits owed to the pending EOB run (``be``), and the
+    correction bits buffered inside the current block since the last
+    emitted symbol (``br``) — the split matters because the decoder
+    reads ``be`` right after the EOBn code but ``br`` only after the
+    next ZRL / newly-significant symbol."""
+
+    def __init__(self, w: _BitWriter, ac: dict) -> None:
+        self.w, self.ac = w, ac
+        self.eobrun = 0
+        self.be: list[int] = []
+        self.br: list[int] = []
+
+    def _flush_br(self) -> None:
+        for b in self.br:
+            self.w.put(b, 1)
+        self.br = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun:
+            nb = self.eobrun.bit_length() - 1
+            code, length = self.ac[nb << 4]
+            self.w.put(code, length)
+            if nb:
+                self.w.put(self.eobrun & ((1 << nb) - 1), nb)
+            self.eobrun = 0
+            for b in self.be:
+                self.w.put(b, 1)
+            self.be = []
+
+    def _end_block(self, pending: bool) -> None:
+        if pending:
+            self.eobrun += 1
+            self.be.extend(self.br)
+            self.br = []
+            if self.eobrun == 0x7FFF:
+                self.emit_eobrun()
+
+    def first_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        n = se - ss + 1
+        t = [0] * n
+        last = -1
+        for i in range(n):
+            v = int(zz[ss + i])
+            # AC point transform: magnitude shift, sign reapplied
+            m = (abs(v) >> al)
+            if m:
+                t[i] = m if v >= 0 else -m
+                last = i
+        if last < 0:
+            self._end_block(True)
+            return
+        self.emit_eobrun()
+        r = 0
+        for i in range(last + 1):
+            v = t[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, length = self.ac[0xF0]
+                self.w.put(code, length)
+                r -= 16
+            s = _category(v)
+            code, length = self.ac[(r << 4) | s]
+            self.w.put(code, length)
+            self.w.put(v if v > 0 else v + (1 << s) - 1, s)
+            r = 0
+        self._end_block(last < n - 1)
+
+    def refine_block(self, zz: np.ndarray, ss: int, se: int, al: int) -> None:
+        n = se - ss + 1
+        a = [0] * n
+        sign = [1] * n
+        eob = -1
+        for i in range(n):
+            v = int(zz[ss + i])
+            a[i] = abs(v) >> al
+            if v < 0:
+                sign[i] = -1
+            if a[i] == 1:
+                eob = i  # last NEWLY-significant coefficient
+        r = 0
+        for i in range(n):
+            t = a[i]
+            if t == 0:
+                r += 1
+                continue
+            # emit required ZRLs unless they can fold into the EOB run
+            while r > 15 and i <= eob:
+                self.emit_eobrun()
+                code, length = self.ac[0xF0]
+                self.w.put(code, length)
+                r -= 16
+                self._flush_br()
+            if t > 1:  # already nonzero: just owes a correction bit
+                self.br.append(t & 1)
+                continue
+            # newly significant at this precision
+            self.emit_eobrun()
+            code, length = self.ac[(r << 4) | 1]
+            self.w.put(code, length)
+            self.w.put(1 if sign[i] > 0 else 0, 1)
+            self._flush_br()
+            r = 0
+        self._end_block(r > 0 or bool(self.br))
+
+
+def _encode_progressive_scans(comp_zz: list, comp_nb: list, hs: list,
+                              color: bool) -> bytes:
+    """DHT + SOS + entropy bytes for a libjpeg-style progressive script:
+    DC of all components at Al=1 plus a refinement pass, and per-component
+    AC bands at Al=2 refined 2→1→0 (the luma band split 1-5 / 6-63)."""
+    out = bytearray()
+    for tc_th, (bits, vals) in ((0x00, _FLAT_DC), (0x10, _FLAT_AC)):
+        payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
+    dc = _canonical_codes(*_FLAT_DC)
+    ac = _canonical_codes(*_FLAT_AC)
+    if color:
+        script = [
+            ((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+            ((1,), 1, 63, 0, 2), ((2,), 1, 63, 0, 2),
+            ((0,), 1, 5, 2, 1), ((0,), 6, 63, 2, 1),
+            ((1,), 1, 63, 2, 1), ((2,), 1, 63, 2, 1),
+            ((0,), 1, 5, 1, 0), ((0,), 6, 63, 1, 0),
+            ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+            ((0, 1, 2), 0, 0, 1, 0),
+        ]
+    else:
+        script = [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+            ((0,), 1, 5, 2, 1), ((0,), 6, 63, 2, 1),
+            ((0,), 1, 5, 1, 0), ((0,), 6, 63, 1, 0),
+            ((0,), 0, 0, 1, 0),
+        ]
+    for comps_in, ss, se, ah, al in script:
+        sos = bytes([len(comps_in)])
+        for ci in comps_in:
+            sos += bytes([ci + 1, 0x00])  # flat tables: td=0, ta=0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        if ss == 0:
+            _emit_prog_dc_scan(wtr, comps_in, comp_zz, comp_nb, hs, ah, al, dc)
+        else:
+            enc = _ProgACEncoder(wtr, ac)
+            zz, bw = comp_zz[comps_in[0]]
+            nbh, nbw = comp_nb[comps_in[0]]
+            for row in range(nbh):
+                for col in range(nbw):
+                    blk = zz[row * bw + col]
+                    if ah == 0:
+                        enc.first_block(blk, ss, se, al)
+                    else:
+                        enc.refine_block(blk, ss, se, al)
+            enc.emit_eobrun()
+        wtr.flush()
+        out += wtr.buf
+    return bytes(out)
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: str = "444",
+                progressive: bool = False) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 to JFIF.
+
+    ``progressive=True`` emits an SOF2 stream with a libjpeg-style scan
+    script (spectral selection + successive approximation); the quantized
+    coefficients are identical to the sequential encoding, only the
+    serialization differs."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("expected (H, W) or (H, W, 3) uint8")
@@ -276,6 +519,14 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: str = "444") -> b
         zz = np.round(coef / qt).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         comp_zz.append((zz, p.shape[1] // 8))
 
+    # per-component non-interleaved block grids (ceil of TRUE pixel dims,
+    # not the MCU-padded storage) for progressive single-component scans
+    comp_dims = [(h, w)]
+    if color:
+        cdim = ((h + sub - 1) // sub, (w + sub - 1) // sub)
+        comp_dims += [cdim, cdim]
+    comp_nb = [((ph + 7) // 8, (pw + 7) // 8) for ph, pw in comp_dims]
+
     # headers
     out = bytearray(b"\xFF\xD8")  # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -287,7 +538,12 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: str = "444") -> b
     for ci in range(ncomp):
         hv = (hs[ci][1] << 4) | hs[ci][0]
         sof += struct.pack(">BBB", ci + 1, hv, 0 if ci == 0 else 1)
-    out += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xFF\xC2" if progressive else b"\xFF\xC0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
+    if progressive:
+        out += _encode_progressive_scans(comp_zz, comp_nb, hs, color)
+        out += b"\xFF\xD9"  # EOI
+        return bytes(out)
     for tc_th, (bits, vals) in (
         ((0x00, HUFF_DC_LUM), (0x10, HUFF_AC_LUM), (0x01, HUFF_DC_CHR), (0x11, HUFF_AC_CHR))
         if color
@@ -397,97 +653,36 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF bytes → (H, W) uint8 grayscale or (H, W, 3) RGB."""
-    if len(data) < 4 or data[:2] != b"\xFF\xD8":
-        raise ValueError("not a JPEG stream (missing SOI)")
-    pos = 2
-    qtabs: dict[int, np.ndarray] = {}
-    htabs: dict[int, dict[tuple[int, int], int]] = {}
-    frame = None
-    restart = 0
-    scan = None
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("marker expected")
-        marker = data[pos + 1]
-        if marker == 0xD9:  # EOI
-            break
-        (size,) = struct.unpack_from(">H", data, pos + 2)
-        body = data[pos + 4 : pos + 2 + size]
-        if len(body) != size - 2:
-            raise ValueError("truncated segment")
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(body):
-                pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables unsupported")
-                qtabs[tq] = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
-                p += 65
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(body):
-                tcth = body[p]
-                bits = list(body[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(body[p + 17 : p + 17 + nv])
-                htabs[tcth] = _decode_table(bits, vals)
-                p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
-            comps = []
-            for ci in range(nc):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF 0x{marker:02X} unsupported")
-        elif marker == 0xDD:  # DRI
-            (restart,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan = []
-            for si in range(ns):
-                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
-                scan.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
-            pos = pos + 2 + size
-            break
-        # APPn / COM / others: skip
-        pos = pos + 2 + size
-    if frame is None or scan is None:
-        raise ValueError("missing SOF0/SOS")
-    comps = frame["comps"]
-    if len(scan) != len(comps):
-        raise ValueError("partial scans unsupported")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
-        raise ValueError("sampling factors beyond 2 unsupported")
-    fh, fw = frame["h"], frame["w"]
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (fw + mcu_w - 1) // mcu_w
-    mcus_y = (fh + mcu_h - 1) // mcu_h
-    for c, sc in zip(comps, scan):
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-        c["td"], c["ta"] = sc["td"], sc["ta"]
+def _next_marker(data: bytes, p: int) -> int:
+    """Advance past entropy-coded bytes to the next real marker."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            p += 1
+        elif data[p + 1] == 0x00:
+            p += 2  # stuffed data byte
+        elif data[p + 1] == 0xFF:
+            p += 1  # fill byte
+        elif 0xD0 <= data[p + 1] <= 0xD7:
+            p += 2  # restart marker inside entropy data
+        else:
+            return p
+    return n
 
-    rdr = _BitReader(data, pos)
-    preds = [0] * len(comps)
+
+def _decode_seq_scan(rdr: _BitReader, scomps: list, htabs: dict,
+                     mcus_x: int, mcus_y: int, restart: int) -> None:
+    """Baseline sequential interleaved scan (T.81 F.2)."""
+    preds = [0] * len(scomps)
     n_mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart and n_mcu and n_mcu % restart == 0:
                 rdr.sync_restart()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dct = htabs.get(0x00 | c["td"])
-                act = htabs.get(0x10 | c["ta"])
+                preds = [0] * len(scomps)
+            for ci, (c, td, ta) in enumerate(scomps):
+                dct = htabs.get(0x00 | td)
+                act = htabs.get(0x10 | ta)
                 if dct is None or act is None:
                     raise ValueError("missing huffman table")
                 for by in range(c["v"]):
@@ -512,6 +707,273 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                             zz[k] = _extend(rdr.bits(sz), sz)
                             k += 1
             n_mcu += 1
+
+
+def _prog_ac_first(rdr: _BitReader, zz: np.ndarray, act: dict,
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first scan for one block (T.81 G.2 / libjpeg
+    decode_mcu_AC_first). Returns the updated EOB-run counter."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.huff(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eb = 1 << r
+                if r:
+                    eb += rdr.bits(r)
+                return eb - 1  # the run includes this block
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(rdr.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(rdr: _BitReader, zz: np.ndarray, act: dict,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.2 / libjpeg
+    decode_mcu_AC_refine): newly-significant coefficients arrive as
+    run/1 symbols + sign; already-nonzero coefficients consume one
+    correction bit each as the scan passes over them."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def _correct(k: int) -> None:
+        v = int(zz[k])
+        if rdr.bits(1) and not (abs(v) >> al) & 1:
+            zz[k] = v + (p1 if v >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.huff(act)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            elif s == 1:
+                newval = p1 if rdr.bits(1) else m1
+            else:
+                raise ValueError("bad AC refinement symbol")
+            while k <= se:
+                if int(zz[k]) != 0:
+                    _correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # finish the band under the EOB run
+            if int(zz[k]) != 0:
+                _correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(rdr: _BitReader, scomps: list, htabs: dict,
+                      ss: int, se: int, ah: int, al: int,
+                      mcus_x: int, mcus_y: int, restart: int) -> None:
+    """One progressive scan: DC (interleaved or single-component) or a
+    single-component AC band, first pass or refinement."""
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        dctabs = []
+        for _c, td, _ta in scomps:
+            t = htabs.get(0x00 | td)
+            if ah == 0 and t is None:
+                raise ValueError("missing huffman table")
+            dctabs.append(t)
+        preds = [0] * len(scomps)
+
+        def dc_block(si: int, zz: np.ndarray) -> None:
+            if ah == 0:
+                s = rdr.huff(dctabs[si])
+                diff = _extend(rdr.bits(s), s) if s else 0
+                preds[si] += diff
+                zz[0] = preds[si] << al
+            elif rdr.bits(1):
+                # two's-complement OR appends the refinement bit for
+                # positive and negative values alike
+                zz[0] = int(zz[0]) | (1 << al)
+
+        if len(scomps) > 1:  # interleaved over the MCU grid
+            n_mcu = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        rdr.sync_restart()
+                        preds = [0] * len(scomps)
+                    for si, (c, _td, _ta) in enumerate(scomps):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                                dc_block(si, c["zz"][idx])
+                    n_mcu += 1
+        else:  # non-interleaved over the component's own block grid
+            c = scomps[0][0]
+            n_blk = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    if restart and n_blk and n_blk % restart == 0:
+                        rdr.sync_restart()
+                        preds = [0]
+                    dc_block(0, c["zz"][row * c["bw"] + col])
+                    n_blk += 1
+        return
+    # AC scan: always non-interleaved, single component
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scans must be single-component")
+    c, _td, ta = scomps[0]
+    act = htabs.get(0x10 | ta)
+    if act is None:
+        raise ValueError("missing huffman table")
+    eobrun = 0
+    n_blk = 0
+    for row in range(c["nbh"]):
+        for col in range(c["nbw"]):
+            if restart and n_blk and n_blk % restart == 0:
+                rdr.sync_restart()
+                eobrun = 0
+            zz = c["zz"][row * c["bw"] + col]
+            if ah == 0:
+                eobrun = _prog_ac_first(rdr, zz, act, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(rdr, zz, act, ss, se, al, eobrun)
+            n_blk += 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode JFIF bytes → (H, W) uint8 grayscale or (H, W, 3) RGB.
+
+    Supports baseline sequential (SOF0) and progressive (SOF2) streams;
+    progressive scans accumulate into per-component coefficient arrays
+    and reconstruction runs once after the last scan.
+    """
+    if len(data) < 4 or data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None
+    comps: list[dict] = []
+    restart = 0
+    progressive = False
+    scans_seen = False
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray restart marker between scans
+            pos += 2
+            continue
+        (size,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8).astype(np.float64)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tcth = body[p]
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                htabs[tcth] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors beyond 2 unsupported")
+            mcu_w, mcu_h = 8 * hmax, 8 * vmax
+            mcus_x = (fw + mcu_w - 1) // mcu_w
+            mcus_y = (fh + mcu_h - 1) // mcu_h
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+                # non-interleaved scans traverse the component's OWN
+                # block grid (ceil of its true pixel dims), not the
+                # MCU-padded storage grid
+                cw = (fw * c["h"] + hmax - 1) // hmax
+                ch = (fh * c["v"] + vmax - 1) // vmax
+                c["nbw"] = (cw + 7) // 8
+                c["nbh"] = (ch + 7) // 8
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF 0x{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            byid = {c["id"]: c for c in comps}
+            scomps = []
+            for si in range(ns):
+                cs, tdta = body[1 + 2 * si], body[2 + 2 * si]
+                if cs not in byid:
+                    raise ValueError("scan references unknown component")
+                scomps.append((byid[cs], tdta >> 4, tdta & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            rdr = _BitReader(data, pos + 2 + size)
+            if progressive:
+                _decode_prog_scan(rdr, scomps, htabs, ss, se, ah, al,
+                                  mcus_x, mcus_y, restart)
+            else:
+                if len(scomps) != len(comps):
+                    raise ValueError("partial scans unsupported")
+                if ss != 0 or se != 63 or ah != 0 or al != 0:
+                    raise ValueError("bad baseline scan header")
+                _decode_seq_scan(rdr, scomps, htabs, mcus_x, mcus_y, restart)
+            scans_seen = True
+            pos = _next_marker(data, rdr.pos)
+            continue
+        # APPn / COM / others: skip
+        pos = pos + 2 + size
+    if frame is None or not scans_seen:
+        raise ValueError("missing SOF/SOS")
+    fh, fw = frame["h"], frame["w"]
 
     planes = []
     for c in comps:

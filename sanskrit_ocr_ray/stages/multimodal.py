@@ -7,10 +7,11 @@ sized by *byte budget*, not row count. The raw-grayscale page path
 (raw8 image features/resize, pcm16 windowed energy, raw8 multi-frame
 video sampling — real byte decode, vectorized integer kernels, exact
 DuckDB oracles). The container codecs are REAL pure-Python
-implementations too: PNG (stdlib zlib, :mod:`stages.png`), baseline
-JPEG (full T.81 sequential DCT + huffman, :mod:`stages.jpeg`) and
-RIFF/WAVE PCM (:mod:`stages.wav`). Only formats whose codecs genuinely
-need native libraries (compressed audio/video) remain unavailable —
+implementations too: PNG (stdlib zlib, :mod:`stages.png`), JPEG
+(full T.81 sequential + progressive DCT with huffman coding,
+:mod:`stages.jpeg`) and RIFF/WAVE PCM (:mod:`stages.wav`). Only formats
+whose codecs genuinely need native libraries (compressed audio/video,
+e.g. MP3/H.264) remain unavailable —
 ``decode_payload`` raises, the actor-pool stages quarantine the row
 per-row (tests/test_multimodal.py), never the batch.
 """

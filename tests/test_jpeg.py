@@ -1,7 +1,9 @@
-"""Baseline JPEG codec: roundtrip quality, format coverage, quarantine.
+"""JPEG codec: roundtrip quality, format coverage, quarantine.
 
 JPEG is lossy, so roundtrips assert PSNR bounds (and exactness on flat
-blocks where quantization is error-free), never bit equality.
+blocks where quantization is error-free), never bit equality — EXCEPT
+progressive-vs-sequential decode of the same image, which must agree
+bit-for-bit (identical quantized coefficients, different serialization).
 """
 import numpy as np
 import pytest
@@ -59,18 +61,67 @@ def test_textlike_page_high_fidelity():
     assert _psnr(out, img) > 30.0
 
 
+@pytest.mark.parametrize("shape", [(64, 80), (37, 53), (8, 8), (1, 1), (9, 17)])
+def test_progressive_gray_matches_sequential(shape):
+    """Progressive serializes the SAME quantized coefficients as
+    sequential, so the decoded pixels must be bit-identical."""
+    img = _grad(*shape)
+    seq = jpeg_decode(jpeg_encode(img, quality=90))
+    prog = jpeg_decode(jpeg_encode(img, quality=90, progressive=True))
+    np.testing.assert_array_equal(prog, seq)
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_progressive_color_matches_sequential(subsample):
+    yy, xx = np.mgrid[0:37, 0:45]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, (yy + xx) % 256], axis=-1
+    ).astype(np.uint8)
+    seq = jpeg_decode(jpeg_encode(img, quality=90, subsample=subsample))
+    prog = jpeg_decode(
+        jpeg_encode(img, quality=90, subsample=subsample, progressive=True))
+    np.testing.assert_array_equal(prog, seq)
+
+
+def test_progressive_noise_stress():
+    """Dense high-frequency content exercises ZRL-in-refinement, long
+    EOB runs, and interleaved correction bits."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(80, 72), dtype=np.uint8)
+    for q in (25, 75, 95):
+        seq = jpeg_decode(jpeg_encode(img, quality=q))
+        prog = jpeg_decode(jpeg_encode(img, quality=q, progressive=True))
+        np.testing.assert_array_equal(prog, seq)
+
+
+def test_progressive_textlike_page():
+    img = np.full((96, 120), 235, np.uint8)
+    img[40:42, 20:110] = 20
+    img[60:80, 100:103] = 20
+    seq = jpeg_decode(jpeg_encode(img, quality=85))
+    prog = jpeg_decode(jpeg_encode(img, quality=85, progressive=True))
+    np.testing.assert_array_equal(prog, seq)
+    assert _psnr(prog, img) > 30.0
+
+
 def test_malformed_rejected():
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg")
     good = jpeg_encode(_grad(16, 16))
     with pytest.raises(ValueError):
         jpeg_decode(good[:20])  # truncated mid-header
-    # progressive SOF2 marker in place of SOF0
+    # SOF2 marker on a SEQUENTIAL stream: the interleaved full-band scan
+    # header (Ss=0, Se=63) is invalid for a progressive DC scan
     bad = bytearray(good)
     i = bad.find(b"\xff\xc0")
     bad[i + 1] = 0xC2
     with pytest.raises(ValueError):
         jpeg_decode(bytes(bad))
+    # arithmetic-coded SOF9 stays quarantined
+    bad2 = bytearray(good)
+    bad2[i + 1] = 0xC9
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(bad2))
 
 
 def test_decode_payload_integration():
