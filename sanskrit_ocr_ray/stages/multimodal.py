@@ -9,9 +9,10 @@ video sampling — real byte decode, vectorized integer kernels, exact
 DuckDB oracles). The container codecs are REAL pure-Python
 implementations too: PNG (stdlib zlib, :mod:`stages.png`), JPEG
 (full T.81 sequential + progressive DCT with huffman coding,
-:mod:`stages.jpeg`) and RIFF/WAVE PCM (:mod:`stages.wav`). Only formats
-whose codecs genuinely need native libraries (compressed audio/video,
-e.g. MP3/H.264) remain unavailable —
+:mod:`stages.jpeg`), RIFF/WAVE PCM (:mod:`stages.wav`) and RIFF/AVI
+video with lossless 8-bit DIB or MJPG frames (:mod:`stages.avi`). Only
+formats whose codecs genuinely need native libraries (MP3, H.264)
+remain unavailable —
 ``decode_payload`` raises, the actor-pool stages quarantine the row
 per-row (tests/test_multimodal.py), never the batch.
 """
@@ -23,6 +24,7 @@ import pyarrow as pa
 
 # top-level (not runtime) import: the package ships to workers by value,
 # so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
+from .avi import avi_decode, avi_encode
 from .jpeg import jpeg_decode
 from .png import png_decode
 from .wav import wav_decode, wav_encode
@@ -56,6 +58,8 @@ def decode_payload(media_type: str, payload: bytes, width: int, height: int) -> 
     if media_type == "audio/wav":
         samples, _rate, _ch = wav_decode(payload)
         return samples.reshape(-1)  # interleave channels for feature kernels
+    if media_type == "video/avi":
+        return avi_decode(payload)[0]  # (n_frames, H, W)
     raise NotImplementedError(f"unknown media_type {media_type!r}")
 
 
@@ -158,14 +162,25 @@ def synth_video_batch(
     # (B, n_frames, hw) built vectorized, then to per-row bytes
     pix = ((ids[:, None, None] * 7 + f[None, :, None] * 13 + (i * i)[None, None, :]) % 256
            ).astype(np.uint8)
+    # even doc_ids ship inside a REAL RIFF/AVI container (uncompressed
+    # 8-bit DIB frames — lossless, so per-frame checksums and the DuckDB
+    # oracle are unchanged); odd ones stay raw8 concatenated frames.
+    # Deterministic per doc, parallelism-invariant.
+    types = ["video/avi" if d % 2 == 0 else "video/raw8" for d in ids]
+    payloads = [
+        avi_encode(p.reshape(n_frames, height, width), fps=25, codec="DIB ")
+        if t == "video/avi"
+        else p.tobytes()
+        for p, t in zip(pix, types)
+    ]
     return pa.table(
         {
             id_col: batch[id_col],
-            "media_type": pa.array(["video/raw8"] * len(ids), type=pa.string()),
+            "media_type": pa.array(types, type=pa.string()),
             "n_frames": pa.array([n_frames] * len(ids), type=pa.int32()),
             "width": pa.array([width] * len(ids), type=pa.int32()),
             "height": pa.array([height] * len(ids), type=pa.int32()),
-            "payload": pa.array([p.tobytes() for p in pix], type=pa.binary()),
+            "payload": pa.array(payloads, type=pa.binary()),
         }
     )
 
@@ -184,9 +199,14 @@ def sample_frames(ds, *, stride: int = 2, id_col: str = "doc_id"):
         ws = batch["width"].to_pylist()
         hs = batch["height"].to_pylist()
         payloads = batch["payload"].to_pylist()
+        types = (batch["media_type"].to_pylist()
+                 if "media_type" in batch.column_names else [None] * len(ids))
         out_id, out_f, out_c = [], [], []
-        for did, nf, w, h, p in zip(ids, nfs, ws, hs, payloads):
-            arr = np.frombuffer(p, dtype=np.uint8, count=nf * w * h).reshape(nf, w * h)
+        for did, nf, w, h, p, mt in zip(ids, nfs, ws, hs, payloads, types):
+            if mt == "video/avi":
+                arr = avi_decode(p)[0].reshape(-1, w * h)
+            else:
+                arr = np.frombuffer(p, dtype=np.uint8, count=nf * w * h).reshape(nf, w * h)
             idx = np.arange(0, nf, stride)
             sums = arr[idx].astype(np.int64).sum(axis=1)
             out_id.extend([did] * len(idx))
