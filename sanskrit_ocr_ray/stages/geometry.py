@@ -629,35 +629,35 @@ def _bicubic2d(img: np.ndarray, ys: np.ndarray, xs: np.ndarray, fill) -> np.ndar
     xs = xs.astype(np.float32, copy=False)
     y0 = np.floor(ys).astype(np.int32)
     x0 = np.floor(xs).astype(np.int32)
-    fy = (ys - y0)[..., None]
-    fx = (xs - x0)[..., None]
+    fy = ys - y0
+    fx = xs - x0
 
     def _cr_weights(f):
-        # Catmull-Rom at taps (-1, 0, 1, 2)
+        # Catmull-Rom at taps (-1, 0, 1, 2); four contiguous planes (a
+        # strided [..., i] slice of a concatenated array costs ~30% more
+        # in the 16-term accumulation below, values are identical)
         f2 = f * f
         f3 = f2 * f
-        return np.concatenate(
-            [
-                0.5 * (-f3 + 2 * f2 - f),
-                0.5 * (3 * f3 - 5 * f2 + 2),
-                0.5 * (-3 * f3 + 4 * f2 + f),
-                0.5 * (f3 - f2),
-            ],
-            axis=-1,
-        ).astype(np.float32)
+        return [
+            (0.5 * (-f3 + 2 * f2 - f)).astype(np.float32),
+            (0.5 * (3 * f3 - 5 * f2 + 2)).astype(np.float32),
+            (0.5 * (-3 * f3 + 4 * f2 + f)).astype(np.float32),
+            (0.5 * (f3 - f2)).astype(np.float32),
+        ]
 
-    wy = _cr_weights(fy)                      # (..., 4)
+    wy = _cr_weights(fy)
     wx = _cr_weights(fx)
     pad = np.full((h + 4, w + 4), fill, dtype=np.float32)
     pad[2:-2, 2:-2] = img
+    # hoist the column clips out of the row loop: 8 clips, not 16
+    xcs = [np.clip(x0 + (i + 1), 0, w + 3) for i in range(4)]
     acc = np.zeros(ys.shape, dtype=np.float32)
     for j in range(4):
         yc = np.clip(y0 + (j + 1), 0, h + 3)
         row = np.zeros(ys.shape, dtype=np.float32)
         for i in range(4):
-            xc = np.clip(x0 + (i + 1), 0, w + 3)
-            row += pad[yc, xc] * wx[..., i]
-        acc += row * wy[..., j]
+            row += pad[yc, xcs[i]] * wx[i]
+        acc += row * wy[j]
     return acc
 
 
@@ -1075,18 +1075,21 @@ def _unsharp_if_blurred(img: np.ndarray) -> np.ndarray:
     Mild blur (sigma 0.5, score <= 0.09) stays untouched — Sauvola's k is
     already calibrated for it.
     """
-    g = img.astype(np.float64)
-    lo = float(np.percentile(g, 2))
-    hi = float(np.percentile(g, 85))
+    # metric runs on the uint8 image directly (np.percentile promotes to
+    # float64 internally, comparisons against the float thresholds promote
+    # elementwise — values identical to the old float64-cast path); the
+    # cast is paid only when the gate actually trips
+    lo, hi = (float(v) for v in np.percentile(img, (2.0, 85.0)))
     span = max(hi - lo, 1.0)
     t_lo = lo + 0.30 * span
     t_hi = lo + 0.75 * span
-    dark = (g < t_hi).sum()
+    dark = int((img < t_hi).sum())
     if dark == 0:
         return img
-    mid = ((g > t_lo) & (g < t_hi)).sum()
+    mid = int(((img > t_lo) & (img < t_hi)).sum())
     if mid / dark < 0.44:
         return img
+    g = img.astype(np.float64)
     sharp = g + 1.2 * (g - gaussian_blur(g, 0.8))
     return np.clip(sharp, 0, 255).astype(np.uint8)
 
