@@ -1460,6 +1460,21 @@ def _fuzzy_dedup(sf_dir: str):
     return fuzzy_dedup_survivors(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _item_pagerank(sf_dir: str):
+    """Iterative graph centrality: PageRank over the item-transition
+    graph (consecutive ``$.k`` values per user by (ts, event_id);
+    self-loops dropped, multiplicity = edge weight). Fixed-point int64
+    arithmetic (scale 10^12, floor divisions, dangling mass dropped) so
+    the five-iteration recurrence matches the DuckDB oracle's unrolled
+    CTEs EXACTLY — no float summation-order slack. Scale shape in
+    stages/graph.py: bucketed lag for edges, object-store-pinned static
+    sides, 3 bounded shuffles per iteration over (node, rank) rows."""
+    from sanskrit_ocr_ray.stages.graph import item_transition_edges, pagerank
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    return pagerank(item_transition_edges(ev), iters=5)
+
+
 def _props_k_by_type(sf_dir: str):
     """Semi-structured projection + aggregate: extract integer ``$.k``
     from the JSON props blob (vectorized regex, no per-row json.loads),
@@ -1595,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_moments": _lineitem_corr_moments,
         "inverted_index": _inverted_index,
         "token_doc_freq": _token_doc_freq,
+        "item_pagerank": _item_pagerank,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         "mktsegment_join_skew": _mktsegment_join_skew,
@@ -2722,6 +2738,50 @@ FROM v GROUP BY event_type
 """,
     }
     # the exact-degenerate IVF config provably equals brute-force top-k
+    # item_pagerank: the fixed-point integer recurrence unrolled as five
+    # chained CTEs (recursive CTEs cannot aggregate per iteration); all
+    # floor divisions on nonnegative ints, so it matches the Ray BSP
+    # implementation bit-for-bit regardless of summation order
+    _pr_scale = 10**12
+    _pr = ["pr0 AS (SELECT v, CAST({s} // m.n AS BIGINT) AS r "
+           "FROM nodes CROSS JOIN meta m)".format(s=_pr_scale)]
+    for _i in range(1, 6):
+        _pr.append(
+            "pr{i} AS (\n"
+            "  SELECT n0.v,\n"
+            "         CAST((15 * ({s} // m.n)) // 100\n"
+            "              + (85 * COALESCE(SUM((p.r // eo.d) * eo.w), 0)) // 100"
+            " AS BIGINT) AS r\n"
+            "  FROM nodes n0 CROSS JOIN meta m\n"
+            "  LEFT JOIN eo ON eo.dst = n0.v\n"
+            "  LEFT JOIN pr{j} p ON p.v = eo.src\n"
+            "  GROUP BY n0.v, m.n\n"
+            ")".format(i=_i, j=_i - 1, s=_pr_scale)
+        )
+    oracles["item_pagerank"] = (
+        """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM ev
+), edges AS (
+  SELECT pk AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE pk IS NOT NULL AND pk <> k
+  GROUP BY 1, 2
+), outdeg AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM edges GROUP BY 1
+), eo AS (
+  SELECT e.src, e.dst, e.w, o.d FROM edges e JOIN outdeg o ON o.src = e.src
+), nodes AS (
+  SELECT src AS v FROM edges UNION SELECT dst FROM edges
+), meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+"""
+        + ",\n".join(_pr)
+        + "\nSELECT v AS node, r AS pr FROM pr5\n"
+    )
     oracles["knn_ivf"] = oracles["knn_top5"]
     oracles["knn_lsh"] = oracles["knn_top5"]
     # the skew-salted join computes the same relation as the plain join

@@ -1,0 +1,234 @@
+"""Iterative graph algorithms over Ray Data: integer-exact PageRank.
+
+The reference has no graph operators (its dataflow is linear ETL,
+translate_bookcorpus.py:139-159); this module is part of the
+beyond-reference surface a web-scale training-data pipeline needs —
+link-graph centrality is a standard corpus-quality / crawl-prioritization
+signal (PageRank over the page/link graph, harmonic centrality in Common
+Crawl's ranking releases).
+
+Scale shape (how every step behaves at 10^9+ nodes):
+- **edge derivation** (:func:`item_transition_edges`): the per-user lag
+  runs inside ``hash(user_id) % B`` buckets with ONE mergesort + numpy
+  shift pass per bucket (the sessionize shape — never one Python call
+  per user), emits per-bucket PARTIAL (src, dst) counts, then one
+  bounded ``hash(src) % B`` shuffle finalizes edge weights.
+- **iterations** (:func:`pagerank`): the static sides (edges joined with
+  out-degrees, and the node set) are materialized ONCE as distributed
+  object-store blocks — never on the driver; each of the ``iters``
+  rounds is hash-join(ranks ⋈ edges on src) → per-bucket contribution
+  sums keyed ``hash(dst) % B`` → left-join back to the node set. Rank
+  state between rounds is one (node, rank) row per node, re-pinned per
+  round so the lazy plan stays shallow.
+- **arithmetic**: fixed-point int64 (``scale`` = 10^12) with floor
+  divisions throughout, so summation order is irrelevant and the DuckDB
+  oracle (five unrolled CTE iterations of the same recurrence) matches
+  bit-for-bit. Contract notes: dangling-node mass is DROPPED (not
+  redistributed) and self-loop transitions are excluded — both mirrored
+  in the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import fast_hash_u64, typed_empty
+from .text_analysis import json_int_field_batch
+
+PR_SCALE = 10**12
+
+
+def item_transition_edges(ds, *, n_buckets: int = 64):
+    """events → weighted item-transition edges (src, dst, w).
+
+    An edge src→dst is one user seeing item ``k=src`` then ``k=dst`` in
+    two consecutive events (ordered by (ts, event_id) within the user);
+    self-transitions are dropped, multiplicity becomes the weight."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = json_int_field_batch(batch, column="props", key="k")
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        u = batch["user_id"].to_numpy()
+        b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": ts_us,
+                "event_id": batch["event_id"],
+                "k": t["k"],
+                "__ub": pa.array(b),
+            }
+        )
+
+    pair_empty = typed_empty(src=np.int64, dst=np.int64, w=np.int64, __eb=np.int32)
+
+    def pairs_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pair_empty.copy()
+        g = group.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        k = g["k"].to_numpy()
+        same = u[1:] == u[:-1]
+        src, dst = k[:-1][same], k[1:][same]
+        keep = src != dst  # self-transitions carry no ranking signal
+        src, dst = src[keep], dst[keep]
+        if not len(src):
+            return pair_empty.copy()
+        df = (
+            pd.DataFrame({"src": src, "dst": dst})
+            .groupby(["src", "dst"], as_index=False)
+            .size()
+            .rename(columns={"size": "w"})
+        )
+        df["w"] = df["w"].astype(np.int64)
+        df["__eb"] = (
+            fast_hash_u64(df["src"].to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return df
+
+    edge_empty = typed_empty(src=np.int64, dst=np.int64, w=np.int64)
+
+    def sum_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return edge_empty.copy()
+        out = group.groupby(["src", "dst"], as_index=False)["w"].sum()
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(pairs_per_bucket, batch_format="pandas")
+        .groupby("__eb")
+        .map_groups(sum_per_bucket, batch_format="pandas")
+    )
+
+
+def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
+             n_buckets: int = 16):
+    """Fixed-point integer PageRank over an (src, dst, w) edge Dataset.
+
+    Recurrence (all floor divisions, int64):
+      r0(v)  = scale // N
+      r_t(v) = base + (85 * sum_in((r_{t-1}(u) // d(u)) * w_uv)) // 100
+      base   = (15 * (scale // N)) // 100
+    Dangling mass drops; the DuckDB oracle unrolls the same recurrence,
+    so results are EXACTLY comparable (integer, order-independent)."""
+    from .relational import hash_join
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [batch["src"].to_numpy(), batch["dst"].to_numpy()]
+        )
+        v = np.unique(v)
+        b = (v.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(v, type=pa.int64()), "__nb": pa.array(b)})
+
+    nodes_empty = typed_empty(v=np.int64)
+
+    def uniq_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return nodes_empty.copy()
+        return pd.DataFrame({"v": np.unique(group["v"].to_numpy())})
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("__nb")
+        .map_groups(uniq_per_bucket, batch_format="pandas")
+        .materialize()  # distributed blocks; #nodes rows, reused per round
+    )
+    n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "pr": pa.array([], pa.int64())})
+        )
+    r0 = scale // n
+    base = (15 * r0) // 100
+
+    deg_empty = typed_empty(src=np.int64, d=np.int64)
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"src": batch["src"].to_numpy(), "d": batch["w"].to_numpy()}
+        )
+        g = df.groupby("src", as_index=False)["d"].sum()
+        g["__db"] = (
+            g["src"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def deg_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return deg_empty.copy()
+        out = group.groupby("src", as_index=False)["d"].sum()
+        out["d"] = out["d"].astype(np.int64)
+        return out
+
+    outdeg = (
+        edges.map_batches(deg_rows, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(deg_per_bucket, batch_format="pandas")
+    )
+    # static per-edge (src, dst, w, d): pinned once, read every round
+    eo = hash_join(edges, outdeg, key="src", n_buckets=n_buckets).materialize()
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch["v"],
+                "r": pa.array(np.full(batch.num_rows, r0, np.int64)),
+            }
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    contrib_empty = typed_empty(v=np.int64, s=np.int64)
+
+    def contribs(batch: pa.Table) -> pa.Table:
+        r = batch["r"].to_numpy()
+        d = batch["d"].to_numpy()
+        w = batch["w"].to_numpy()
+        c = (r // d) * w
+        df = pd.DataFrame({"v": batch["dst"].to_numpy(), "s": c})
+        g = df.groupby("v", as_index=False)["s"].sum()  # per-batch partial
+        g["__cb"] = (
+            g["v"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_contribs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return contrib_empty.copy()
+        out = group.groupby("v", as_index=False)["s"].sum()
+        out["s"] = out["s"].astype(np.int64)
+        return out
+
+    def next_ranks(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        s = np.where(pd.isna(s), 0, s).astype(np.int64)  # no in-edges → 0
+        r = base + (85 * s) // 100
+        return pa.table({"src": batch["v"], "r": pa.array(r, type=pa.int64())})
+
+    for _ in range(iters):
+        joined = hash_join(eo, ranks, key="src", n_buckets=n_buckets)
+        sums = (
+            joined.map_batches(contribs, batch_format="pyarrow")
+            .groupby("__cb")
+            .map_groups(sum_contribs, batch_format="pandas")
+        )
+        ranks = (
+            hash_join(nodes, sums, key="v", how="left", n_buckets=n_buckets)
+            .map_batches(next_ranks, batch_format="pyarrow")
+            .materialize()  # one (node, rank) row per node, keeps plans shallow
+        )
+
+    def rename_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "pr": batch["r"]})
+
+    return ranks.map_batches(rename_out, batch_format="pyarrow")

@@ -1,0 +1,126 @@
+"""Integer-exact PageRank: numpy-reference parity, bucket invariance,
+edge-derivation contract (ordering, self-loops, weights)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sanskrit_ocr_ray.stages.graph import PR_SCALE, item_transition_edges, pagerank
+
+
+def _ref_pagerank(edges, iters=5, scale=PR_SCALE):
+    """Driver-side reference of the exact fixed-point recurrence."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    r = {v: scale // n for v in nodes}
+    base = (15 * (scale // n)) // 100
+    deg = {}
+    for s, _, w in edges:
+        deg[s] = deg.get(s, 0) + w
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            acc[d] += (r[s] // deg[s]) * w
+        r = {v: base + (85 * acc[v]) // 100 for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_pagerank_matches_reference(ray_session, n_buckets):
+    import ray.data as rd
+
+    edges = [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 1), (4, 1, 5), (5, 9, 1)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array([e[2] for e in edges], pa.int64()),
+            }
+        )
+    )
+    got = pagerank(ds, iters=5, n_buckets=n_buckets).to_pandas()
+    ref = _ref_pagerank(edges)
+    assert dict(zip(got["node"], got["pr"])) == ref
+
+
+def test_pagerank_dangling_mass_drops(ray_session):
+    """A pure sink keeps only the base term after its inflow decays —
+    and total mass shrinks (dropped, not redistributed)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1], pa.int64()),
+                "dst": pa.array([2], pa.int64()),
+                "w": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    got = pagerank(ds, iters=3).to_pandas()
+    ref = _ref_pagerank([(1, 2, 1)], iters=3)
+    assert dict(zip(got["node"], got["pr"])) == ref
+    assert got["pr"].sum() < PR_SCALE  # node 2's outflow vanished
+
+
+def test_item_transition_edges(ray_session):
+    """Ordering by (ts, event_id), per-user lag, self-loop drop, weights."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 7, 8, 8], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(
+                    ["2024-01-01 00:00:02", "2024-01-01 00:00:01",
+                     "2024-01-01 00:00:03", "2024-01-01 00:00:03",
+                     "2024-01-01 00:00:01", "2024-01-01 00:00:05"]
+                ),
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([1, 0, 2, 3, 10, 11], pa.int64()),
+            "props": pa.array(
+                ['{"k": 5}', '{"k": 3}', '{"k": 5}', '{"k": 9}',
+                 '{"k": 4}', '{"k": 4}'],
+            ),
+        }
+    )
+    # user 7 ordered: k=3 (t1), 5 (t2), 5 (t3,e2), 9 (t3,e3)
+    #   → 3→5, 5→5 (dropped), 5→9 ; user 8: 4→4 dropped
+    got = (
+        item_transition_edges(rd.from_arrow(t), n_buckets=4)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {"src": [3, 5], "dst": [5, 9], "w": [1, 1]}, dtype=np.int64
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_edge_weights_accumulate_across_batches(ray_session):
+    """The same transition from many users collapses into one weighted
+    edge even when users land in different lag buckets."""
+    import ray.data as rd
+
+    n_users = 40
+    rows = {"user_id": [], "ts": [], "event_id": [], "props": []}
+    for u in range(n_users):
+        for j, k in enumerate((1, 2)):
+            rows["user_id"].append(u)
+            rows["ts"].append(pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=j))
+            rows["event_id"].append(u * 2 + j)
+            rows["props"].append('{"k": %d}' % k)
+    t = pa.table(
+        {
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "props": pa.array(rows["props"]),
+        }
+    )
+    got = item_transition_edges(rd.from_arrow(t), n_buckets=8).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0].tolist() == [1, 2, n_users]
