@@ -1475,6 +1475,21 @@ def _item_pagerank(sf_dir: str):
     return pagerank(item_transition_edges(ev), iters=5)
 
 
+def _item_components(sf_dir: str):
+    """Connected components of the (undirected) item-transition graph:
+    which items are reachable from which through user co-view chains —
+    the standalone form of the BSP hash-to-min engine the LSH clusterer
+    uses (object-store-pinned bucketed edges, one task wave per round,
+    O(B²) driver refs). rep = MIN item id per component."""
+    from sanskrit_ocr_ray.stages.graph import (
+        connected_components,
+        item_transition_edges,
+    )
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    return connected_components(item_transition_edges(ev))
+
+
 def _props_k_by_type(sf_dir: str):
     """Semi-structured projection + aggregate: extract integer ``$.k``
     from the JSON props blob (vectorized regex, no per-row json.loads),
@@ -1610,6 +1625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_moments": _lineitem_corr_moments,
         "inverted_index": _inverted_index,
         "token_doc_freq": _token_doc_freq,
+        "item_components": _item_components,
         "item_pagerank": _item_pagerank,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
@@ -2758,6 +2774,28 @@ FROM v GROUP BY event_type
             "  GROUP BY n0.v, m.n\n"
             ")".format(i=_i, j=_i - 1, s=_pr_scale)
         )
+    # item_components: undirected transitive closure (same UNION-walk
+    # shape as the LSH clusters oracle), rep = min item id per component
+    oracles["item_components"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM ev
+), edges0 AS (
+  SELECT pk AS src, k AS dst FROM seq
+  WHERE pk IS NOT NULL AND pk <> k GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0
+), walk(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT node, MIN(r) AS rep FROM walk GROUP BY node
+"""
     oracles["item_pagerank"] = (
         """
 WITH ev AS (

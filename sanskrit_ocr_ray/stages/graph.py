@@ -107,6 +107,26 @@ def item_transition_edges(ds, *, n_buckets: int = 64):
     )
 
 
+def connected_components(edges, *, n_buckets: int = 32):
+    """Undirected connected components of an (src, dst, ...) edge
+    Dataset → (node, rep) with rep = MIN node id per component.
+
+    Thin public wrapper over the BSP hash-to-min engine the LSH clusterer
+    uses (``dedup._components_bsp``: edges bucket-pinned in the object
+    store once, one task wave per round, driver holds O(B²) refs — never
+    the graph). Nodes without edges do not appear (mirror the oracle's
+    edge-derived node set, or union singletons in the caller)."""
+    from .dedup import _components_bsp
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["src"], "b": batch["dst"]})
+
+    pairs = edges.map_batches(to_pairs, batch_format="pyarrow")
+    return _components_bsp(pairs, pa.int64(), n_buckets=n_buckets).select_columns(
+        ["node", "rep"]
+    )
+
+
 def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
              n_buckets: int = 16):
     """Fixed-point integer PageRank over an (src, dst, w) edge Dataset.

@@ -64,6 +64,29 @@ def test_pagerank_dangling_mass_drops(ray_session):
     assert got["pr"].sum() < PR_SCALE  # node 2's outflow vanished
 
 
+def test_connected_components(ray_session):
+    """Min-id reps over undirected reachability; directed input edges."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import connected_components
+
+    # components: {1,2,3,9} (chain incl. direction-blind 9→3), {5,6}
+    edges = [(1, 2), (2, 3), (9, 3), (5, 6)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array([1] * len(edges), pa.int64()),
+            }
+        )
+    )
+    got = connected_components(ds).to_pandas()
+    assert dict(zip(got["node"], got["rep"])) == {
+        1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5,
+    }
+
+
 def test_item_transition_edges(ray_session):
     """Ordering by (ts, event_id), per-user lag, self-loop drop, weights."""
     import ray.data as rd
