@@ -134,6 +134,7 @@ def run_bench() -> dict:
         "semantic_dedup",
         "bloom_new_docs",
         "rarity_score",
+        "item_pagerank",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:
