@@ -491,6 +491,13 @@ _CELL_AREA = float(CELL * CELL)
 _BIT_Y = np.repeat(np.asarray(BIT_ROWS, dtype=np.int64), 2)
 _BIT_X = np.tile(np.asarray(BIT_COLS, dtype=np.int64), 4)
 _POPCOUNT7 = np.asarray([bin(i).count("1") for i in range(128)], dtype=np.int64)
+#: the ±2 alignment search grid, centered read FIRST (row 0 is (0, 0) —
+#: the aligned short-circuit reads it before the candidate sweep)
+_ALIGN_D = (0, -1, 1, -2, 2)
+_ALIGN_OFFS = np.asarray(
+    [(dy, dx) for dy in _ALIGN_D for dx in _ALIGN_D], dtype=np.int64
+)
+_BIT_SHIFTS = np.arange(8, dtype=np.int64)
 
 
 def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: int, codebook) -> str | None:
@@ -502,68 +509,47 @@ def _decode_glyph(band: np.ndarray, band_ii: np.ndarray, bh: int, bw: int, x0: i
     aligned case short-circuits after one clean read.
     """
 
-    def rect(y0: int, y1: int, xa: int, xb: int) -> int:
-        return int(band_ii[y1, xb] - band_ii[y0, xb] - band_ii[y1, xa] + band_ii[y0, xa])
-
     # shirorekha top: first row whose ink count over the glyph width ≥ W/2
+    # (argmax of the first True — identical to the scan loop incl. the
+    # all-False → 0 default)
     gx1 = min(x0 + GLYPH_W, bw)
-    top = 0
-    for y in range(bh):
-        if rect(y, y + 1, x0, gx1) >= GLYPH_W // 2:
-            top = y
-            break
+    col_d = band_ii[:, gx1] - band_ii[:, x0]
+    top = int(((col_d[1:] - col_d[:-1]) >= GLYPH_W // 2).argmax())
 
-    def read(dy: int, dx: int) -> list[int] | None:
-        """8 bit-cell ink counts (0..9), or None if any cell is out of range."""
-        sums: list[int] = []
-        for i in range(8):
-            y = top + BIT_ROWS[i // 2] + dy
-            x = x0 + BIT_COLS[i % 2] + dx
-            if y < 0 or x < 0 or y + CELL > bh or x + CELL > bw:
-                return None
-            sums.append(rect(y, y + CELL, x, x + CELL))
-        return sums
-
-    # integer margin: distance of a cell count from the 4.5 on/off boundary
-    # (|2s - 9|) — exact arithmetic, so alignment ties break by search order
-    # (centered read first), never by float ULPs.
-    def judge(sums: list[int]) -> tuple[str | None, int]:
-        bits = 0
-        margin = 9
-        for i, s in enumerate(sums):
-            if s > 4:
-                bits |= 1 << i
-            margin = min(margin, abs(2 * s - 9))
-        return bits_to_char(bits), margin
-
-    sums = read(0, 0)
-    if sums is not None:
-        ch, margin = judge(sums)
-        # margin ≥ 5 ⇔ every cell ≤2 or ≥7 of 9 ink px — unreachable from a
-        # ±1-px misalignment (which reads 3 or 6), so accepting here is safe
-        if ch is not None and margin >= 5:
-            return ch
-
-    # collect every parity-valid parse across the alignment search —
+    # collect every parity-valid parse across the ±2 alignment search —
     # candidate chars only; their read alignments are NOT trusted (a
     # parity-valid parse can sit at a warp-shifted offset while the char
     # is right), and a parse's OWN-alignment agreement can lose to a junk
     # bits-0 parse at a different offset (measured 0.850 empty-space vs
     # 0.844 true-char own-alignment, while the true char scores 0.900 at
-    # its BEST alignment).
+    # its BEST alignment). dx reaches ±2: a single stray warp-resample
+    # pixel can extend the projection run 2 px left of the true glyph
+    # origin, and the misaligned all-cells-off read (bits 0) is
+    # parity-VALID — it decodes empty space confidently unless the true
+    # alignment is in the search. Vectorized: all 25 alignments × 8 cells
+    # in one integral-image gather; the candidate SET is order-independent
+    # (selection below sorts by score then codepoint) and the integer
+    # arithmetic is identical to the old per-offset read/judge loop.
     cand_chars: set[str] = set()
-    # dx reaches ±2: a single stray warp-resample pixel can extend the
-    # projection run 2 px left of the true glyph origin, and the
-    # misaligned all-cells-off read (bits 0) is parity-VALID — it decodes
-    # empty space confidently unless the true alignment is in the search
-    for dy in (0, -1, 1, -2, 2):
-        for dx in (0, -1, 1, -2, 2):
-            s = read(dy, dx)
-            if s is None:
-                continue
-            ch, margin = judge(s)
-            if ch is not None:
-                cand_chars.add(ch)
+    if bh >= CELL and bw >= CELL:
+        ys = top + _BIT_Y[None, :] + _ALIGN_OFFS[:, :1]        # (25, 8)
+        xs = x0 + _BIT_X[None, :] + _ALIGN_OFFS[:, 1:]
+        inb = ((ys >= 0) & (xs >= 0)
+               & (ys + CELL <= bh) & (xs + CELL <= bw)).all(axis=1)
+        yc = np.clip(ys, 0, bh - CELL)  # keeps gathers legal; out-of-range
+        xc = np.clip(xs, 0, bw - CELL)  # offsets are masked out via inb
+        s = (band_ii[yc + CELL, xc + CELL] - band_ii[yc, xc + CELL]
+             - band_ii[yc + CELL, xc] + band_ii[yc, xc])
+        bits_v = ((s > 4).astype(np.int64) << _BIT_SHIFTS[None, :]).sum(axis=1)
+        cp_v = bits_v & 0x7F
+        parity_v = (_POPCOUNT7[cp_v] & 1) == ((bits_v >> 7) & 1)
+        # aligned short-circuit (row 0 = centered read): margin ≥ 5 ⇔
+        # every cell ≤2 or ≥7 of 9 ink px — unreachable from a ±1-px
+        # misalignment (which reads 3 or 6), so accepting here is safe
+        if inb[0] and parity_v[0]:
+            if int(np.abs(2 * s[0] - 9).min()) >= 5:
+                return chr(0x0900 + int(cp_v[0]))
+        cand_chars = {chr(0x0900 + int(c)) for c in cp_v[inb & parity_v]}
 
     # template match over ALL 128 bitmaps x the full alignment search,
     # keeping each char's BEST-alignment score. The full bitmap
