@@ -1,4 +1,4 @@
-"""Pure-Python baseline JPEG codec (ITU T.81 sequential DCT, numpy only).
+"""Pure-Python JPEG codec (ITU T.81 sequential + progressive DCT, numpy only).
 
 Makes ``image/jpeg`` a REAL media type next to ``image/png``
 (stages/png.py) and raw8: the multimodal pipelines carry images as opaque
