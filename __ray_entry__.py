@@ -1490,6 +1490,20 @@ def _item_components(sf_dir: str):
     return connected_components(item_transition_edges(ev))
 
 
+def _item_triangles(sf_dir: str):
+    """Per-node triangle counts over the undirected item-transition
+    graph — the standard local-clustering / community-density signal.
+    Degree-ordered node-iterator (Suri & Vassilvitskii MR shape): orient
+    each edge low→high (degree, id), self-merge out-neighbors per source
+    bucket into wedges, close wedges against the oriented edge set with
+    one composite-key semi hash_join — every shuffle bounded, hub wedge
+    blow-up capped at d·√(2m) by the orientation."""
+    from sanskrit_ocr_ray.stages.graph import item_transition_edges, triangle_counts
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    return triangle_counts(item_transition_edges(ev))
+
+
 def _props_k_by_type(sf_dir: str):
     """Semi-structured projection + aggregate: extract integer ``$.k``
     from the JSON props blob (vectorized regex, no per-row json.loads),
@@ -1627,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": _token_doc_freq,
         "item_components": _item_components,
         "item_pagerank": _item_pagerank,
+        "item_triangles": _item_triangles,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         "mktsegment_join_skew": _mktsegment_join_skew,
@@ -2795,6 +2810,34 @@ WITH RECURSIVE ev AS (
   SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.r
 )
 SELECT node, MIN(r) AS rep FROM walk GROUP BY node
+"""
+    # item_triangles: each triangle enumerated exactly once as x < y < z
+    # over the canonical (a < b) distinct undirected edge set, then each
+    # corner credited — the textbook triple self-join oracle
+    oracles["item_triangles"] = """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM ev
+), und AS (
+  SELECT DISTINCT LEAST(pk, k) AS a, GREATEST(pk, k) AS b
+  FROM seq WHERE pk IS NOT NULL AND pk <> k
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY node
 """
     oracles["item_pagerank"] = (
         """

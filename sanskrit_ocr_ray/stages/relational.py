@@ -656,7 +656,7 @@ def grouped_top_k(
 def hash_join(
     left_ds,
     right_ds,
-    key: str,
+    key: str | list[str],
     *,
     n_buckets: int = 16,
     suffix: str = "_r",
@@ -665,6 +665,13 @@ def hash_join(
 ):
     """Partitioned hash join for two LARGE sides: bucket both by
     ``hash(key) % B``, co-group via one shuffle, pandas-merge per bucket.
+
+    ``key`` may be a list of column names for a composite equi-join
+    (e.g. joining wedge candidates against an edge set on ``(v, w)``);
+    the bucket id then mixes all key columns with a Fibonacci-constant
+    combine so co-partitioning still holds per composite value. The
+    single-key bucket function is unchanged (integer keys bucket by
+    ``value % B``), so chained stages that reuse it stay co-partitioned.
 
     ``native=True`` delegates to Ray's built-in hash-shuffle
     ``Dataset.join`` (same inner-join + collision-suffix semantics —
@@ -683,12 +690,13 @@ def hash_join(
     through the shuffle."""
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"how={how!r}")
+    keys = [key] if isinstance(key, str) else list(key)
     if native and how == "inner" and hasattr(type(left_ds), "join"):
         return left_ds.join(
             right_ds,
             "inner",
             num_partitions=n_buckets,
-            on=(key,),
+            on=tuple(keys),
             right_suffix=suffix,
         )
     from ..util import fast_hash_u64
@@ -697,10 +705,10 @@ def hash_join(
     rsch = right_ds.schema()
     lcols = list(lsch.names)
     rcols_orig = (
-        [] if how in ("semi", "anti") else [c for c in rsch.names if c != key]
+        [] if how in ("semi", "anti") else [c for c in rsch.names if c not in keys]
     )
     rename = {c: (c + suffix if c in lcols else c) for c in rcols_orig}
-    rcols = [key] + [rename[c] for c in rcols_orig]
+    rcols = keys + [rename[c] for c in rcols_orig]
     all_cols = lcols + [c for c in rcols if c not in lcols]
     types = dict(zip(lsch.names, lsch.types))
     for c, t in zip(rsch.names, rsch.types):
@@ -723,11 +731,19 @@ def hash_join(
                 else:
                     cols[c] = pa.nulls(batch.num_rows, type=types[c])
             t = pa.table(cols)
-            kc = batch[key]
-            if pa.types.is_integer(kc.type):
-                h = kc.to_numpy().astype(np.uint64)
-            else:
-                h = fast_hash_u64(kc.to_pylist())
+
+            def col_hash(name: str) -> np.ndarray:
+                kc = batch[name]
+                if pa.types.is_integer(kc.type):
+                    return kc.to_numpy().astype(np.uint64)
+                return fast_hash_u64(kc.to_pylist())
+
+            if len(keys) == 1:
+                h = col_hash(keys[0])
+            else:  # mix columns; golden-ratio combine keeps it vectorized
+                h = np.zeros(batch.num_rows, dtype=np.uint64)
+                for k in keys:
+                    h = h * np.uint64(0x9E3779B97F4A7C15) + col_hash(k)
             b = pa.array((h % np.uint64(n_buckets)).astype(np.int32))
             return t.append_column("__bucket", b).append_column(
                 "__side", pa.array([side] * batch.num_rows)
@@ -741,10 +757,15 @@ def hash_join(
         l = group[group["__side"] == "l"][lcols]
         r = group[group["__side"] == "r"][rcols]
         if how in ("semi", "anti"):
-            hit = l[key].isin(r[key].unique())
+            if len(keys) == 1:
+                hit = l[keys[0]].isin(r[keys[0]].unique())
+            else:
+                probe = r[keys].drop_duplicates()
+                m = l[keys].merge(probe, on=keys, how="left", indicator=True)
+                hit = (m["_merge"].to_numpy() == "both")
             out = l[hit] if how == "semi" else l[~hit]
         else:
-            out = l.merge(r, on=key, how="left" if how == "left" else "inner")
+            out = l.merge(r, on=keys, how="left" if how == "left" else "inner")
         if not len(out):
             return empty_out.copy()
         # the union pads each side's missing columns with nulls, which

@@ -147,3 +147,84 @@ def test_edge_weights_accumulate_across_batches(ray_session):
     got = item_transition_edges(rd.from_arrow(t), n_buckets=8).to_pandas()
     assert len(got) == 1
     assert got.iloc[0].tolist() == [1, 2, n_users]
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _ref_triangles(pairs):
+    """Brute-force per-node triangle counts over undirected pairs."""
+    from itertools import combinations
+
+    edges = set()
+    nodes = set()
+    for a, b in pairs:
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+            nodes.update((a, b))
+    out = {}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if ((x, y) in edges and (x, z) in edges and (y, z) in edges):
+            for v in (x, y, z):
+                out[v] = out.get(v, 0) + 1
+    return out
+
+
+def _edges_ds(rd, pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int64()),
+                "dst": pa.array([b for _, b in pairs], pa.int64()),
+                "w": pa.array([1] * len(pairs), pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 16])
+def test_triangle_counts_random_graph(ray_session, n_buckets):
+    """Random multigraph (duplicate + reversed + self edges) vs brute
+    force, across bucket counts (partitioning invariance)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(7)
+    pairs = [tuple(rng.integers(0, 25, 2)) for _ in range(300)]
+    got = triangle_counts(_edges_ds(rd, pairs), n_buckets=n_buckets).to_pandas()
+    want = _ref_triangles(pairs)
+    assert dict(zip(got["node"], got["triangles"])) == want
+    assert got["triangles"].dtype == np.int64
+
+
+def test_triangle_counts_hub_graph(ray_session):
+    """A hub star plus a rim cycle: the degree orientation must point
+    every rim node AT the hub (hub out-degree stays 0 or tiny), and the
+    counts still come out exact."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import triangle_counts
+
+    hub = 0
+    rim = list(range(1, 31))
+    pairs = [(hub, v) for v in rim]
+    pairs += [(rim[i], rim[(i + 1) % len(rim)]) for i in range(len(rim))]
+    got = triangle_counts(_edges_ds(rd, pairs), n_buckets=8).to_pandas()
+    want = _ref_triangles(pairs)
+    assert dict(zip(got["node"], got["triangles"])) == want
+    # hub participates in every rim-adjacent triangle
+    assert want[hub] == 30
+
+
+def test_triangle_counts_triangle_free(ray_session):
+    """A bipartite (triangle-free) graph returns zero rows."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import triangle_counts
+
+    pairs = [(a, 100 + b) for a in range(5) for b in range(5)]
+    got = triangle_counts(_edges_ds(rd, pairs), n_buckets=4).to_pandas()
+    assert len(got) == 0

@@ -628,3 +628,55 @@ def test_quantiles_exact_empty_input(ray_session):
     out = quantiles_exact(empty, "x", q_pm=[250, 500])
     assert len(out) == 0
     assert list(out.columns) == ["q_pm", "x"]
+
+
+def test_hash_join_composite_key_vs_pandas(ray_session):
+    """Multi-column equi-join (inner/left/semi/anti) matches pandas merge
+    semantics, including duplicate keys on both sides."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hash_join
+
+    rng = np.random.default_rng(3)
+    l = pd.DataFrame(
+        {
+            "v": rng.integers(0, 6, 80),
+            "w": rng.integers(0, 6, 80),
+            "lx": np.arange(80),
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "v": rng.integers(0, 6, 50),
+            "w": rng.integers(0, 6, 50),
+            "rx": np.arange(50) * 10,
+        }
+    )
+    lds = rd.from_pandas(l).repartition(5)
+    rds = rd.from_pandas(r).repartition(3)
+
+    inner = (
+        hash_join(lds, rds, key=["v", "w"], n_buckets=7)
+        .to_pandas()
+        .sort_values(["v", "w", "lx", "rx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        l.merge(r, on=["v", "w"])
+        .sort_values(["v", "w", "lx", "rx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        inner[want.columns.tolist()].astype(want.dtypes), want
+    )
+
+    semi = hash_join(lds, rds, key=["v", "w"], how="semi", n_buckets=7).to_pandas()
+    anti = hash_join(lds, rds, key=["v", "w"], how="anti", n_buckets=7).to_pandas()
+    keys = set(map(tuple, r[["v", "w"]].values))
+    in_l = l[[tuple(t) in keys for t in l[["v", "w"]].values]]
+    assert sorted(semi["lx"]) == sorted(in_l["lx"])
+    assert sorted(anti["lx"]) == sorted(set(l["lx"]) - set(in_l["lx"]))
+    assert len(semi) + len(anti) == len(l)
+
+    left = hash_join(lds, rds, key=["v", "w"], how="left", n_buckets=7).to_pandas()
+    assert len(left) == len(want) + len(anti)
