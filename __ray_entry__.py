@@ -157,6 +157,7 @@ def _multimodal_features(sf_dir: str):
 
     # imported HERE (driver side) so `recast` closes over the symbols —
     # workers can't re-import the package by name (it ships by value)
+    from sanskrit_ocr_ray.stages.gif import gif_encode
     from sanskrit_ocr_ray.stages.jpeg import jpeg_encode
     from sanskrit_ocr_ray.stages.multimodal import FeatureExtractor
     from sanskrit_ocr_ray.stages.png import png_encode
@@ -165,12 +166,13 @@ def _multimodal_features(sf_dir: str):
     fx = _fixture_for(sf_dir)
 
     def recast(batch: pa.Table) -> pa.Table:
-        # a third of the pages (by md5(media_ref) mod 3 — deterministic)
-        # travel as REAL PNG payloads, a third as REAL JPEG — half of
+        # a quarter of the pages (by md5(media_ref) mod 4 — deterministic)
+        # travel as REAL PNG payloads, a quarter as REAL JPEG — half of
         # those progressive SOF2, half baseline SOF0 (lossy — fine: the
         # oracle checks 16 features + no errors, not feature values) —
-        # and the rest stay raw8. All of them decode through the same
-        # pure-Python codecs the FeatureExtractor uses.
+        # a quarter as REAL GIF87a (LZW, lossless for 8-bit gray) and the
+        # rest stay raw8. All of them decode through the same pure-Python
+        # codecs the FeatureExtractor uses.
         n = batch.num_rows
         refs = batch["media_ref"].to_pylist()
         widths = batch["width"].to_pylist()
@@ -178,7 +180,7 @@ def _multimodal_features(sf_dir: str):
         pixels = batch["pixels"].to_pylist()
         types, payloads = [], []
         for r, w, h, p in zip(refs, widths, heights, pixels):
-            sel = md5_u64(r) % 3
+            sel = md5_u64(r) % 4
             if sel == 0:
                 img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
                 types.append("image/png")
@@ -188,6 +190,10 @@ def _multimodal_features(sf_dir: str):
                 types.append("image/jpeg")
                 prog = (md5_u64(r) // 3) % 2 == 0
                 payloads.append(jpeg_encode(img, quality=85, progressive=prog))
+            elif sel == 2:
+                img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
+                types.append("image/gif")
+                payloads.append(gif_encode(img))
             else:
                 types.append("image/raw8")
                 payloads.append(p)

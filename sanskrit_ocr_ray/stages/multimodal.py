@@ -9,7 +9,8 @@ video sampling — real byte decode, vectorized integer kernels, exact
 DuckDB oracles). The container codecs are REAL pure-Python
 implementations too: PNG (stdlib zlib, :mod:`stages.png`), JPEG
 (full T.81 sequential + progressive DCT with huffman coding,
-:mod:`stages.jpeg`), RIFF/WAVE PCM (:mod:`stages.wav`) and RIFF/AVI
+:mod:`stages.jpeg`), GIF87a with LZW (lossless for 8-bit gray,
+:mod:`stages.gif`), RIFF/WAVE PCM (:mod:`stages.wav`) and RIFF/AVI
 video with lossless 8-bit DIB or MJPG frames (:mod:`stages.avi`). Only
 formats whose codecs genuinely need native libraries (MP3, H.264)
 remain unavailable —
@@ -25,6 +26,7 @@ import pyarrow as pa
 # top-level (not runtime) import: the package ships to workers by value,
 # so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
 from .avi import avi_decode, avi_encode
+from .gif import gif_decode
 from .jpeg import jpeg_decode
 from .png import png_decode
 from .wav import wav_decode, wav_encode
@@ -55,6 +57,8 @@ def decode_payload(media_type: str, payload: bytes, width: int, height: int) -> 
         return png_decode(payload)
     if media_type == "image/jpeg":
         return jpeg_decode(payload)
+    if media_type == "image/gif":
+        return gif_decode(payload)
     if media_type == "audio/wav":
         samples, _rate, _ch = wav_decode(payload)
         return samples.reshape(-1)  # interleave channels for feature kernels
