@@ -106,8 +106,10 @@ def _frame_checksums(sf_dir: str):
 
 
 def _audio_energy(sf_dir: str):
-    """Windowed audio energy over deterministic pcm16 payloads:
-    synth → s16le decode → integer sum-of-squares per 256-sample window."""
+    """Windowed audio energy over deterministic audio payloads — raw
+    s16le, RIFF/WAVE PCM16, and RIFF/WAVE G.711 µ-law (doc_id%4==2,
+    decoded by the exact integer ulaw2linear recurrence the oracle
+    replays in SQL) → integer sum-of-squares per 256-sample window."""
     from sanskrit_ocr_ray.stages.multimodal import audio_energy, synth_pcm16_batch
 
     aud = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
@@ -2495,10 +2497,20 @@ SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(SUM(p) AS BIGINT) AS checksu
 FROM s GROUP BY doc_id, f
 """,
         "audio_energy": """
-WITH s AS (
-  SELECT doc_id, i // 256 AS win,
-         ((doc_id * 31 + i * 7) % 4096) - 2048 AS x
+WITH c AS (
+  -- docs with doc_id%4==2 carry G.711 mu-law codes; u = ~code & 0xFF
+  SELECT doc_id, i, 255 - ((doc_id * 31 + i * 7) % 256) AS u
   FROM documents, unnest(range(2048)) AS r(i)
+), s AS (
+  SELECT doc_id, i // 256 AS win,
+         CASE WHEN doc_id % 4 = 2 THEN
+           -- Sun g711 ulaw2linear: t = (((u&15)<<3)+132) << ((u>>4)&7)
+           CASE WHEN (u & 128) <> 0
+                THEN 132 - ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7)))
+                ELSE ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7))) - 132
+           END
+         ELSE ((doc_id * 31 + i * 7) % 4096) - 2048 END AS x
+  FROM c
 )
 SELECT doc_id, CAST(win AS BIGINT) AS win, CAST(SUM(x * x) AS BIGINT) AS energy
 FROM s GROUP BY doc_id, win

@@ -236,13 +236,23 @@ def synth_pcm16_batch(
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     i = np.arange(n_samples, dtype=np.int64)
     s = (((ids[:, None] * 31 + i[None, :] * 7) % 4096) - 2048).astype("<i2")
-    # even doc_ids ship inside a REAL RIFF/WAVE container (lossless PCM16,
-    # so windowed energies — and the DuckDB oracle — are unchanged); odd
+    # even doc_ids ship inside a REAL RIFF/WAVE container — doc_id%4==0
+    # as lossless PCM16, doc_id%4==2 as G.711 µ-law whose data chunk IS
+    # the deterministic code stream c(i) = (doc_id*31 + i*7) % 256 (the
+    # decoded samples are then the exact integer ulaw2linear recurrence,
+    # which the DuckDB oracle replays in SQL — no float, no loss); odd
     # ones stay raw s16le. Deterministic per doc, parallelism-invariant.
     types = ["audio/wav" if d % 2 == 0 else "audio/pcm16" for d in ids]
+    mu = ((ids[:, None] * 31 + i[None, :] * 7) % 256).astype(np.uint8)
     payloads = [
-        wav_encode(row, 16000) if t == "audio/wav" else row.tobytes()
-        for row, t in zip(s, types)
+        (
+            wav_encode(mu[j], 16000, codec="ulaw")
+            if ids[j] % 4 == 2
+            else wav_encode(s[j], 16000)
+        )
+        if t == "audio/wav"
+        else s[j].tobytes()
+        for j, t in enumerate(types)
     ]
     return pa.table(
         {
