@@ -350,6 +350,15 @@ def _kmv_distinct(sf_dir: str):
     return kmv_distinct(_tbl(sf_dir, "documents", ["text"]), k=256, ngram=3)
 
 
+def _hll_registers(sf_dir: str):
+    """HyperLogLog register table (p=6, 64 buckets) over distinct
+    3-gram shingles — the mergeable-sketch partial pattern with an
+    integer-exact oracle gate (registers, not the float estimate)."""
+    from sanskrit_ocr_ray.stages.sketch import hll_registers
+
+    return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
+
+
 def _ngram_top(sf_dir: str):
     from sanskrit_ocr_ray.stages.corpus import ngram_top
 
@@ -1596,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_mix": _corpus_mix,
         "ngram_top": _ngram_top,
         "kmv_distinct": _kmv_distinct,
+        "hll_registers": _hll_registers,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
         "priority_sample": _priority_sample,
@@ -2856,6 +2866,28 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node
+"""
+    # hll_registers: bucket and rho are pure integer functions of the
+    # md5 hash; bit length via a generated integer CASE cascade (float
+    # log2 misrounds above 2^53)
+    _blen = (
+        "CASE "
+        + " ".join(f"WHEN w >= {1 << b} THEN {b + 1}" for b in range(57, 0, -1))
+        + " WHEN w >= 1 THEN 1 ELSE 0 END"
+    )
+    oracles["hll_registers"] = f"""
+WITH tok AS (
+  SELECT list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), t AS (
+  SELECT DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), hw AS (
+  SELECT CAST(hv >> 58 AS BIGINT) AS bucket,
+         CAST(hv % CAST({1 << 58} AS UBIGINT) AS BIGINT) AS w
+  FROM (SELECT ('0x' || substr(md5(g), 1, 16))::UBIGINT AS hv FROM t)
+)
+SELECT bucket, CAST(MAX(59 - ({_blen})) AS BIGINT) AS rho
+FROM hw GROUP BY bucket
 """
     oracles["item_pagerank"] = (
         """

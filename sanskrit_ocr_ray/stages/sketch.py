@@ -1,11 +1,17 @@
 """Distributed sketches for corpus-scale statistics.
 
 ``kmv_distinct``: K-Minimum-Values distinct-count sketch (Bar-Yossef et
-al. 2002) over the corpus' 3-gram shingles. Unlike HLL, the KMV estimate
-is a PURE function of the k smallest distinct md5 hashes — deterministic
-and therefore reproducible value-for-value by the DuckDB oracle
-(``row_number() OVER (ORDER BY hv)`` + the same integer estimator), so a
-sketch — normally "approximate" — still gets an exact correctness gate.
+al. 2002) over the corpus' 3-gram shingles. Unlike HLL's float estimate,
+the KMV estimate is a PURE function of the k smallest distinct md5
+hashes — deterministic and therefore reproducible value-for-value by the
+DuckDB oracle (``row_number() OVER (ORDER BY hv)`` + the same integer
+estimator), so a sketch — normally "approximate" — still gets an exact
+correctness gate.
+
+``hll_registers``: the HyperLogLog counterpart with the same trick —
+the oracle-gated output is the integer REGISTER table (bucket, max rho),
+which is exact and mergeable; the float estimate stays a driver-side
+fold outside the gate.
 
 Estimator: with h_k the k-th smallest distinct 64-bit hash (1-based),
 ``n̂ = (k−1) · 2⁶⁴ // h_k``; when fewer than k distinct hashes exist the
@@ -43,6 +49,71 @@ def _shingle_hashes(texts: list[str | None], n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     hv = np.fromiter((md5_u64(s) for s in seen), np.uint64, len(seen))
     return np.unique(hv)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of uint64 values (no float log2 —
+    doubles misround above 2^53)."""
+    w = w.astype(np.uint64, copy=True)
+    out = np.zeros(len(w), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = w >= np.uint64(1 << s)
+        out[big] += s
+        w[big] >>= np.uint64(s)
+    return out + (w > 0)
+
+
+def hll_registers(ds, *, column: str = "text", p: int = 6, ngram: int = 3):
+    """HyperLogLog register table over the corpus' distinct ``ngram``
+    shingles → (bucket, rho) with ``2^p`` registers (Flajolet et al.
+    2007); same shingling convention as :func:`kmv_distinct`.
+
+    The OUTPUT is the registers themselves, not the float estimate:
+    bucket = top ``p`` bits of md5_u64(token), rho = leading-zero count
+    of the remaining ``64-p`` bits + 1, maxed per bucket — pure integer
+    values, so the DuckDB oracle reproduces them EXACTLY (same md5
+    convention as :func:`kmv_distinct`; bit length via an integer CASE
+    cascade, no float log2). Empty buckets are absent on both sides.
+    The classic estimate is a trivial driver-side fold of the 2^p rows:
+    ``α_m·m² / Σ 2^{-rho_j}`` with linear counting below 2.5·m — kept out
+    of the operator so the correctness gate stays integer-exact.
+
+    Scale shape: registers are the textbook MERGEABLE partial — each
+    batch emits ≤ 2^p (bucket, rho) rows from its own distinct-token
+    set, and one tiny ``groupby(bucket).max(rho)`` folds them; nothing
+    driver-side, shuffle ≤ #batches·2^p rows. This is the counts-only
+    complement to KMV (which keeps hash VALUES and therefore supports
+    intersection estimates but ships k rows per batch)."""
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+    wbits = 64 - p
+    mask = np.uint64((1 << wbits) - 1)
+
+    reg_empty = pd.DataFrame(
+        {"bucket": np.array([], np.int64), "rho": np.array([], np.int64)}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hv = _shingle_hashes(batch[column].to_pylist(), ngram)
+        if not len(hv):
+            return pa.Table.from_pandas(reg_empty, preserve_index=False)
+        bucket = (hv >> np.uint64(wbits)).astype(np.int64)
+        w = hv & mask
+        rho = wbits + 1 - _bit_length_u64(w)
+        df = (
+            pd.DataFrame({"bucket": bucket, "rho": rho})
+            .groupby("bucket", as_index=False)["rho"]
+            .max()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    assert m <= 4096  # p ≤ 12: partials stay tiny
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
 
 
 def kmv_distinct(ds, *, column: str = "text", k: int = 256, ngram: int = 3):

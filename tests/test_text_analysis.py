@@ -1,6 +1,7 @@
 """Text-analysis operators: unit behavior + determinism."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from sanskrit_ocr_ray.stages.text_analysis import (
@@ -132,3 +133,65 @@ def test_distinct_token_batch_edges():
     assert out["distinct_toks"] == [3, 0, 1]
     assert out["n_toks"] == [5, 0, 4]
     assert out["ttr_pm"] == [600, 0, 250]
+
+
+def test_hll_registers_partition_invariant_and_exact(ray_session):
+    """The register table equals a single-process reference computation
+    and is invariant to how the corpus is partitioned (mergeability)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import _bit_length_u64, _shingle_hashes, hll_registers
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{j}" for j in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab, rng.integers(3, 40)))
+        for _ in range(120)
+    ]
+    docs = pd.DataFrame({"text": texts})
+
+    hv = _shingle_hashes(texts, 3)
+    bucket = (hv >> np.uint64(58)).astype(np.int64)
+    rho = 59 - _bit_length_u64(hv & np.uint64((1 << 58) - 1))
+    want = (
+        pd.DataFrame({"bucket": bucket, "rho": rho})
+        .groupby("bucket", as_index=False)["rho"]
+        .max()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    for parts in (1, 7):
+        got = (
+            hll_registers(rd.from_pandas(docs).repartition(parts), p=6, ngram=3)
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_hll_estimate_fold_accuracy(ray_session):
+    """The driver-side estimate fold over the registers lands within the
+    standard-error band (~1.04/sqrt(64) ≈ 13%) of the true distinct count."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import _shingle_hashes, hll_registers
+
+    rng = np.random.default_rng(6)
+    # unique-ish shingles: random 3-token docs over a large vocab
+    texts = [
+        " ".join(f"t{rng.integers(0, 100000)}" for _ in range(30))
+        for _ in range(400)
+    ]
+    true_n = len(_shingle_hashes(texts, 3))
+    regs = hll_registers(
+        rd.from_pandas(pd.DataFrame({"text": texts})), p=6, ngram=3
+    ).to_pandas()
+    m = 64
+    rho = np.zeros(m)
+    rho[regs["bucket"].to_numpy()] = regs["rho"].to_numpy()
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(2.0 ** -rho)
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    assert abs(est - true_n) / true_n < 0.3
