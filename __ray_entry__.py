@@ -455,6 +455,19 @@ def _keyword_search(sf_dir: str):
     )
 
 
+def _bm25_topk(sf_dir: str):
+    """Integer-exact BM25 ranked retrieval (rational RSJ idf, permille
+    avgdl — spec'd in stages/hygiene.bm25_topk): corpus-stats fold pass
+    then broadcast-scalar scoring with per-batch top-k partials."""
+    from sanskrit_ocr_ray.stages.hygiene import bm25_topk
+
+    return bm25_topk(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "merge", "slow"],
+        k=10,
+    )
+
+
 def _repetition_scores(sf_dir: str):
     """Gopher-style intra-doc repetition per-mille (shuffle-free map)."""
     from sanskrit_ocr_ray.stages.text_analysis import repetition_scores_batch
@@ -1611,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_sample": _priority_sample,
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
+        "bm25_topk": _bm25_topk,
         "incremental_dedup": _incremental_dedup,
         "bloom_new_docs": _bloom_new_docs,
         "rarity_score": _rarity_score,
@@ -2866,6 +2880,45 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node
+"""
+    # bm25_topk: the same integer-exact BM25 recurrence as
+    # hygiene.bm25_topk — rational RSJ idf (no log), permille avgdl,
+    # one int64 floor division per (doc, term) — generated per query term
+    _bm_terms = ["join", "merge", "slow"]
+    _bm_tf = ",\n         ".join(
+        f"len(list_filter(ts, x -> x = '{t}')) AS tf{j}"
+        for j, t in enumerate(_bm_terms)
+    )
+    _bm_df = ", ".join(
+        f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+        for j in range(len(_bm_terms))
+    )
+    _bm_score = "\n       + ".join(
+        f"CASE WHEN tf{j} > 0 THEN "
+        f"(((1000000 * (m.n - d.df{j} + 1)) // (d.df{j} + 1))"
+        f" * tf{j} * 88 * m.apm)"
+        f" // (40 * tf{j} * m.apm + 12 * m.apm + 36 * dl * 1000)"
+        f" ELSE 0 END"
+        for j in range(len(_bm_terms))
+    )
+    oracles["bm25_topk"] = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), tf AS (
+  SELECT doc_id, len(ts) AS dl,
+         {_bm_tf}
+  FROM tok
+), m AS (
+  SELECT COUNT(*) AS n, 1000 * SUM(dl) // COUNT(*) AS apm FROM tf
+), d AS (
+  SELECT {_bm_df} FROM tf
+), s AS (
+  SELECT doc_id,
+         {_bm_score} AS score
+  FROM tf, m, d
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
 """
     # hll_registers: bucket and rho are pure integer functions of the
     # md5 hash; bit length via a generated integer CASE cascade (float

@@ -128,6 +128,116 @@ def contamination(
 # ---------------------------------------------------------------------------
 
 
+def bm25_topk(
+    ds,
+    terms: list[str],
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Ranked retrieval: top-``k`` docs by an INTEGER-EXACT BM25 variant
+    over the query ``terms`` (OR semantics — any matching term scores) →
+    (doc_id, score).
+
+    Unlike :func:`keyword_search` (raw term-frequency AND search), this
+    weights by corpus rarity and document length, the Robertson BM25
+    shape with k1 = 1.2, b = 0.75 — made bit-deterministic by two spec'd
+    substitutions (both mirrored in the DuckDB oracle):
+
+    - idf is the RATIONAL Robertson–Sparck-Jones odds, not its log:
+      ``idf(t) = 10^6 · (N − df + 1) // (df + 1)`` (log is transcendental
+      — no exact cross-engine contract);
+    - avgdl enters as permille ``apm = 1000·L // N`` so every per-term
+      score is one int64 floor division:
+      ``idf·tf·88·apm // (40·tf·apm + 12·apm + 36·dl·1000)``
+      (that is ``idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with the
+      rationals cleared; magnitudes ≤ 10^6·tf·88·apm stay < 2^63 for any
+      corpus because L only enters through apm).
+
+    Scale shape: pass 1 is a shuffle-free partial fold to (N, L, df_t…)
+    — O(#terms) scalars on the driver, never a vocabulary; pass 2
+    broadcasts those scalars in the task closure, scores each batch
+    vectorized, and emits per-batch top-k candidates merged on the
+    driver (#blocks·k tiny rows — the keyword_search/knn_brute pattern).
+    """
+    tset = list(dict.fromkeys(terms))
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        n = 0
+        lt = 0
+        df = dict.fromkeys(tset, 0)
+        for t in batch[text_col].to_pylist():
+            toks = _tokens(t)
+            n += 1
+            lt += len(toks)
+            ws = set(toks)
+            for q in tset:
+                if q in ws:
+                    df[q] += 1
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "lt": pa.array([lt], pa.int64()),
+                **{
+                    f"df_{j}": pa.array([df[q]], pa.int64())
+                    for j, q in enumerate(tset)
+                },
+            }
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sum()  # O(#blocks) rows × O(#terms) cols — scalars, not data
+    )
+    n_docs = int(stats["n"])
+    total_len = int(stats["lt"])
+    if n_docs == 0 or total_len == 0:
+        return typed_empty(**{id_col: np.int64, "score": np.int64})
+    apm = 1000 * total_len // n_docs
+    idf = {
+        q: 10**6 * (n_docs - int(stats[f"df_{j}"]) + 1)
+        // (int(stats[f"df_{j}"]) + 1)
+        for j, q in enumerate(tset)
+    }
+
+    def best_of_batch(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        scores: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _tokens(t)
+            dl = len(toks)
+            s = 0
+            for q in tset:
+                tf = toks.count(q)
+                if tf:
+                    s += (idf[q] * tf * 88 * apm) // (
+                        40 * tf * apm + 12 * apm + 36 * dl * 1000
+                    )
+            if s > 0:
+                ids.append(did)
+                scores.append(s)
+        if ids:
+            df = pd.DataFrame({id_col: ids, "score": scores}).astype(np.int64)
+            df = df.sort_values(
+                ["score", id_col], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        else:
+            df = typed_empty(**{id_col: np.int64, "score": np.int64})
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    cand = ds.map_batches(best_of_batch, batch_format="pyarrow").to_pandas()
+    if cand.empty:  # all-empty blocks come back column-less
+        return typed_empty(**{id_col: np.int64, "score": np.int64})
+    cand = cand.sort_values(
+        ["score", id_col], ascending=[False, True], kind="mergesort"
+    )
+    return cand.head(k).reset_index(drop=True)
+
+
 def salient_terms(
     ds,
     *,
@@ -256,6 +366,8 @@ def keyword_search(
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     cand = ds.map_batches(best_of_batch, batch_format="pyarrow").to_pandas()
+    if cand.empty:  # all-empty blocks come back column-less
+        return typed_empty(doc_id=np.int64, score=np.int64)
     cand = cand.sort_values(
         ["score", "doc_id"], ascending=[False, True], kind="mergesort"
     )

@@ -209,3 +209,51 @@ def test_rarity_score_hand_computed(ray_session):
         (1, 2 * third + 1_000_000_000),
         (2, third),
     ]
+
+
+def test_bm25_ranking_properties(ray_session):
+    """Integer BM25: rarer terms outweigh common ones (idf), and for
+    equal tf the shorter document outranks the longer (length norm);
+    result is invariant to partitioning."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import bm25_topk
+
+    filler = " ".join(["pad"] * 50)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "rare common",                       # 0: both terms, short
+                "rare common " + filler,             # 1: both terms, long
+                "common",                            # 2: common only
+                "rare",                              # 3: rare only, short
+                "common common common",              # 4: high tf common
+                filler,                              # 5: no match
+            ],
+        }
+    )
+    # make 'common' genuinely common: it appears in 4 docs, 'rare' in 3
+    for parts in (1, 4):
+        got = bm25_topk(
+            rd.from_pandas(docs).repartition(parts),
+            ["rare", "common"],
+            k=10,
+        )
+        assert 5 not in set(got["doc_id"])          # OR semantics, no match
+        s = dict(zip(got["doc_id"], got["score"]))
+        assert s[0] > s[1]                          # shorter beats longer
+        assert s[3] > s[2]                          # rare term beats common
+        assert got["score"].is_monotonic_decreasing
+
+
+def test_bm25_empty_and_missing_terms(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import bm25_topk
+
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                         "text": ["a b", "b c", "c d"]})
+    out = bm25_topk(rd.from_pandas(docs), ["zzz"], k=5)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "score"]
