@@ -350,6 +350,17 @@ def _kmv_distinct(sf_dir: str):
     return kmv_distinct(_tbl(sf_dir, "documents", ["text"]), k=256, ngram=3)
 
 
+def _kmv_jaccard(sf_dir: str):
+    """Sketch-based train/val shingle-set Jaccard (KMV set operation,
+    Beyer et al.) — the cheap split-contamination diagnostic; exact
+    function of the md5 hash order, so the oracle matches bit-for-bit."""
+    from sanskrit_ocr_ray.stages.sketch import kmv_jaccard
+
+    return kmv_jaccard(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), k=256, ngram=3
+    )
+
+
 def _hll_registers(sf_dir: str):
     """HyperLogLog register table (p=6, 64 buckets) over distinct
     3-gram shingles — the mergeable-sketch partial pattern with an
@@ -1619,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top": _ngram_top,
         "kmv_distinct": _kmv_distinct,
         "hll_registers": _hll_registers,
+        "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
         "priority_sample": _priority_sample,
@@ -2880,6 +2892,31 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node
+"""
+    # kmv_jaccard: same shingle/md5 conventions as kmv_distinct plus the
+    # train_val_split hash rule; the estimator is a pure function of the
+    # hash order so every integer matches
+    oracles["kmv_jaccard"] = """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), sh AS (
+  SELECT ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 16))::UBIGINT AS hv,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT % 1000 < 100) AS is_val
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), fl AS (
+  SELECT hv, MAX(CASE WHEN is_val THEN 0 ELSE 1 END) AS a,
+             MAX(CASE WHEN is_val THEN 1 ELSE 0 END) AS b
+  FROM sh GROUP BY hv
+), topk AS (
+  SELECT a, b FROM fl ORDER BY hv LIMIT 256
+), m AS (
+  SELECT COUNT(*) AS n, COALESCE(SUM(a * b), 0) AS ni FROM topk
+)
+SELECT CAST(256 AS BIGINT) AS k, CAST(ni AS BIGINT) AS n_inter,
+       CAST(CASE WHEN n = 0 THEN 0
+                 WHEN n < 256 THEN 1000 * ni // n
+                 ELSE 1000 * ni // 256 END AS BIGINT) AS jaccard_pm
+FROM m
 """
     # bm25_topk: the same integer-exact BM25 recurrence as
     # hygiene.bm25_topk — rational RSJ idf (no log), permille avgdl,

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import md5_u64
+from ..util import md5_u64, md5_u64_many
 
 _TWO64 = 1 << 64
 
@@ -145,4 +145,77 @@ def kmv_distinct(ds, *, column: str = "text", k: int = 256, ngram: int = 3):
         est = (k - 1) * _TWO64 // h_k
     return pd.DataFrame(
         {"k": np.asarray([k], np.int64), "n_distinct_est": np.asarray([est], np.int64)}
+    )
+
+
+def kmv_jaccard(
+    ds,
+    *,
+    key: str = "doc_id",
+    column: str = "text",
+    k: int = 256,
+    ngram: int = 3,
+    val_permille: int = 100,
+):
+    """Sketch-based train/val shingle overlap — the cheap contamination
+    diagnostic: estimated Jaccard similarity between the ``ngram``-shingle
+    sets of the two hash-split sides (same ``md5(key) % 1000`` rule as
+    :func:`corpus.train_val_split`), from ONE pass and O(k) driver rows.
+
+    KMV set-operation estimator (Beyer et al. 2007): with K the k
+    smallest distinct hashes of the UNION, ``Ĵ = |{h ∈ K : h ∈ A ∧ h ∈
+    B}| / k`` — a pure function of the md5 hash order, so the DuckDB
+    oracle reproduces (k, n_inter, jaccard_pm) EXACTLY; when the union
+    has fewer than k distinct shingles the result is the exact Jaccard.
+
+    Scale shape: per batch, each side contributes its k smallest distinct
+    hashes with an (a, b) membership flag (any union-top-k hash beaten
+    out of a batch-side top-k is beaten by k smaller union hashes, so
+    truncation never loses a flag); one small groupby ORs the flags
+    across batches, a distributed sort+limit keeps k rows, the driver
+    folds three integers.
+    """
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch[key].to_pylist()]
+        h = md5_u64_many(keys) % np.uint64(1000)
+        texts = batch[column].to_pylist()
+        a_texts = [t for t, hv in zip(texts, h) if hv >= val_permille]
+        b_texts = [t for t, hv in zip(texts, h) if hv < val_permille]
+        rows = []
+        for side, ts in (("a", a_texts), ("b", b_texts)):
+            hv = _shingle_hashes(ts, ngram)[:k]
+            hs = (hv ^ np.uint64(1 << 63)).view(np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "hv": hs,
+                        "a": np.int64(side == "a"),
+                        "b": np.int64(side == "b"),
+                    }
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(rows, ignore_index=True), preserve_index=False
+        )
+
+    topk = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hv")
+        .aggregate(Max("a", alias_name="a"), Max("b", alias_name="b"))
+        .sort("hv")
+        .limit(k)
+        .to_pandas()  # ≤ k tiny rows
+    )
+    n = len(topk)
+    n_inter = int((topk["a"].to_numpy() * topk["b"].to_numpy()).sum()) if n else 0
+    denom = n if n < k else k  # union smaller than k → exact Jaccard
+    j_pm = 1000 * n_inter // denom if denom else 0
+    return pd.DataFrame(
+        {
+            "k": np.asarray([k], np.int64),
+            "n_inter": np.asarray([n_inter], np.int64),
+            "jaccard_pm": np.asarray([j_pm], np.int64),
+        }
     )

@@ -195,3 +195,66 @@ def test_hll_estimate_fold_accuracy(ray_session):
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     assert abs(est - true_n) / true_n < 0.3
+
+
+def test_kmv_jaccard_exact_and_estimate_paths(ray_session):
+    """Small unions take the exact-Jaccard path; the estimate is a pure
+    function of hash order (partition-invariant); fully-shared and fully
+    disjoint shingle sets hit the endpoints."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import kmv_jaccard
+    from sanskrit_ocr_ray.util import md5_u64
+
+    # find doc_ids on each side of the md5 split rule
+    ids = list(range(400))
+    val_ids = [i for i in ids if md5_u64(str(i)) % 1000 < 100]
+    train_ids = [i for i in ids if md5_u64(str(i)) % 1000 >= 100]
+    assert val_ids and train_ids
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array(train_ids[:5] + val_ids[:5], np.int64),
+            "text": [shared] * 10,  # identical shingles both sides
+        }
+    )
+    for parts in (1, 4):
+        out = kmv_jaccard(rd.from_pandas(docs).repartition(parts), k=256)
+        assert out["jaccard_pm"].iloc[0] == 1000  # exact path, J = 1
+        assert out["n_inter"].iloc[0] == 3        # 3 distinct shingles
+
+    disjoint = pd.DataFrame(
+        {
+            "doc_id": np.array(train_ids[:3] + val_ids[:3], np.int64),
+            "text": ["a b c d"] * 3 + ["x y z w"] * 3,
+        }
+    )
+    out = kmv_jaccard(rd.from_pandas(disjoint), k=256)
+    assert out["jaccard_pm"].iloc[0] == 0
+    assert out["n_inter"].iloc[0] == 0
+
+    # estimate path: union >> k, roughly half the shingles shared
+    # (identical texts appear verbatim on BOTH sides; the rest unique)
+    rng = np.random.default_rng(8)
+
+    def mk(n, tag):
+        return [
+            " ".join(f"{tag}{rng.integers(0, 100000)}" for _ in range(50))
+            for _ in range(n)
+        ]
+
+    n_side = min(36, len(train_ids), len(val_ids))
+    half = n_side // 2
+    shared_docs = mk(half, "sh")
+    big = pd.DataFrame(
+        {
+            "doc_id": np.array(train_ids[:n_side] + val_ids[:n_side], np.int64),
+            "text": shared_docs + mk(n_side - half, "tr")
+            + shared_docs + mk(n_side - half, "va"),
+        }
+    )
+    est = kmv_jaccard(rd.from_pandas(big), k=128)
+    est2 = kmv_jaccard(rd.from_pandas(big).repartition(7), k=128)
+    pd.testing.assert_frame_equal(est, est2)  # hash-order pure
+    assert 0 < est["jaccard_pm"].iloc[0] < 1000
