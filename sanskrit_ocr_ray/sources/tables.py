@@ -11,12 +11,20 @@ actually on disk:
 
 - a ``<name>.lance`` dataset directory → ``ray.data.read_lance`` with
   ``columns`` pushdown (requires the ``lance`` package);
-- otherwise → ``ray.data.read_parquet`` with the same pushdown.
+- ``*.jsonl`` / ``*.json`` → ``ray.data.read_json`` (ingestion format:
+  no storage-side projection exists, so columns are dropped right after
+  parse and the row filter runs per block);
+- ``*.csv`` → ``ray.data.read_csv`` with ``include_columns`` pushed into
+  the Arrow CSV parser (columns never materialize), filter per block;
+- otherwise → ``ray.data.read_parquet`` with column + row-group pushdown.
 
-Both return the identical Ray Dataset schema, so swapping storage is a
-path change, not a code change. Column pruning ALWAYS goes through the
-reader (never a post-read select) — at 100 TB the projection must
-happen before bytes leave storage.
+All arms return the identical Ray Dataset schema for the same rows, so
+swapping storage is a path change, not a code change (pinned by
+tests/test_tables.py's cross-format parity test). Column pruning ALWAYS
+goes through the reader (never a caller-side select) — at 100 TB the
+projection must happen before bytes leave storage, which is also why
+Parquet/Lance are the production formats and JSONL/CSV are accepted only
+as ingestion edges (their filters cannot skip storage).
 """
 
 from __future__ import annotations
@@ -47,6 +55,21 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
     """
     import ray.data as rd
 
+    def _filtered(ds, _expr=row_filter):
+        # apply the SAME pyarrow.dataset expression post-read per block
+        # (Table.filter accepts it), so every dispatch arm returns
+        # identical rows to the Parquet pushdown path. Stringifying the
+        # expression into Ray's filter-expr parser does NOT work (e.g.
+        # ~is_in renders as 'invert(...)', which the parser rejects).
+        if _expr is None:
+            return ds
+        import pyarrow as pa
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            return batch.filter(_expr)
+
+        return ds.map_batches(_apply, batch_format="pyarrow")
+
     is_lance = path.endswith(".lance") or (
         os.path.isdir(path) and os.path.isdir(os.path.join(path, "_versions"))
     )
@@ -56,20 +79,21 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
                 f"{path} is a Lance dataset but the 'lance' package is not "
                 "installed; install pylance or convert to Parquet"
             )
-        if row_filter is not None:
-            # read_lance has no pyarrow-expression pushdown; apply the SAME
-            # expression post-read per block (Table.filter accepts a
-            # pyarrow.dataset Expression), so both dispatch arms return
-            # identical rows. Stringifying the expression into Ray's
-            # filter-expr parser does NOT work (e.g. ~is_in renders as
-            # 'invert(...)', which the parser rejects).
-            import pyarrow as pa
+        # read_lance has no pyarrow-expression pushdown
+        return _filtered(rd.read_lance(path, columns=columns))
+    if path.endswith((".jsonl", ".json")):
+        ds = rd.read_json(path)
+        if columns is not None:
+            ds = ds.select_columns(columns)  # right after parse — no
+            # storage-side projection exists for line-delimited JSON
+        return _filtered(ds)
+    if path.endswith(".csv"):
+        from pyarrow import csv as pacsv
 
-            def _apply(batch: pa.Table, _expr=row_filter) -> pa.Table:
-                return batch.filter(_expr)
-
-            return rd.read_lance(path, columns=columns).map_batches(
-                _apply, batch_format="pyarrow"
-            )
-        return rd.read_lance(path, columns=columns)
+        convert = (
+            pacsv.ConvertOptions(include_columns=columns)
+            if columns is not None
+            else None
+        )
+        return _filtered(rd.read_csv(path, convert_options=convert))
     return rd.read_parquet(path, columns=columns, filter=row_filter)

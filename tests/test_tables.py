@@ -59,3 +59,45 @@ def test_read_table_lance_row_filter_parity(ray_session, monkeypatch):
     a = via_lance.sort_values("doc_id").reset_index(drop=True)
     b = via_parquet.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_read_table_jsonl_csv_parity(ray_session, tmp_path):
+    """JSONL and CSV ingestion arms return the same rows, columns, and
+    filter semantics as the Parquet pushdown path."""
+    import duckdb
+    import pyarrow.dataset as pds
+
+    from sanskrit_ocr_ray.sources.tables import read_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    jsonl = str(tmp_path / "docs.jsonl")
+    csvf = str(tmp_path / "docs.csv")
+    con = duckdb.connect()
+    con.sql(
+        f"COPY (SELECT doc_id, lang, len(text) AS n_chars FROM read_parquet('{src}')) "
+        f"TO '{jsonl}' (FORMAT JSON)"
+    )
+    con.sql(
+        f"COPY (SELECT doc_id, lang, len(text) AS n_chars FROM read_parquet('{src}')) "
+        f"TO '{csvf}' (FORMAT CSV, HEADER)"
+    )
+
+    cols = ["doc_id", "n_chars"]
+    expr = ~pds.field("lang").isin(["sa"])  # filter col NOT in columns
+    want = (
+        read_table(src, columns=cols, row_filter=expr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    for path in (jsonl, csvf):
+        got = read_table(path, columns=cols + ["lang"], row_filter=expr).to_pandas()
+        assert not (got["lang"] == "sa").any()
+        got = (
+            got[cols]
+            .astype(want.dtypes)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), path
