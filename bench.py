@@ -135,6 +135,10 @@ def run_bench() -> dict:
         "bloom_new_docs",
         "rarity_score",
         "item_pagerank",
+        "item_triangles",
+        "bm25_topk",
+        "hll_registers",
+        "kmv_jaccard",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:
