@@ -370,6 +370,14 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _heavy_hitters(sf_dir: str):
+    """Exact φ-heavy hitters (count·32 > N) via the candidate/verify
+    two-pass — shuffle bounded by c·#batches, never the vocabulary."""
+    from sanskrit_ocr_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(_tbl(sf_dir, "documents", ["text"]), c=32)
+
+
 def _ngram_top(sf_dir: str):
     from sanskrit_ocr_ray.stages.corpus import ngram_top
 
@@ -1630,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top": _ngram_top,
         "kmv_distinct": _kmv_distinct,
         "hll_registers": _hll_registers,
+        "heavy_hitters": _heavy_hitters,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -2956,6 +2965,17 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # heavy_hitters: the candidate/verify pipeline is exact by the
+    # pigeonhole superset guarantee, so the oracle is the plain census
+    # with the same integer threshold
+    oracles["heavy_hitters"] = """
+WITH tok AS (
+  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+), m AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, COUNT(*) AS cnt FROM tok, m
+GROUP BY token, m.n HAVING COUNT(*) * 32 > m.n
 """
     # hll_registers: bucket and rho are pure integer functions of the
     # md5 hash; bit length via a generated integer CASE cascade (float

@@ -148,6 +148,81 @@ def kmv_distinct(ds, *, column: str = "text", k: int = 256, ngram: int = 3):
     )
 
 
+def heavy_hitters(ds, *, column: str = "text", c: int = 32):
+    """Exact φ-heavy hitters (tokens with count·c > N, φ = 1/c) WITHOUT
+    a full-vocabulary shuffle — the candidate/verify shape of
+    Misra-Gries-style pipelines (mergeable summaries, Agarwal et al.
+    2013), kept integer-exact so DuckDB reproduces it value-for-value.
+
+    1. candidates: inside each batch a vectorized census keeps tokens
+       with batch_count·c > batch_N. Pigeonhole guarantees the union is
+       a SUPERSET of the true heavy hitters (Σcntᵢ > ΣNᵢ/c ⇒ ∃i: cntᵢ >
+       Nᵢ/c); each batch emits < c rows, so the candidate table is
+       ≤ (c−1)·#batches rows — never the vocabulary.
+    2. verify: the deduplicated candidate set (small by construction) is
+       broadcast once via ``ray.put``; a second pass exact-counts ONLY
+       candidates plus each batch's total token count (sentinel row,
+       token ``''`` — impossible as a real token since empties are
+       filtered), one tiny groupby folds the partials, and the driver
+       applies cnt·c > N to ≤ |candidates| rows.
+
+    Complements :func:`~..stages.corpus.ngram_top` (exact census through
+    the term-bucket shuffle): here shuffled rows are bounded by
+    c·#batches + |candidates| REGARDLESS of vocabulary size — the right
+    shape when the vocabulary is corpus-sized (web n-grams) but only the
+    φ-frequent head is wanted.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def _tokens(texts: list) -> list:
+        return [w for t in texts for w in (t or "").split(" ") if w]
+
+    def cand_partial(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch[column].to_pylist())
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string())})
+        vc = pd.Series(toks).value_counts()
+        keep = vc.index[(vc.to_numpy() * c) > len(toks)]
+        return pa.table({"token": pa.array(list(keep), pa.string())})
+
+    cand = (
+        ds.map_batches(cand_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()  # ≤ (c−1)·#batches rows by the per-batch bound
+    )
+    cand_ref = ray.put(frozenset(cand["token"].tolist()))
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)  # plasma-shared, zero-copy per node
+        toks = _tokens(batch[column].to_pylist())
+        hits = [t for t in toks if t in cset]
+        vc = pd.Series(hits).value_counts() if hits else pd.Series(dtype=np.int64)
+        return pa.table(
+            {
+                "token": pa.array(list(vc.index) + [""], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([vc.to_numpy(np.int64), [len(toks)]])
+                ),
+            }
+        )
+
+    folded = (
+        ds.map_batches(verify_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # ≤ |candidates| + 1 rows
+    )
+    total = int(folded.loc[folded["token"] == "", "cnt"].sum())
+    out = folded[(folded["token"] != "") & (folded["cnt"].to_numpy() * c > total)]
+    return (
+        out.sort_values("token")
+        .reset_index(drop=True)
+        .astype({"cnt": np.int64})
+    )
+
+
 def kmv_jaccard(
     ds,
     *,

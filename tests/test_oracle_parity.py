@@ -55,6 +55,7 @@ SUBSET = [
     "pack_sequences",
     "corpus_mix",
     "ngram_top",
+    "heavy_hitters",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

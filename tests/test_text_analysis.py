@@ -100,6 +100,38 @@ def test_kmv_distinct_exact_and_estimator_paths(ray_session):
     assert rel < 3 / np.sqrt(k), (est.n_distinct_est[0], truth)
 
 
+def test_heavy_hitters_skewed_and_partition_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import heavy_hitters
+
+    # Zipf-ish skew: 'hot' = 40% of tokens, 'warm' = 20%, a long tail of
+    # singletons — with c=8 only tokens above N/8 survive
+    rng = np.random.default_rng(7)
+    docs = []
+    for i in range(40):
+        toks = (
+            ["hot"] * 10 + ["warm"] * 5 + [f"tail{i}_{j}" for j in range(10)]
+        )
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    truth = {}
+    for d in docs:
+        for w in d.split(" "):
+            truth[w] = truth.get(w, 0) + 1
+    n = sum(truth.values())
+    want = sorted((w, c) for w, c in truth.items() if c * 8 > n)
+    assert [w for w, _ in want] == ["hot", "warm"]  # tail pruned
+
+    for parts in (1, 7):
+        out = heavy_hitters(
+            rd.from_pandas(pd.DataFrame({"text": docs})).repartition(parts), c=8
+        )
+        got = list(zip(out["token"], out["cnt"]))
+        assert got == want, (parts, got)
+
+
 def test_json_int_field_batch_extracts_and_defaults():
     import pyarrow as pa
 
