@@ -370,6 +370,20 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _basket_pairs(sf_dir: str):
+    """Frequent co-ordered part pairs (market-basket support counting):
+    basket-bucketed vectorized pair expansion + a pair-bucketed fold."""
+    from sanskrit_ocr_ray.stages.basket import basket_pairs
+
+    return basket_pairs(
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        minsup=2,
+        max_basket=64,
+    )
+
+
 def _heavy_hitters(sf_dir: str):
     """Exact φ-heavy hitters (count·32 > N) via the candidate/verify
     two-pass — shuffle bounded by c·#batches, never the vocabulary."""
@@ -1639,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _kmv_distinct,
         "hll_registers": _hll_registers,
         "heavy_hitters": _heavy_hitters,
+        "basket_pairs": _basket_pairs,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -2965,6 +2980,21 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # basket_pairs: the bucketed pipeline computes exactly the distinct
+    # co-occurrence self-join; max_basket=64 never bites at TPC-H basket
+    # sizes (≤ 13 distinct parts/order) so the oracle needs no size CTE —
+    # the cap is mirrored anyway to pin the deterministic drop rule
+    oracles["basket_pairs"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+ok AS (SELECT bk FROM b GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 64),
+bb AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+p AS (
+  SELECT a.it AS item_a, c.it AS item_b
+  FROM bb a JOIN bb c ON a.bk = c.bk AND a.it < c.it
+)
+SELECT item_a, item_b, COUNT(*) AS support
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
     # heavy_hitters: the candidate/verify pipeline is exact by the
     # pigeonhole superset guarantee, so the oracle is the plain census

@@ -56,6 +56,7 @@ SUBSET = [
     "corpus_mix",
     "ngram_top",
     "heavy_hitters",
+    "basket_pairs",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",
