@@ -370,6 +370,16 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _status_history(sf_dir: str):
+    """SCD2/CDC history build: per-user event_type runs → validity
+    intervals, user-bucketed with one vectorized run-collapse pass."""
+    from sanskrit_ocr_ray.stages.relational import status_history
+
+    return status_history(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 def _basket_pairs(sf_dir: str):
     """Frequent co-ordered part pairs (market-basket support counting):
     basket-bucketed vectorized pair expansion + a pair-bucketed fold."""
@@ -1654,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _hll_registers,
         "heavy_hitters": _heavy_hitters,
         "basket_pairs": _basket_pairs,
+        "status_history": _status_history,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -2980,6 +2991,32 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # status_history: segment ids via a windowed change-flag cumsum; run
+    # order inside a user is (us, event_id) on both sides, so ties never
+    # flip runs; LEAD over seg (not valid_from) — two adjacent runs can
+    # share a first-timestamp
+    oracles["status_history"] = """
+WITH ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+  FROM events
+), o AS (
+  SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_t
+  FROM ev
+), s AS (
+  SELECT *, SUM(CASE WHEN prev_t IS NULL OR prev_t <> event_type THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id) AS seg
+  FROM o
+), r AS (
+  SELECT user_id, event_type, seg, MIN(us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, event_type, seg
+)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY seg), -1)
+         AS valid_to_us,
+       n_events
+FROM r
 """
     # basket_pairs: the bucketed pipeline computes exactly the distinct
     # co-occurrence self-join; max_basket=64 never bites at TPC-H basket

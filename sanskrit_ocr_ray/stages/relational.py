@@ -213,6 +213,81 @@ def events_sliding(ds, *, window_s: int = 3600, step_s: int = 1800):
     )
 
 
+def status_history(ds, *, n_buckets: int = 64):
+    """Type-2 slowly-changing-dimension compaction (the CDC "history
+    build"): collapse each user's event_type stream into validity
+    intervals — one row per maximal run of consecutive equal types,
+    carrying ``valid_from_us`` (the run's first timestamp),
+    ``valid_to_us`` (the NEXT run's first timestamp; ``-1`` for the
+    open current run) and the run's event count. The standard shape for
+    turning an append-only change log into a point-in-time-joinable
+    dimension table.
+
+    Scale shape: identical to :func:`sessionize` — shuffle on
+    ``hash(user) % n_buckets`` (never one dispatch per user), then ONE
+    vectorized mergesort + shift-compare pass collapses every run in
+    the bucket. Total order inside a user is (ts, event_id), pinned on
+    both the Ray and oracle sides so timestamp ties cannot flip runs.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        b = (fast_hash_u64(batch["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "us": us,
+                "__ub": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(
+        user_id=np.int64,
+        event_type=object,
+        valid_from_us=np.int64,
+        valid_to_us=np.int64,
+        n_events=np.int64,
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(u)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        ru, rfrom = u[starts], us[starts]
+        # a run is closed by the next run iff that run is the same user's
+        nxt_same = np.append(ru[1:] == ru[:-1], False)
+        rto = np.where(nxt_same, np.append(rfrom[1:], -1), -1)
+        return pd.DataFrame(
+            {
+                "user_id": ru,
+                "event_type": et[starts],
+                "valid_from_us": rfrom,
+                "valid_to_us": rto,
+                "n_events": (ends - starts).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
     """Per-user sessionization (30-min inactivity gap): one row per
     session with event count and duration.

@@ -57,6 +57,7 @@ SUBSET = [
     "ngram_top",
     "heavy_hitters",
     "basket_pairs",
+    "status_history",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

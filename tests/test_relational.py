@@ -680,3 +680,56 @@ def test_hash_join_composite_key_vs_pandas(ray_session):
 
     left = hash_join(lds, rds, key=["v", "w"], how="left", n_buckets=7).to_pandas()
     assert len(left) == len(want) + len(anti)
+
+
+def test_status_history_runs_ties_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import status_history
+
+    rng = np.random.default_rng(11)
+    n = 400
+    # coarse second grid forces (user, ts) ties → event_id tie-break matters
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 12, n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime(rng.integers(0, 50, n), unit="s"),
+        }
+    )
+
+    # naive model: per user, order by (us, event_id), collapse equal runs
+    def naive():
+        rows = []
+        us = df["ts"].astype("int64").to_numpy()  # ns
+        d = df.assign(us=us // 1000).sort_values(["user_id", "us", "event_id"])
+        for uid, g in d.groupby("user_id"):
+            et = g["event_type"].tolist()
+            t = g["us"].tolist()
+            runs = []
+            for ty, tt in zip(et, t):
+                if runs and runs[-1][0] == ty:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([ty, tt, 1])
+            for i, (ty, vf, cnt) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else -1
+                rows.append((uid, ty, vf, vt, cnt))
+        return sorted(rows)
+
+    want = naive()
+    for parts in (1, 6):
+        out = status_history(
+            rd.from_pandas(df).repartition(parts), n_buckets=8
+        ).to_pandas()
+        got = sorted(
+            zip(
+                out["user_id"],
+                out["event_type"],
+                out["valid_from_us"],
+                out["valid_to_us"],
+                out["n_events"],
+            )
+        )
+        assert got == want, parts
