@@ -370,6 +370,14 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _embedding_moments(sf_dir: str):
+    """Per-dimension quantized-integer moments of the embedding column
+    (whitening prereq) — mergeable per-batch partials, exact sums."""
+    from sanskrit_ocr_ray.stages.profile import embedding_moments
+
+    return embedding_moments(_tbl(sf_dir, "embeddings", ["embedding"]), q=1000)
+
+
 def _status_history(sf_dir: str):
     """SCD2/CDC history build: per-user event_type runs → validity
     intervals, user-bucketed with one vectorized run-collapse pass."""
@@ -1665,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _heavy_hitters,
         "basket_pairs": _basket_pairs,
         "status_history": _status_history,
+        "embedding_moments": _embedding_moments,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -2991,6 +3000,23 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # embedding_moments: both sides quantize floor(float64(x)·1000) per
+    # element BEFORE summing, so the sums are integer-exact regardless of
+    # reduction order (float32 → float64 widening is lossless IEEE)
+    oracles["embedding_moments"] = """
+WITH e AS (
+  SELECT embedding[i] AS x, i
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), qv AS (
+  SELECT CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM e
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(xq) AS BIGINT) AS sum_q,
+       CAST(SUM(xq * xq) AS BIGINT) AS sumsq_q
+FROM qv GROUP BY dim
 """
     # status_history: segment ids via a windowed change-flag cumsum; run
     # order inside a user is (us, event_id) on both sides, so ties never

@@ -122,3 +122,50 @@ def validate_rows(ds, rules: dict[str, object]):
     out = parts.groupby("rule", as_index=False)["n_violations"].sum()
     out["n_violations"] = out["n_violations"].astype(np.int64)
     return out.sort_values("rule").reset_index(drop=True)
+
+
+def embedding_moments(ds, *, column: str = "embedding", q: int = 1000):
+    """Per-dimension first/second moments of an embedding column — the
+    prerequisite for whitening / standardizing vectors before ANN or
+    clustering: one row per dimension with ``(dim, n, sum_q, sumsq_q)``
+    where each element is first quantized to ``floor(x·q)`` (int64) and
+    the INTEGER sums are exact, so the oracle reproduces them
+    value-for-value (float sums would depend on reduction order).
+    Mean/variance are a trivial driver-side division away; they stay out
+    of the operator so the gate stays integer-exact.
+
+    Scale shape: the textbook mergeable partial — each batch emits one
+    (sum, sumsq, n) row per dimension (dims × #batches rows total, never
+    the vectors), one small groupby folds them. Overflow envelope:
+    |x| ≤ 30 and q = 1000 keep sumsq increments ≤ 9·10⁸, so int64 holds
+    exact sums past 10⁹ rows per dimension; beyond that raise the bucket
+    count by splitting dims, not the dtype.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[column]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
+        xq = np.floor(mat * q).astype(np.int64)
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, len(xq), dtype=np.int64)),
+                "sum_q": pa.array(xq.sum(axis=0, dtype=np.int64)),
+                "sumsq_q": pa.array((xq * xq).sum(axis=0, dtype=np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("sumsq_q", alias_name="sumsq_q"),
+        )
+    )

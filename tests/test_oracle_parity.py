@@ -58,6 +58,7 @@ SUBSET = [
     "heavy_hitters",
     "basket_pairs",
     "status_history",
+    "embedding_moments",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

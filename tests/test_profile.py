@@ -40,3 +40,26 @@ def test_validate_rows_counts_violations_and_nulls(ray_session):
     ).set_index("rule")
     assert out.loc["x_nonneg", "n_violations"] == 2
     assert out.loc["t_nonempty", "n_violations"] == 1
+
+
+def test_embedding_moments_exact_and_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.profile import embedding_moments
+
+    rng = np.random.default_rng(5)
+    vecs = (rng.standard_normal((130, 8)) * 2).astype(np.float32)
+    xq = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    df = pd.DataFrame({"embedding": [v.tolist() for v in vecs]})
+    for parts in (1, 7):
+        out = (
+            embedding_moments(rd.from_pandas(df).repartition(parts), q=1000)
+            .to_pandas()
+            .sort_values("dim")
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [130] * 8
+        assert out["sum_q"].tolist() == xq.sum(axis=0).tolist()
+        assert out["sumsq_q"].tolist() == (xq * xq).sum(axis=0).tolist()
