@@ -107,9 +107,10 @@ def _frame_checksums(sf_dir: str):
 
 def _audio_energy(sf_dir: str):
     """Windowed audio energy over deterministic audio payloads — raw
-    s16le, RIFF/WAVE PCM16, and RIFF/WAVE G.711 µ-law (doc_id%4==2,
-    decoded by the exact integer ulaw2linear recurrence the oracle
-    replays in SQL) → integer sum-of-squares per 256-sample window."""
+    s16le, RIFF/WAVE PCM16, G.711 µ-law (doc_id%8==2, stateless integer
+    recurrence) and IMA ADPCM (doc_id%8==6, STATEFUL predictor/step
+    recurrences the oracle replays with a recursive CTE) → integer
+    sum-of-squares per 256-sample window."""
     from sanskrit_ocr_ray.stages.multimodal import audio_energy, synth_pcm16_batch
 
     aud = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
@@ -2576,25 +2577,8 @@ WITH fr AS (
 SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, CAST(SUM(p) AS BIGINT) AS checksum
 FROM s GROUP BY doc_id, f
 """,
-        "audio_energy": """
-WITH c AS (
-  -- docs with doc_id%4==2 carry G.711 mu-law codes; u = ~code & 0xFF
-  SELECT doc_id, i, 255 - ((doc_id * 31 + i * 7) % 256) AS u
-  FROM documents, unnest(range(2048)) AS r(i)
-), s AS (
-  SELECT doc_id, i // 256 AS win,
-         CASE WHEN doc_id % 4 = 2 THEN
-           -- Sun g711 ulaw2linear: t = (((u&15)<<3)+132) << ((u>>4)&7)
-           CASE WHEN (u & 128) <> 0
-                THEN 132 - ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7)))
-                ELSE ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7))) - 132
-           END
-         ELSE ((doc_id * 31 + i * 7) % 4096) - 2048 END AS x
-  FROM c
-)
-SELECT doc_id, CAST(win AS BIGINT) AS win, CAST(SUM(x * x) AS BIGINT) AS energy
-FROM s GROUP BY doc_id, win
-""",
+        # audio_energy is assigned below (needs the ADPCM step table
+        # rendered into a recursive CTE)
         "semantic_dedup": """
 WITH RECURSIVE p AS (
   SELECT a.vec_id AS va, b.vec_id AS vb
@@ -3000,6 +2984,61 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # audio_energy: three payload families — pcm16 / µ-law closed forms,
+    # and IMA ADPCM (doc_id%8==6) whose STATEFUL predictor/step-index
+    # recurrences are replayed exactly by a recursive CTE advancing all
+    # adpcm docs in lockstep (pure integer ops, 2048 iterations); the
+    # 89-entry step table is rendered from the same constant the decoder
+    # uses (stages/wav.py ADPCM_STEPS)
+    from sanskrit_ocr_ray.stages.wav import ADPCM_STEPS as _ADPCM_STEPS
+
+    _steps_vals = ", ".join(f"({i}, {int(v)})" for i, v in enumerate(_ADPCM_STEPS))
+    oracles["audio_energy"] = f"""
+WITH RECURSIVE st(si, sv) AS (VALUES {_steps_vals}),
+ad(doc_id, i, pred, idx) AS (
+  SELECT doc_id, 0, ((doc_id * 31) % 4096) - 2048, doc_id % 89
+  FROM documents WHERE doc_id % 8 = 6
+  UNION ALL
+  SELECT doc_id, i + 1,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN (c & 8) <> 0 THEN -vp ELSE vp END)),
+         GREATEST(0, LEAST(88,
+           idx + CASE WHEN (c & 7) < 4 THEN -1 ELSE ((c & 7) - 3) * 2 END))
+  FROM (
+    SELECT q.doc_id, q.i, q.pred, q.idx, q.c,
+           (st.sv >> 3)
+           + CASE WHEN (q.c & 4) <> 0 THEN st.sv ELSE 0 END
+           + CASE WHEN (q.c & 2) <> 0 THEN st.sv >> 1 ELSE 0 END
+           + CASE WHEN (q.c & 1) <> 0 THEN st.sv >> 2 ELSE 0 END AS vp
+    FROM (
+      SELECT a.doc_id, a.i, a.pred, a.idx,
+             (a.doc_id * 13 + (a.i + 1) * 5) % 16 AS c
+      FROM ad a WHERE a.i < 2047
+    ) q JOIN st ON st.si = q.idx
+  )
+), c AS (
+  -- docs with doc_id%8==2 carry G.711 mu-law codes; u = ~code & 0xFF
+  SELECT doc_id, i, 255 - ((doc_id * 31 + i * 7) % 256) AS u
+  FROM documents, unnest(range(2048)) AS r(i)
+  WHERE doc_id % 8 <> 6
+), base AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 8 = 2 THEN
+           -- Sun g711 ulaw2linear: t = (((u&15)<<3)+132) << ((u>>4)&7)
+           CASE WHEN (u & 128) <> 0
+                THEN 132 - ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7)))
+                ELSE ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7))) - 132
+           END
+         ELSE ((doc_id * 31 + i * 7) % 4096) - 2048 END AS x
+  FROM c
+), allx AS (
+  SELECT doc_id, i, x FROM base
+  UNION ALL
+  SELECT doc_id, i, pred AS x FROM ad
+)
+SELECT doc_id, CAST(i // 256 AS BIGINT) AS win, CAST(SUM(x * x) AS BIGINT) AS energy
+FROM allx GROUP BY doc_id, i // 256
 """
     # embedding_moments: both sides quantize floor(float64(x)·1000) per
     # element BEFORE summing, so the sums are integer-exact regardless of

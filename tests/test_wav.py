@@ -119,15 +119,15 @@ def test_wav_ulaw_lossy_path_and_errors():
 
 
 def test_audio_energy_mixed_codecs_vs_numpy(ray_session):
-    """synth_pcm16_batch ships raw/PCM16/mu-law by doc_id; audio_energy
-    reproduces the exact integer energies for all three forms."""
+    """synth_pcm16_batch ships raw/PCM16/mu-law/ADPCM by doc_id;
+    audio_energy reproduces the exact integer energies for all four."""
     import pyarrow as pa
     import ray.data as rd
 
     from sanskrit_ocr_ray.stages.multimodal import audio_energy, synth_pcm16_batch
-    from sanskrit_ocr_ray.stages.wav import ULAW_LUT
+    from sanskrit_ocr_ray.stages.wav import ULAW_LUT, adpcm_decode_codes
 
-    ids = np.arange(8, dtype=np.int64)  # covers %4 in {0,1,2,3}
+    ids = np.arange(16, dtype=np.int64)  # covers %8 in {0..7}
     ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
     got = (
         audio_energy(ds.map_batches(synth_pcm16_batch, batch_format="pyarrow"))
@@ -138,11 +138,139 @@ def test_audio_energy_mixed_codecs_vs_numpy(ray_session):
     i = np.arange(2048, dtype=np.int64)
     rows = []
     for d in ids:
-        if d % 4 == 2:
+        if d % 8 == 2:
             x = ULAW_LUT[((d * 31 + i * 7) % 256).astype(np.uint8)].astype(np.int64)
+        elif d % 8 == 6:
+            nib = ((d * 13 + i[1:] * 5) % 16).astype(np.uint8)
+            x = adpcm_decode_codes(
+                nib[None, :], [((d * 31) % 4096) - 2048], [d % 89]
+            )[0].astype(np.int64)
         else:
             x = ((d * 31 + i * 7) % 4096) - 2048
         for w in range(8):
             rows.append((d, w, int((x[w * 256 : (w + 1) * 256] ** 2).sum())))
     want = pd.DataFrame(rows, columns=["doc_id", "win", "energy"])
     pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (format tag 0x11)
+# --------------------------------------------------------------------------
+
+_IDX_TAB = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_scalar_decode(codes, pred, idx):
+    """Independent scalar reference decoder (textbook IMA recurrence)."""
+    from sanskrit_ocr_ray.stages.wav import ADPCM_STEPS
+
+    out = [int(pred)]
+    idx = max(0, min(88, int(idx)))
+    pred = int(pred)
+    for c in codes:
+        c = int(c)
+        step = int(ADPCM_STEPS[idx])
+        vp = step >> 3
+        if c & 4:
+            vp += step
+        if c & 2:
+            vp += step >> 1
+        if c & 1:
+            vp += step >> 2
+        pred = pred - vp if c & 8 else pred + vp
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IDX_TAB[c & 7]))
+        out.append(pred)
+    return out
+
+
+def test_adpcm_decode_matches_scalar_reference():
+    import numpy as np
+
+    from sanskrit_ocr_ray.stages.wav import adpcm_decode_codes
+
+    rng = np.random.default_rng(21)
+    m, n = 5, 700
+    codes = rng.integers(0, 16, (m, n)).astype(np.uint8)
+    pred0 = rng.integers(-32768, 32768, m)
+    idx0 = rng.integers(0, 89, m)
+    got = adpcm_decode_codes(codes, pred0, idx0)
+    for r in range(m):
+        assert got[r].tolist() == _adpcm_scalar_decode(
+            codes[r], pred0[r], idx0[r]
+        ), r
+
+
+def test_adpcm_encode_decode_is_decoder_reconstruction():
+    import numpy as np
+
+    from sanskrit_ocr_ray.stages.wav import adpcm_decode_codes, adpcm_encode_codes
+
+    rng = np.random.default_rng(22)
+    t = np.arange(3000)
+    x = (
+        9000 * np.sin(t / 30)
+        + 2500 * np.sin(t / 7)
+        + rng.integers(-300, 300, len(t))
+    ).astype(np.int16)
+    codes, p0, i0 = adpcm_encode_codes(x[None, :])
+    rec = adpcm_decode_codes(codes, p0, i0)[0]
+    # decode(encode(x)) IS the encoder's tracked reconstruction: re-decoding
+    # the code stream must reproduce it exactly (state parity), and the
+    # codec should track a smooth signal to within a few steps
+    rec2 = adpcm_decode_codes(codes, p0, i0)[0]
+    assert np.array_equal(rec, rec2)
+    assert np.mean(np.abs(rec[1:].astype(np.int64) - x[1:])) < 600
+
+
+def test_adpcm_wav_container_roundtrip_single_and_multi_block():
+    import numpy as np
+
+    from sanskrit_ocr_ray.stages.wav import (
+        adpcm_decode_codes,
+        wav_decode,
+        wav_encode,
+        wav_encode_adpcm_codes,
+    )
+
+    rng = np.random.default_rng(23)
+    # raw-code path, one block (2048 samples = header + 2047 nibbles)
+    codes = rng.integers(0, 16, 2047).astype(np.uint8)
+    blob = wav_encode_adpcm_codes(codes, -123, 30, 16000)
+    s, rate, ch = wav_decode(blob)
+    assert (rate, ch) == (16000, 1)
+    assert s.tolist() == adpcm_decode_codes(codes[None, :], [-123], [30])[0].tolist()
+
+    # multi-block raw-code path (odd tail, pad nibble trimmed by fact)
+    codes2 = rng.integers(0, 16, 5000).astype(np.uint8)
+    blob2 = wav_encode_adpcm_codes(codes2, 77, 0, 8000, samples_per_block=1024)
+    s2, rate2, _ = wav_decode(blob2)
+    assert rate2 == 8000
+    assert (
+        s2.tolist()
+        == adpcm_decode_codes(codes2[None, :], [77], [0])[0].tolist()
+    )
+
+    # companding path: container carries the encoder's reconstruction
+    x = (6000 * np.sin(np.arange(4000) / 25)).astype(np.int16)
+    s3, _, _ = wav_decode(wav_encode(x, 22050, codec="adpcm"))
+    assert len(s3) == len(x)
+    assert np.mean(np.abs(s3.astype(np.int64) - x)) < 400
+
+
+def test_adpcm_malformed_raises():
+    import numpy as np
+    import pytest
+
+    from sanskrit_ocr_ray.stages.wav import wav_decode, wav_encode_adpcm_codes
+
+    blob = bytearray(
+        wav_encode_adpcm_codes(
+            np.zeros(100, np.uint8), 0, 0, 8000, samples_per_block=64
+        )
+    )
+    # corrupt the first block header's step index past 88
+    data_at = blob.find(b"data") + 8
+    blob[data_at + 2] = 200
+    with pytest.raises(ValueError):
+        wav_decode(bytes(blob))
