@@ -164,18 +164,20 @@ def _multimodal_features(sf_dir: str):
     from sanskrit_ocr_ray.stages.jpeg import jpeg_encode
     from sanskrit_ocr_ray.stages.multimodal import FeatureExtractor
     from sanskrit_ocr_ray.stages.png import png_encode
+    from sanskrit_ocr_ray.stages.tiff import tiff_encode
     from sanskrit_ocr_ray.util import md5_u64
 
     fx = _fixture_for(sf_dir)
 
     def recast(batch: pa.Table) -> pa.Table:
-        # a quarter of the pages (by md5(media_ref) mod 4 — deterministic)
-        # travel as REAL PNG payloads, a quarter as REAL JPEG — half of
+        # a fifth of the pages (by md5(media_ref) mod 5 — deterministic)
+        # travel as REAL PNG payloads, a fifth as REAL JPEG — half of
         # those progressive SOF2, half baseline SOF0 (lossy — fine: the
         # oracle checks 16 features + no errors, not feature values) —
-        # a quarter as REAL GIF87a (LZW, lossless for 8-bit gray) and the
-        # rest stay raw8. All of them decode through the same pure-Python
-        # codecs the FeatureExtractor uses.
+        # a fifth as REAL GIF87a (LZW, lossless for 8-bit gray), a fifth
+        # as REAL baseline TIFF (half PackBits, half uncompressed;
+        # lossless) and the rest stay raw8. All of them decode through
+        # the same pure-Python codecs the FeatureExtractor uses.
         n = batch.num_rows
         refs = batch["media_ref"].to_pylist()
         widths = batch["width"].to_pylist()
@@ -183,7 +185,7 @@ def _multimodal_features(sf_dir: str):
         pixels = batch["pixels"].to_pylist()
         types, payloads = [], []
         for r, w, h, p in zip(refs, widths, heights, pixels):
-            sel = md5_u64(r) % 4
+            sel = md5_u64(r) % 5
             if sel == 0:
                 img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
                 types.append("image/png")
@@ -197,6 +199,11 @@ def _multimodal_features(sf_dir: str):
                 img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
                 types.append("image/gif")
                 payloads.append(gif_encode(img))
+            elif sel == 3:
+                img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
+                types.append("image/tiff")
+                comp = "packbits" if (md5_u64(r) // 3) % 2 == 0 else "none"
+                payloads.append(tiff_encode(img, compression=comp))
             else:
                 types.append("image/raw8")
                 payloads.append(p)

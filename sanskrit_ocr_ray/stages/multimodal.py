@@ -29,6 +29,7 @@ from .avi import avi_decode, avi_encode
 from .gif import gif_decode
 from .jpeg import jpeg_decode
 from .png import png_decode
+from .tiff import tiff_decode
 from .wav import wav_decode, wav_encode, wav_encode_adpcm_codes
 
 #: media payload table with codec metadata
@@ -59,6 +60,8 @@ def decode_payload(media_type: str, payload: bytes, width: int, height: int) -> 
         return jpeg_decode(payload)
     if media_type == "image/gif":
         return gif_decode(payload)
+    if media_type == "image/tiff":
+        return tiff_decode(payload)
     if media_type == "audio/wav":
         samples, _rate, _ch = wav_decode(payload)
         return samples.reshape(-1)  # interleave channels for feature kernels
