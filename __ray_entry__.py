@@ -378,6 +378,30 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _typo_pairs(sf_dir: str):
+    """Edit-distance-1 token pairs via FastSS deletion-neighborhood
+    blocking, over the corpus vocabulary augmented with its 1-char-
+    dropped tails (guarantees a non-trivial distance-1 structure)."""
+    import pyarrow as _pa
+
+    from sanskrit_ocr_ray.stages.dedup import typo_token_pairs
+
+    def vocab(batch: _pa.Table) -> _pa.Table:
+        toks = set()
+        for t in batch["text"].to_pylist():
+            for w in (t or "").split(" "):
+                if w:
+                    toks.add(w)
+                    if len(w) >= 3:
+                        toks.add(w[1:])
+        return _pa.table({"token": _pa.array(sorted(toks), _pa.string())})
+
+    ds = _tbl(sf_dir, "documents", ["text"]).map_batches(
+        vocab, batch_format="pyarrow"
+    )
+    return typo_token_pairs(ds, column="token")
+
+
 def _embedding_moments(sf_dir: str):
     """Per-dimension quantized-integer moments of the embedding column
     (whitening prereq) — mergeable per-batch partials, exact sums."""
@@ -1682,6 +1706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _basket_pairs,
         "status_history": _status_history,
         "embedding_moments": _embedding_moments,
+        "typo_pairs": _typo_pairs,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -2991,6 +3016,19 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # typo_pairs: FastSS blocking + exact verify computes exactly the
+    # distance-1 relation, which DuckDB states directly via levenshtein;
+    # the vocabulary is augmented with 1-char-dropped tails on both sides
+    oracles["typo_pairs"] = """
+WITH tok AS (
+  SELECT DISTINCT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), v AS (
+  SELECT t FROM tok UNION SELECT substr(t, 2) FROM tok WHERE length(t) >= 3
+)
+SELECT a.t AS t1, b.t AS t2
+FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) = 1
 """
     # audio_energy: three payload families — pcm16 / µ-law closed forms,
     # and IMA ADPCM (doc_id%8==6) whose STATEFUL predictor/step-index

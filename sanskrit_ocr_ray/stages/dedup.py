@@ -909,3 +909,95 @@ def fuzzy_dedup_survivors(
     return bucketed_aggregate(
         clusters, ["cluster_rep"], collapse, n_buckets=n_buckets, empty=empty
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance-1 token pairs (FastSS deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact edit-distance-==-1 predicate (two-pointer, O(len))."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    # a must equal b with exactly one char removed
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def typo_token_pairs(ds, *, column: str = "token", n_buckets: int = DEFAULT_BUCKETS):
+    """All token pairs at edit distance EXACTLY 1 — the typo/variant
+    mining primitive (query expansion, OCR-confusion harvesting, fuzzy
+    vocab folding) — via FastSS deletion-neighborhood blocking (Bocek et
+    al. 2007): two strings are within one edit iff they share a member of
+    {s} ∪ {s minus one char}, so each token is replicated to its len+1
+    deletion keys, candidates meet inside a key bucket, and an exact
+    two-pointer verify keeps true pairs only.
+
+    Scale shape: the shuffle ships (len+1) short key rows per DISTINCT
+    token — linear in vocabulary bytes, never quadratic; candidate
+    verification runs inside each deletion-key group (groups are small:
+    tokens sharing a deletion variant), and one final bucketed aggregate
+    dedupes pairs that met under several shared keys. Web-scale caveat
+    (documented, like the LSH hot-shingle cap): deletion keys of very
+    frequent SHORT tokens can run hot — cap group size upstream if the
+    vocabulary has a heavy 1–2 char head.
+    """
+    key_empty = typed_empty(t1=object, t2=object)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        toks = set(batch[column].to_pylist())
+        toks.discard(None)
+        out_k, out_t = [], []
+        for t in toks:
+            out_k.append(t)
+            out_t.append(t)
+            for i in range(len(t)):
+                out_k.append(t[:i] + t[i + 1 :])
+                out_t.append(t)
+        return pa.table(
+            {"k": pa.array(out_k, pa.string()), "t": pa.array(out_t, pa.string())}
+        )
+
+    def pairs_in_key(df: pd.DataFrame) -> pd.DataFrame:
+        out1, out2 = [], []
+        for _, g in df.groupby("k", sort=False):
+            ts = sorted(set(g["t"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    if _edit1(ts[i], ts[j]):
+                        out1.append(ts[i])
+                        out2.append(ts[j])
+        if not out1:
+            return key_empty.copy()
+        return pd.DataFrame({"t1": out1, "t2": out2})
+
+    cand = bucketed_aggregate(
+        ds.map_batches(keys, batch_format="pyarrow"),
+        ["k"],
+        pairs_in_key,
+        n_buckets=n_buckets,
+        empty=key_empty,
+        coalesce_first=False,
+    )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["t1", "t2"])
+        return d if len(d) else key_empty.copy()
+
+    return bucketed_aggregate(
+        cand,
+        ["t1", "t2"],
+        distinct,
+        n_buckets=n_buckets,
+        empty=key_empty,
+        coalesce_first=False,
+    )

@@ -196,3 +196,51 @@ def test_fuzzy_dedup_survivors_planted(docs_ds):
     got = dict(zip(out.doc_id, out.cluster_size))
     # {1,2,3} near-dup component → keeper 1 size 3; {4,5} → 4 size 2; 6 solo
     assert got == {1: 3, 4: 2, 6: 1}
+
+
+def test_typo_token_pairs_matches_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import _edit1, typo_token_pairs
+
+    rng = np.random.default_rng(41)
+    base = ["".join(rng.choice(list("abcd"), rng.integers(2, 7))) for _ in range(60)]
+    # guaranteed structure: substitutions, deletions, insertions, dupes
+    vocab = set(base)
+    for t in base[:20]:
+        vocab.add("x" + t)          # insertion at front
+        vocab.add(t[1:] or "a")     # deletion
+        vocab.add("z" + t[1:])      # substitution at front
+    vocab = sorted(vocab)
+
+    def brute(a, b):  # independent DP edit distance
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev, d[j] = d[j], cur
+        return d[lb]
+
+    want = sorted(
+        (a, b) for a, b in itertools.combinations(vocab, 2) if brute(a, b) == 1
+    )
+    # _edit1 agrees with the DP on every pair (including distance 0 and 2+)
+    for a, b in itertools.combinations(vocab[:30], 2):
+        assert _edit1(a, b) == (brute(a, b) == 1), (a, b)
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(
+            pa.table({"token": pa.array(vocab * 2, pa.string())})  # dupes
+        ).repartition(parts)
+        out = typo_token_pairs(ds, n_buckets=16).to_pandas()
+        got = sorted(zip(out["t1"], out["t2"]))
+        assert got == want, parts

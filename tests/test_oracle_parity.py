@@ -59,6 +59,7 @@ SUBSET = [
     "basket_pairs",
     "status_history",
     "embedding_moments",
+    "typo_pairs",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",
