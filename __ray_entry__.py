@@ -3063,8 +3063,11 @@ ad(doc_id, i, pred, idx) AS (
     ) q JOIN st ON st.si = q.idx
   )
 ), c AS (
-  -- docs with doc_id%8==2 carry G.711 mu-law codes; u = ~code & 0xFF
-  SELECT doc_id, i, 255 - ((doc_id * 31 + i * 7) % 256) AS u
+  -- µ-law codes for doc_id%8==2 (u = ~code & 0xFF) and A-law codes for
+  -- doc_id%8==4 (ua = code XOR 0x55)
+  SELECT doc_id, i,
+         255 - ((doc_id * 31 + i * 7) % 256) AS u,
+         xor((doc_id * 17 + i * 11) % 256, 85) AS ua
   FROM documents, unnest(range(2048)) AS r(i)
   WHERE doc_id % 8 <> 6
 ), base AS (
@@ -3074,6 +3077,14 @@ ad(doc_id, i, pred, idx) AS (
            CASE WHEN (u & 128) <> 0
                 THEN 132 - ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7)))
                 ELSE ((((u & 15) << 3) + 132) * (1 << ((u >> 4) & 7))) - 132
+           END
+         WHEN doc_id % 8 = 4 THEN
+           -- Sun g711 alaw2linear: seg = (ua>>4)&7, t = ((ua&15)<<4)
+           CASE WHEN (ua & 128) <> 0 THEN 1 ELSE -1 END *
+           CASE WHEN ((ua >> 4) & 7) >= 2
+                THEN (((ua & 15) << 4) + 264) * (1 << (((ua >> 4) & 7) - 1))
+                ELSE ((ua & 15) << 4)
+                     + CASE WHEN ((ua >> 4) & 7) = 0 THEN 8 ELSE 264 END
            END
          ELSE ((doc_id * 31 + i * 7) % 4096) - 2048 END AS x
   FROM c

@@ -239,24 +239,29 @@ def synth_pcm16_batch(
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     i = np.arange(n_samples, dtype=np.int64)
     s = (((ids[:, None] * 31 + i[None, :] * 7) % 4096) - 2048).astype("<i2")
-    # even doc_ids ship inside a REAL RIFF/WAVE container — doc_id%4==0
-    # as lossless PCM16, doc_id%8==2 as G.711 µ-law whose data chunk IS
-    # the deterministic code stream c(i) = (doc_id*31 + i*7) % 256 (the
-    # decoded samples are then the exact integer ulaw2linear recurrence,
-    # which the DuckDB oracle replays in SQL — no float, no loss), and
-    # doc_id%8==6 as IMA ADPCM whose single block carries header state
-    # (pred₀ = sample(0), idx₀ = doc_id%89) plus the deterministic nibble
-    # stream c(i) = (doc_id*13 + i*5) % 16 for i=1..n−1 — the STATEFUL
-    # predictive recurrence the oracle replays with a recursive CTE; odd
-    # ones stay raw s16le. Deterministic per doc, parallelism-invariant.
+    # even doc_ids ship inside a REAL RIFF/WAVE container — doc_id%8==0
+    # as lossless PCM16; doc_id%8==2 as G.711 µ-law and doc_id%8==4 as
+    # G.711 A-law, whose data chunks ARE deterministic code streams
+    # (µ: c(i) = (doc_id*31 + i*7) % 256, A: c(i) = (doc_id*17 + i*11)
+    # % 256) so the decoded samples are the exact integer
+    # ulaw2linear/alaw2linear recurrences the DuckDB oracle replays in
+    # SQL — no float, no loss; doc_id%8==6 as IMA ADPCM whose single
+    # block carries header state (pred₀ = sample(0), idx₀ = doc_id%89)
+    # plus the deterministic nibble stream c(i) = (doc_id*13 + i*5) % 16
+    # for i=1..n−1 — the STATEFUL predictive recurrence the oracle
+    # replays with a recursive CTE; odd ones stay raw s16le.
+    # Deterministic per doc, parallelism-invariant.
     types = ["audio/wav" if d % 2 == 0 else "audio/pcm16" for d in ids]
     mu = ((ids[:, None] * 31 + i[None, :] * 7) % 256).astype(np.uint8)
+    al = ((ids[:, None] * 17 + i[None, :] * 11) % 256).astype(np.uint8)
     nib = ((ids[:, None] * 13 + i[None, :] * 5) % 16).astype(np.uint8)
 
     def _wav_payload(j: int) -> bytes:
         d = int(ids[j])
         if d % 8 == 2:
             return wav_encode(mu[j], 16000, codec="ulaw")
+        if d % 8 == 4:
+            return wav_encode(al[j], 16000, codec="alaw")
         if d % 8 == 6:
             return wav_encode_adpcm_codes(
                 nib[j, 1:], int(s[j, 0]), d % 89, 16000,

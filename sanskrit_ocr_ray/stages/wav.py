@@ -43,6 +43,43 @@ _ULAW_ORDER = np.lexsort((-np.arange(256), ULAW_LUT)).astype(np.uint8)
 _ULAW_SORTED = ULAW_LUT[_ULAW_ORDER].astype(np.int64)
 
 
+def _build_alaw_lut() -> np.ndarray:
+    """code → int16 per the public-domain Sun g711.c ``alaw2linear``:
+    u = code ^ 0x55; t = (u & 15) << 4; seg = (u >> 4) & 7;
+    t += 8 if seg == 0 else 0x108; t <<= seg−1 for seg ≥ 2;
+    sample = t if (u & 0x80) else −t.  Range ±5504·... (±32256/8 steps)."""
+    u = np.arange(256, dtype=np.int64) ^ 0x55
+    t = (u & 0x0F) << 4
+    seg = (u >> 4) & 0x07
+    t = np.where(seg == 0, t + 8, t + 0x108)
+    t = np.where(seg >= 2, t << np.maximum(seg - 1, 0), t)
+    return np.where(u & 0x80, t, -t).astype(np.int16)
+
+
+ALAW_LUT = _build_alaw_lut()
+# nearest-lattice encode order; exact-distance ties break toward the
+# LARGER code (deterministic, mirrors the µ-law convention)
+_ALAW_ORDER = np.lexsort((-np.arange(256), ALAW_LUT)).astype(np.uint8)
+_ALAW_SORTED = ALAW_LUT[_ALAW_ORDER].astype(np.int64)
+
+
+def alaw_decode(codes) -> np.ndarray:
+    """A-law bytes → int16 samples (vectorized LUT)."""
+    return ALAW_LUT[np.asarray(codes).astype(np.uint8)]
+
+
+def alaw_encode(samples) -> np.ndarray:
+    """int16 samples → A-law bytes by nearest-lattice quantization."""
+    x = np.asarray(samples, dtype=np.int64)
+    ip = np.searchsorted(_ALAW_SORTED, x)
+    lo = np.clip(ip - 1, 0, 255)
+    hi = np.clip(ip, 0, 255)
+    d_lo = np.abs(x - _ALAW_SORTED[lo])
+    d_hi = np.abs(x - _ALAW_SORTED[hi])
+    pick_hi = (d_hi < d_lo) | ((d_hi == d_lo) & (_ALAW_ORDER[hi] > _ALAW_ORDER[lo]))
+    return np.where(pick_hi, _ALAW_ORDER[hi], _ALAW_ORDER[lo]).astype(np.uint8)
+
+
 def ulaw_decode(codes) -> np.ndarray:
     """µ-law bytes → int16 samples (vectorized LUT)."""
     return ULAW_LUT[np.asarray(codes).astype(np.uint8)]
@@ -269,18 +306,19 @@ def wav_encode(
     tag 7 — a uint8 array is written as raw µ-law codes (lossless
     carry, what the synth pipeline ships); any other dtype is companded
     through :func:`ulaw_encode` first (lossy quantization)."""
-    if codec == "ulaw":
+    if codec in ("ulaw", "alaw"):
         arr = np.asarray(samples)
         if arr.ndim == 2:
             channels = arr.shape[1]
             arr = arr.reshape(-1)
         elif arr.ndim != 1:
             raise ValueError("samples must be 1-D interleaved or (n, channels)")
-        codes = arr.astype(np.uint8) if arr.dtype == np.uint8 else ulaw_encode(arr)
+        enc = ulaw_encode if codec == "ulaw" else alaw_encode
+        codes = arr.astype(np.uint8) if arr.dtype == np.uint8 else enc(arr)
         data = codes.tobytes()
         block_align = channels
         fmt = struct.pack(
-            "<HHIIHH", 7, channels, sample_rate,
+            "<HHIIHH", 7 if codec == "ulaw" else 6, channels, sample_rate,
             sample_rate * block_align, block_align, 8,
         )
         body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -355,9 +393,9 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, int]:
             raise ValueError("ADPCM fmt lacks samples_per_block extension")
         (spb,) = struct.unpack_from("<H", fmt_extra, 2)
         return _adpcm_wav_decode(pcm, block_align, fact_n, spb), int(rate), 1
-    if audio_fmt == 7 and bits == 8:  # G.711 µ-law → int16
+    if audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / µ-law → int16
         codes = np.frombuffer(pcm[: len(pcm) - len(pcm) % channels], np.uint8)
-        samples = ulaw_decode(codes)
+        samples = ulaw_decode(codes) if audio_fmt == 7 else alaw_decode(codes)
     elif audio_fmt == 1 and bits == 16:
         samples = np.frombuffer(
             pcm[: len(pcm) - len(pcm) % (2 * channels)], dtype="<i2"

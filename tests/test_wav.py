@@ -125,7 +125,7 @@ def test_audio_energy_mixed_codecs_vs_numpy(ray_session):
     import ray.data as rd
 
     from sanskrit_ocr_ray.stages.multimodal import audio_energy, synth_pcm16_batch
-    from sanskrit_ocr_ray.stages.wav import ULAW_LUT, adpcm_decode_codes
+    from sanskrit_ocr_ray.stages.wav import ALAW_LUT, ULAW_LUT, adpcm_decode_codes
 
     ids = np.arange(16, dtype=np.int64)  # covers %8 in {0..7}
     ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
@@ -140,6 +140,8 @@ def test_audio_energy_mixed_codecs_vs_numpy(ray_session):
     for d in ids:
         if d % 8 == 2:
             x = ULAW_LUT[((d * 31 + i * 7) % 256).astype(np.uint8)].astype(np.int64)
+        elif d % 8 == 4:
+            x = ALAW_LUT[((d * 17 + i * 11) % 256).astype(np.uint8)].astype(np.int64)
         elif d % 8 == 6:
             nib = ((d * 13 + i[1:] * 5) % 16).astype(np.uint8)
             x = adpcm_decode_codes(
@@ -274,3 +276,43 @@ def test_adpcm_malformed_raises():
     blob[data_at + 2] = 200
     with pytest.raises(ValueError):
         wav_decode(bytes(blob))
+
+
+# --------------------------------------------------------------------------
+# G.711 A-law (format tag 6)
+# --------------------------------------------------------------------------
+
+
+def test_alaw_lut_canonical_points():
+    from sanskrit_ocr_ray.stages.wav import ALAW_LUT
+
+    def scalar(code):  # Sun g711.c alaw2linear, independent scalar form
+        u = code ^ 0x55
+        t = (u & 0x0F) << 4
+        seg = (u >> 4) & 0x07
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (u & 0x80) else -t
+
+    assert ALAW_LUT.tolist() == [scalar(c) for c in range(256)]
+    assert ALAW_LUT.max() == 32256 and ALAW_LUT.min() == -32256
+
+
+def test_alaw_encode_decode_identity_on_lattice():
+    from sanskrit_ocr_ray.stages.wav import ALAW_LUT, alaw_decode, alaw_encode
+
+    codes = alaw_encode(ALAW_LUT.astype(np.int64))
+    assert alaw_decode(codes).tolist() == ALAW_LUT.tolist()
+
+
+def test_wav_alaw_container_roundtrip():
+    from sanskrit_ocr_ray.stages.wav import ALAW_LUT, wav_decode, wav_encode
+
+    codes = np.arange(256, dtype=np.uint8)
+    samples, rate, ch = wav_decode(wav_encode(codes, 8000, codec="alaw"))
+    assert (rate, ch) == (8000, 1)
+    assert samples.tolist() == ALAW_LUT.tolist()
