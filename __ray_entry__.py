@@ -160,6 +160,7 @@ def _multimodal_features(sf_dir: str):
 
     # imported HERE (driver side) so `recast` closes over the symbols —
     # workers can't re-import the package by name (it ships by value)
+    from sanskrit_ocr_ray.stages.bmp import bmp_encode
     from sanskrit_ocr_ray.stages.gif import gif_encode
     from sanskrit_ocr_ray.stages.jpeg import jpeg_encode
     from sanskrit_ocr_ray.stages.multimodal import FeatureExtractor
@@ -170,14 +171,15 @@ def _multimodal_features(sf_dir: str):
     fx = _fixture_for(sf_dir)
 
     def recast(batch: pa.Table) -> pa.Table:
-        # a fifth of the pages (by md5(media_ref) mod 5 — deterministic)
-        # travel as REAL PNG payloads, a fifth as REAL JPEG — half of
+        # a sixth of the pages (by md5(media_ref) mod 6 — deterministic)
+        # travel as REAL PNG payloads, a sixth as REAL JPEG — half of
         # those progressive SOF2, half baseline SOF0 (lossy — fine: the
         # oracle checks 16 features + no errors, not feature values) —
-        # a fifth as REAL GIF87a (LZW, lossless for 8-bit gray), a fifth
+        # a sixth as REAL GIF87a (LZW, lossless for 8-bit gray), a sixth
         # as REAL baseline TIFF (half PackBits, half uncompressed;
-        # lossless) and the rest stay raw8. All of them decode through
-        # the same pure-Python codecs the FeatureExtractor uses.
+        # lossless), a sixth as REAL BMP (palettized BI_RGB, lossless)
+        # and the rest stay raw8. All of them decode through the same
+        # pure-Python codecs the FeatureExtractor uses.
         n = batch.num_rows
         refs = batch["media_ref"].to_pylist()
         widths = batch["width"].to_pylist()
@@ -185,7 +187,7 @@ def _multimodal_features(sf_dir: str):
         pixels = batch["pixels"].to_pylist()
         types, payloads = [], []
         for r, w, h, p in zip(refs, widths, heights, pixels):
-            sel = md5_u64(r) % 5
+            sel = md5_u64(r) % 6
             if sel == 0:
                 img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
                 types.append("image/png")
@@ -204,6 +206,10 @@ def _multimodal_features(sf_dir: str):
                 types.append("image/tiff")
                 comp = "packbits" if (md5_u64(r) // 3) % 2 == 0 else "none"
                 payloads.append(tiff_encode(img, compression=comp))
+            elif sel == 4:
+                img = np.frombuffer(p, np.uint8, w * h).reshape(h, w)
+                types.append("image/bmp")
+                payloads.append(bmp_encode(img))
             else:
                 types.append("image/raw8")
                 payloads.append(p)

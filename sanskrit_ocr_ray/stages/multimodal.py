@@ -27,6 +27,7 @@ import pyarrow as pa
 # so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
 from .avi import avi_decode, avi_encode
 from .gif import gif_decode
+from .bmp import bmp_decode
 from .jpeg import jpeg_decode
 from .png import png_decode
 from .tiff import tiff_decode
@@ -62,6 +63,8 @@ def decode_payload(media_type: str, payload: bytes, width: int, height: int) -> 
         return gif_decode(payload)
     if media_type == "image/tiff":
         return tiff_decode(payload)
+    if media_type == "image/bmp":
+        return bmp_decode(payload)
     if media_type == "audio/wav":
         samples, _rate, _ch = wav_decode(payload)
         return samples.reshape(-1)  # interleave channels for feature kernels
