@@ -139,6 +139,11 @@ def run_bench() -> dict:
         "bm25_topk",
         "hll_registers",
         "kmv_jaccard",
+        "heavy_hitters",
+        "basket_pairs",
+        "status_history",
+        "embedding_moments",
+        "typo_pairs",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     for name in bench_queries if RUN_QUERIES else []:
