@@ -146,12 +146,14 @@ def run_bench() -> dict:
         "typo_pairs",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
+    print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
     for name in bench_queries if RUN_QUERIES else []:
         t0 = time.time()
         res = queries[name](SF_DIR)
         if hasattr(res, "count"):
             res.count()  # consume the Dataset (streaming; no driver materialize)
         q_secs[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name} {q_secs[name]:.1f}s", file=sys.stderr, flush=True)
 
     result = {
         "metric": "extract_wall_sec",

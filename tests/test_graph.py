@@ -39,9 +39,14 @@ def test_pagerank_matches_reference(ray_session, n_buckets):
             }
         )
     )
-    got = pagerank(ds, iters=5, n_buckets=n_buckets).to_pandas()
-    ref = _ref_pagerank(edges)
-    assert dict(zip(got["node"], got["pr"])) == ref
+    # both the small-graph single-task path (default threshold) and the
+    # distributed iteration loop (small_edges=0) must be bit-identical
+    for thresh in (2_000_000, 0):
+        got = pagerank(
+            ds, iters=5, n_buckets=n_buckets, small_edges=thresh
+        ).to_pandas()
+        ref = _ref_pagerank(edges)
+        assert dict(zip(got["node"], got["pr"])) == ref, thresh
 
 
 def test_pagerank_dangling_mass_drops(ray_session):
@@ -194,10 +199,13 @@ def test_triangle_counts_random_graph(ray_session, n_buckets):
 
     rng = np.random.default_rng(7)
     pairs = [tuple(rng.integers(0, 25, 2)) for _ in range(300)]
-    got = triangle_counts(_edges_ds(rd, pairs), n_buckets=n_buckets).to_pandas()
     want = _ref_triangles(pairs)
-    assert dict(zip(got["node"], got["triangles"])) == want
-    assert got["triangles"].dtype == np.int64
+    for thresh in (2_000_000, 0):  # single-task fast path AND distributed
+        got = triangle_counts(
+            _edges_ds(rd, pairs), n_buckets=n_buckets, small_edges=thresh
+        ).to_pandas()
+        assert dict(zip(got["node"], got["triangles"])) == want, thresh
+        assert got["triangles"].dtype == np.int64
 
 
 def test_triangle_counts_hub_graph(ray_session):
