@@ -81,13 +81,20 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
             )
         # read_lance has no pyarrow-expression pushdown
         return _filtered(rd.read_lance(path, columns=columns))
-    if path.endswith((".jsonl", ".json")):
-        ds = rd.read_json(path)
+    # gzip-compressed ingestion edges decompress in the read task via the
+    # Arrow stream layer (arrow_open_stream_args) — no driver-side gunzip
+    gz_args = {"compression": "gzip"} if path.endswith(".gz") else None
+    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz")):
+        ds = (
+            rd.read_json(path, arrow_open_stream_args=gz_args)
+            if gz_args
+            else rd.read_json(path)
+        )
         if columns is not None:
             ds = ds.select_columns(columns)  # right after parse — no
             # storage-side projection exists for line-delimited JSON
         return _filtered(ds)
-    if path.endswith(".csv"):
+    if path.endswith((".csv", ".csv.gz")):
         from pyarrow import csv as pacsv
 
         convert = (
@@ -95,5 +102,6 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
             if columns is not None
             else None
         )
-        return _filtered(rd.read_csv(path, convert_options=convert))
+        kw = {"arrow_open_stream_args": gz_args} if gz_args else {}
+        return _filtered(rd.read_csv(path, convert_options=convert, **kw))
     return rd.read_parquet(path, columns=columns, filter=row_filter)

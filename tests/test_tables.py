@@ -101,3 +101,47 @@ def test_read_table_jsonl_csv_parity(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert got.equals(want), path
+
+
+def test_read_table_gzip_ingestion_parity(ray_session, tmp_path):
+    """.jsonl.gz / .csv.gz decompress inside the read task (Arrow stream
+    layer) and return the same rows as the uncompressed arms."""
+    import gzip
+
+    import duckdb
+    import pyarrow.dataset as pds
+
+    from sanskrit_ocr_ray.sources.tables import read_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    jsonl = tmp_path / "docs.jsonl"
+    csvf = tmp_path / "docs.csv"
+    con = duckdb.connect()
+    sel = f"SELECT doc_id, lang, len(text) AS n_chars FROM read_parquet('{src}')"
+    con.sql(f"COPY ({sel}) TO '{jsonl}' (FORMAT JSON)")
+    con.sql(f"COPY ({sel}) TO '{csvf}' (FORMAT CSV, HEADER)")
+    for plain, gz_name in ((jsonl, "docs.jsonl.gz"), (csvf, "docs.csv.gz")):
+        with open(plain, "rb") as f:
+            blob = gzip.compress(f.read())
+        (tmp_path / gz_name).write_bytes(blob)
+
+    cols = ["doc_id", "n_chars"]
+    expr = ~pds.field("lang").isin(["sa"])
+    want = (
+        read_table(src, columns=cols, row_filter=expr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for name in ("docs.jsonl.gz", "docs.csv.gz"):
+        got = read_table(
+            str(tmp_path / name), columns=cols + ["lang"], row_filter=expr
+        ).to_pandas()
+        assert not (got["lang"] == "sa").any()
+        got = (
+            got[cols]
+            .astype(want.dtypes)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), name
