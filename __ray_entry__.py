@@ -384,6 +384,17 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _embedding_outliers(sf_dir: str):
+    """Integer-exact centroid-distance outlier flags (3-sigma rule on
+    n-scaled squared distances): moments broadcast once, flag pass is a
+    shuffle-free map."""
+    from sanskrit_ocr_ray.stages.profile import embedding_outliers
+
+    return embedding_outliers(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), q=100, k2=9
+    )
+
+
 def _typo_pairs(sf_dir: str):
     """Edit-distance-1 token pairs via FastSS deletion-neighborhood
     blocking, over the corpus vocabulary augmented with its 1-char-
@@ -1713,6 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_history": _status_history,
         "embedding_moments": _embedding_moments,
         "typo_pairs": _typo_pairs,
+        "embedding_outliers": _embedding_outliers,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3022,6 +3034,37 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # embedding_outliers: both sides evaluate the pure integer predicate
+    # D(v) > 9·T on floor(float64(x)·100) quantized elements (HUGEINT
+    # intermediates in SQL; the Ray side stays inside the documented
+    # int64 envelope)
+    oracles["embedding_outliers"] = """
+WITH e AS (
+  SELECT vec_id, embedding[i] AS x, i
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), qv AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+         CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT) AS xq
+  FROM e
+), m AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, SUM(xq) AS s, SUM(xq * xq) AS ss
+  FROM qv GROUP BY dim
+), tt AS (
+  SELECT CAST(SUM(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s) AS HUGEINT) AS t,
+         MAX(n) AS n
+  FROM m
+), d AS (
+  SELECT qv.vec_id,
+         CAST(SUM((CAST(tt.n AS HUGEINT) * qv.xq - m.s)
+                  * (CAST(tt.n AS HUGEINT) * qv.xq - m.s)) AS HUGEINT) AS d2n
+  FROM qv JOIN m USING (dim) CROSS JOIN tt
+  GROUP BY qv.vec_id
+)
+SELECT d.vec_id, CAST(d.d2n AS BIGINT) AS d2n,
+       CAST(CASE WHEN d.d2n > 9 * tt.t THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM d CROSS JOIN tt
 """
     # typo_pairs: FastSS blocking + exact verify computes exactly the
     # distance-1 relation, which DuckDB states directly via levenshtein;

@@ -169,3 +169,62 @@ def embedding_moments(ds, *, column: str = "embedding", q: int = 1000):
             Sum("sumsq_q", alias_name="sumsq_q"),
         )
     )
+
+
+def embedding_outliers(
+    ds, *, id_col: str = "vec_id", column: str = "embedding",
+    q: int = 100, k2: int = 9,
+):
+    """Centroid-distance outlier flags for an embedding column — the QC
+    gate run before clustering/dedup trusts the vectors: a row is an
+    outlier when its squared distance to the corpus centroid exceeds
+    ``k2`` × the mean squared distance (k = 3 sigma for ``k2 = 9``).
+
+    Integer-exact formulation (floats would make the flag depend on
+    summation order): with ``xq = floor(x·q)`` per element, per-dim sums
+    ``S_d`` and a row count ``n``,
+
+      D(v) = Σ_d (n·xq_d(v) − S_d)²        (n²·squared distance)
+      T    = Σ_d (n·SS_d − S_d²)           (= Σ_v D(v) / n — the MEAN D)
+
+    and the flag is the pure integer predicate ``D(v) > k2·T``
+    (Σ_v D(v) = n·T, so T is exactly the mean of D over rows).
+    Envelope: |x| ≤ 30, q = 100, dims ≤ 256 keep every term within
+    int64 up to ~10⁴ rows per corpus — beyond that, raise to Python-int
+    folds or drop q (documented, same convention as
+    ``hashed_text_dup_pairs``'s enforced overflow guard).
+
+    Scale shape: pass 1 is :func:`embedding_moments` (mergeable per-dim
+    partials, dims×#batches rows); the driver folds dims rows and
+    broadcasts (S, n, T) via ``ray.put``; pass 2 is a shuffle-free
+    ``map_batches`` emitting ``(vec_id, d2n, is_outlier)``.
+    """
+    import ray
+
+    mom = embedding_moments(ds, column=column, q=q).to_pandas()  # dims rows
+    mom = mom.sort_values("dim")
+    n = int(mom["n"].iloc[0]) if len(mom) else 0
+    S = mom["sum_q"].to_numpy(np.int64)
+    SS = mom["sumsq_q"].to_numpy(np.int64)
+    T = int((n * SS - S * S).sum())
+    state = ray.put((n, S, T))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n_, S_, T_ = ray.get(state)
+        arr = batch[column]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
+        xq = np.floor(mat * q).astype(np.int64)
+        diff = n_ * xq - S_[None, :]
+        d2n = (diff * diff).sum(axis=1, dtype=np.int64)
+        out = d2n > k2 * T_
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "d2n": pa.array(d2n),
+                "is_outlier": pa.array(out.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

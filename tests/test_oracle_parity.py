@@ -60,6 +60,7 @@ SUBSET = [
     "status_history",
     "embedding_moments",
     "typo_pairs",
+    "embedding_outliers",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

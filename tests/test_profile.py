@@ -63,3 +63,35 @@ def test_embedding_moments_exact_and_partition_invariant(ray_session):
         assert out["n"].tolist() == [130] * 8
         assert out["sum_q"].tolist() == xq.sum(axis=0).tolist()
         assert out["sumsq_q"].tolist() == (xq * xq).sum(axis=0).tolist()
+
+
+def test_embedding_outliers_flags_injected_outlier(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.profile import embedding_outliers
+
+    rng = np.random.default_rng(61)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    vecs[7] = 40.0  # far from the centroid in every dimension
+    df = pd.DataFrame(
+        {"vec_id": np.arange(200, dtype=np.int64),
+         "embedding": [v.tolist() for v in vecs]}
+    )
+    for parts in (1, 6):
+        out = (
+            embedding_outliers(
+                rd.from_pandas(df).repartition(parts), q=100, k2=9
+            )
+            .to_pandas()
+            .set_index("vec_id")
+            .sort_index()
+        )
+        assert out.loc[7, "is_outlier"] == 1
+        assert out["is_outlier"].sum() == 1, parts
+        # exact integer model: D(v) = sum_d (n*xq - S)^2
+        xq = np.floor(vecs.astype(np.float64) * 100).astype(np.int64)
+        S = xq.sum(axis=0)
+        D = ((200 * xq - S[None, :]) ** 2).sum(axis=1)
+        assert out["d2n"].to_numpy().tolist() == D.tolist()
