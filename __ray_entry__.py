@@ -384,6 +384,26 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _compact_docs(sf_dir: str):
+    """Storage-lifecycle OPTIMIZE: rewrite the fixture's partitioned
+    docs table into ceil(n/16)-file partitions; the returned stats are
+    computed by RE-READING the written files, so the oracle (the same
+    aggregates over the original table) proves a durable lossless
+    rewrite."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.pipelines.compact import compact_table
+
+    fx = _fixture_for(sf_dir)
+    return compact_table(
+        rd.read_parquet(f"{fx}/docs.parquet"),
+        f"{fx}-compacted",
+        part_col="part",
+        target_rows=16,
+        key_col="doc_id",
+    )
+
+
 def _embedding_outliers(sf_dir: str):
     """Integer-exact centroid-distance outlier flags (3-sigma rule on
     n-scaled squared distances): moments broadcast once, flag pass is a
@@ -1725,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_moments": _embedding_moments,
         "typo_pairs": _typo_pairs,
         "embedding_outliers": _embedding_outliers,
+        "compact_docs": _compact_docs,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -1892,6 +1913,17 @@ GROUP BY s.kind
         "multimodal_features": f"""
 SELECT media_ref, CAST(16 AS BIGINT) AS n_features, CAST(0 AS BIGINT) AS had_error
 FROM read_parquet('{fx}/media.parquet')
+""",
+        # compact_docs: the stats are computed from the REWRITTEN files;
+        # the oracle recomputes them from the ORIGINAL table — equality
+        # proves the rewrite preserved the row multiset (order-free sum
+        # checksum) and hit the deterministic ceil(n/16) file layout
+        "compact_docs": f"""
+SELECT CAST(part AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST((COUNT(*) + 15) // 16 AS BIGINT) AS n_files,
+       CAST(SUM(('0x' || substr(md5(doc_id), 1, 16))::UBIGINT % 1000000000)
+            AS BIGINT) AS checksum
+FROM read_parquet('{fx}/docs.parquet') GROUP BY part
 """,
         # Karp-Rabin rolling hash over code points: HUGEINT fold, exact
         "kr_fingerprint": """

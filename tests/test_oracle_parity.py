@@ -87,7 +87,7 @@ SUBSET = [
     "revenue_by_region",
     "orders_by_month",
 ]
-# NOT here: extract_e2e / multimodal_features / span_kind_stats oracles read the sf0.01
+# NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
 # minhash_lsh_clusters / knn_ivf take tens of seconds — all five are
 # exercised by the driver gate and tools/check_driver.py instead.
