@@ -384,6 +384,16 @@ def _hll_registers(sf_dir: str):
     return hll_registers(_tbl(sf_dir, "documents", ["text"]), p=6, ngram=3)
 
 
+def _bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING (4 merge steps): per-step pair-census
+    shuffle + distributed sort/limit(1) argmax; greedy merge semantics
+    pinned to SQL replace on the 2-space representation so the unrolled
+    CTE oracle replays the loop exactly."""
+    from sanskrit_ocr_ray.stages.corpus import bpe_merges
+
+    return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
+
+
 def _compact_docs(sf_dir: str):
     """Storage-lifecycle OPTIMIZE: rewrite the fixture's partitioned
     docs table into ceil(n/16)-file partitions; the returned stats are
@@ -1746,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": _typo_pairs,
         "embedding_outliers": _embedding_outliers,
         "compact_docs": _compact_docs,
+        "bpe_merges": _bpe_merges,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3067,6 +3078,42 @@ WITH tok AS (
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
 """
+    # bpe_merges: n_merges unrolled stages — pair census, argmax with
+    # (cnt DESC, lhs, rhs) tie-break, replace-based rewrite whose
+    # semantics the Ray side reproduces exactly (2-space representation)
+    _bpe_parts = [
+        """bpe_s0 AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) = 0 THEN ' '
+              ELSE ' ' || array_to_string(ts, '  ') || ' ' END AS s
+  FROM (SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+        FROM documents)
+)"""
+    ]
+    for _i in range(1, 5):
+        _prev = f"bpe_s{_i - 1}"
+        _bpe_parts.append(f"""bpe_p{_i} AS (
+  SELECT ts[j] AS l, ts[j + 1] AS r, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT list_filter(str_split(s, ' '), x -> x <> '') AS ts FROM {_prev}),
+       unnest(range(1, len(ts))) AS rr(j)
+  GROUP BY 1, 2
+), bpe_m{_i} AS (
+  SELECT CAST({_i} AS BIGINT) AS step, l, r, cnt
+  FROM bpe_p{_i} ORDER BY cnt DESC, l, r LIMIT 1
+), bpe_s{_i} AS (
+  SELECT doc_id,
+         replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || '_' || r || ' ') AS s
+  FROM {_prev}, bpe_m{_i}
+)""")
+    oracles["bpe_merges"] = (
+        "WITH "
+        + ",\n".join(_bpe_parts)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT step, l AS lhs, r AS rhs, cnt FROM bpe_m{_i}"
+            for _i in range(1, 5)
+        )
+    )
     # embedding_outliers: both sides evaluate the pure integer predicate
     # D(v) > 9·T on floor(float64(x)·100) quantized elements (HUGEINT
     # intermediates in SQL; the Ray side stays inside the documented

@@ -673,3 +673,135 @@ def priority_sample(
         .sort(["sample_key", id_col])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer TRAINING, not just application)
+# ---------------------------------------------------------------------------
+
+
+def _apply_merge_batch(strs: list, left: str, right: str) -> list:
+    """Greedy left-to-right application of one BPE merge to 2-space-joined
+    token strings — vectorized over the batch's flattened token stream.
+
+    Semantics are pinned to SQL ``replace(s, ' L  R ', ' L_R ')`` on the
+    two-space representation: non-overlapping matches taken left to
+    right, which for runs of consecutive matches (only possible when
+    L == R) means alternate positions from the run head."""
+    seqs = [s.strip("\x20").split("  ") if s.strip() else [] for s in strs]
+    lens = np.array([len(t) for t in seqs], dtype=np.int64)
+    if not lens.sum():
+        return strs
+    flat = np.array([w for t in seqs for w in t], dtype=object)
+    n = len(flat)
+    if n < 2:
+        return strs
+    ends = np.cumsum(lens)
+    same_doc = np.ones(n - 1, dtype=bool)
+    # no pair across doc boundaries (empty docs collapse onto their
+    # neighbor's end — clamp to valid pair indices)
+    bnd = ends[:-1] - 1
+    same_doc[bnd[(bnd >= 0) & (bnd < n - 1)]] = False
+    m = same_doc & (flat[:-1] == left) & (flat[1:] == right)
+    idx = np.flatnonzero(m)
+    if idx.size:
+        # runs of consecutive match positions → keep alternate from head
+        new_run = np.empty(idx.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = np.diff(idx) > 1
+        run_id = np.cumsum(new_run) - 1
+        run_head = idx[new_run][run_id]
+        sel = idx[((idx - run_head) % 2) == 0]
+        flat[sel] = left + "_" + right
+        drop = np.zeros(n, dtype=bool)
+        drop[sel + 1] = True
+        doc_of = np.searchsorted(ends, sel, side="right")
+        lens = lens - np.bincount(doc_of, minlength=len(lens))
+        flat = flat[~drop]
+    out = []
+    pos = 0
+    for k in lens:
+        out.append(" " + "  ".join(flat[pos : pos + k]) + " " if k else " ")
+        pos += k
+    return out
+
+
+def bpe_merges(ds, *, column: str = "text", n_merges: int = 4):
+    """Learn ``n_merges`` BPE merges over whitespace tokens → DataFrame
+    ``(step, lhs, rhs, cnt)`` — the TRAINING loop of a byte-pair/
+    word-piece tokenizer (Sennrich et al. 2016), not its application
+    (:func:`encode_documents` covers that): each step counts adjacent
+    token pairs corpus-wide, takes the most frequent (ties broken
+    lexicographically), and rewrites every sequence with the merged
+    token ``left_right`` before the next census.
+
+    Exactness: sequences live as 2-space-joined strings and the merge
+    applies greedily left-to-right (``_apply_merge_batch``) — precisely
+    the semantics of SQL ``replace`` on that representation, so a DuckDB
+    oracle replays the whole loop with n_merges unrolled CTE stages,
+    value-for-value including tie-breaks.
+
+    Scale shape: per step, ONE pair-census shuffle (per-batch partial
+    counts → groupby sum — the pair vocabulary, the same bounded census
+    every BPE trainer maintains) and a distributed ``sort + limit(1)``
+    argmax — the driver holds one (left, right, cnt) row per step, never
+    a census; the rewrite pass is shuffle-free and the state Dataset is
+    re-materialized once per step (n_merges is small by construction —
+    real tokenizers train on a bounded sample, not the full corpus).
+    """
+    from ray.data.aggregate import Sum
+
+    def to_seq(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[column].to_pylist():
+            toks = [w for w in (t or "").split(" ") if w]
+            out.append(" " + "  ".join(toks) + " " if toks else " ")
+        return pa.table({"s": pa.array(out, pa.string())})
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        strs = batch["s"].to_pylist()
+        ls, rs = [], []
+        for s in strs:
+            toks = s.strip("\x20").split("  ") if s.strip() else []
+            ls.extend(toks[:-1])
+            rs.extend(toks[1:])
+        if not ls:
+            return pa.table(
+                {"l": pa.array([], pa.string()), "r": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        g = (
+            pd.DataFrame({"l": ls, "r": rs})
+            .groupby(["l", "r"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cur = ds.map_batches(to_seq, batch_format="pyarrow").materialize()
+    merges = []
+    for step in range(1, n_merges + 1):
+        census = (
+            cur.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        top = (
+            census.sort(["cnt", "l", "r"], descending=[True, False, False])
+            .limit(1)
+            .to_pandas()  # ONE row — the distributed argmax
+        )
+        if top.empty or int(top["cnt"].iloc[0]) < 1:
+            break
+        left, right, cnt = str(top["l"].iloc[0]), str(top["r"].iloc[0]), int(top["cnt"].iloc[0])
+        merges.append((step, left, right, cnt))
+
+        def apply(batch: pa.Table, _l=left, _r=right) -> pa.Table:
+            return pa.table(
+                {"s": pa.array(_apply_merge_batch(batch["s"].to_pylist(), _l, _r))}
+            )
+
+        cur = cur.map_batches(apply, batch_format="pyarrow").materialize()
+    return pd.DataFrame(
+        merges, columns=["step", "lhs", "rhs", "cnt"]
+    ).astype({"step": np.int64, "cnt": np.int64})

@@ -246,3 +246,66 @@ def test_priority_sample_matches_naive_and_favors_weight(ray_session):
     )[:20]
     assert list(zip(out.sample_key.tolist(), out.doc_id.tolist())) == keys
     assert 9999 in out.doc_id.tolist()
+
+
+def test_apply_merge_batch_greedy_runs():
+    from sanskrit_ocr_ray.stages.corpus import _apply_merge_batch
+
+    # L == R run: "x x x x x" merges alternate pairs from the head
+    out = _apply_merge_batch([" x  x  x  x  x "], "x", "x")
+    assert out == [" x_x  x_x  x "]
+    # adjacent distinct pairs all merge; boundaries stay two-space
+    out = _apply_merge_batch([" a  x  y  x  y  b ", " x  y "], "x", "y")
+    assert out == [" a  x_y  x_y  b ", " x_y "]
+    # no match / empty doc are no-ops
+    assert _apply_merge_batch([" a  b ", " "], "q", "z") == [" a  b ", " "]
+
+
+def test_bpe_merges_matches_scalar_trainer(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import bpe_merges
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ate the cat food",
+        "a cat and the cat sat",
+        "the the the the",
+    ]
+
+    def scalar_train(texts, k):
+        seqs = [t.split() for t in texts]
+        merges = []
+        for step in range(1, k + 1):
+            census = {}
+            for s in seqs:
+                for a, b in zip(s, s[1:]):
+                    census[(a, b)] = census.get((a, b), 0) + 1
+            if not census:
+                break
+            (l, r), c = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, l, r, c))
+            new_seqs = []
+            for s in seqs:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        out.append(l + "_" + r)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                new_seqs.append(out)
+            seqs = new_seqs
+        return merges
+
+    want = scalar_train(docs, 4)
+    for parts in (1, 3):
+        got = bpe_merges(
+            rd.from_pandas(pd.DataFrame({"text": docs})).repartition(parts),
+            n_merges=4,
+        )
+        assert list(map(tuple, got.to_numpy())) == [
+            (s, l, r, c) for (s, l, r, c) in want
+        ], parts

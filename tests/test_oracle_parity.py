@@ -61,6 +61,7 @@ SUBSET = [
     "embedding_moments",
     "typo_pairs",
     "embedding_outliers",
+    "bpe_merges",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",
