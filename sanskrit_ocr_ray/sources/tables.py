@@ -16,6 +16,14 @@ actually on disk:
   parse and the row filter runs per block);
 - ``*.csv`` → ``ray.data.read_csv`` with ``include_columns`` pushed into
   the Arrow CSV parser (columns never materialize), filter per block;
+- ``*.orc`` → a stripe-streaming :class:`OrcDatasource` (Ray ships no
+  ``read_orc``): each read task decodes its file stripe by stripe via
+  ``pyarrow.orc`` with ``columns`` pushed into the stripe read, so only
+  projected columns are decompressed and a block is one stripe, never a
+  whole file;
+- ``*.feather`` / ``*.arrow`` → a batch-streaming :class:`IpcDatasource`
+  over the Arrow IPC file format — zero parse cost (IPC **is** the
+  in-memory layout), projection right after each record batch;
 - otherwise → ``ray.data.read_parquet`` with column + row-group pushdown.
 
 All arms return the identical Ray Dataset schema for the same rows, so
@@ -30,6 +38,60 @@ as ingestion edges (their filters cannot skip storage).
 from __future__ import annotations
 
 import os
+
+
+def _make_orc_datasource(paths, columns):
+    """ORC datasource: one block per stripe, columns pushed into the
+    stripe decode (only projected streams are decompressed — ORC is
+    columnar inside each stripe, so this is a real storage-side
+    projection, unlike the JSONL/CSV ingestion arms)."""
+    from ray.data.datasource import FileBasedDatasource
+
+    class OrcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["orc"]
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # ORC footers/stripe indexes need random access, not a
+            # sequential stream (the FileBasedDatasource default)
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            from pyarrow import orc as paorc
+
+            import pyarrow as pa
+
+            of = paorc.ORCFile(f)
+            for i in range(of.nstripes):
+                # read_stripe returns a RecordBatch; Ray blocks are Tables
+                yield pa.Table.from_batches([of.read_stripe(i, columns=columns)])
+
+    return OrcDatasource(paths)
+
+
+def _make_ipc_datasource(paths, columns):
+    """Arrow IPC / Feather-v2 datasource: one block per record batch,
+    projection applied per batch (IPC is already the in-memory format,
+    so 'decode' is a buffer view; column selection after mmap-free
+    stream open costs nothing extra)."""
+    from ray.data.datasource import FileBasedDatasource
+
+    class IpcDatasource(FileBasedDatasource):
+        _FILE_EXTENSIONS = ["feather", "arrow"]
+
+        def _open_input_source(self, filesystem, path, **open_args):
+            # the IPC *file* format locates batches via the footer —
+            # random access, same as ORC
+            return filesystem.open_input_file(path)
+
+        def _read_stream(self, f, path: str):
+            import pyarrow as pa
+
+            reader = pa.ipc.open_file(f)
+            for i in range(reader.num_record_batches):
+                t = pa.Table.from_batches([reader.get_batch(i)])
+                yield t.select(columns) if columns is not None else t
+
+    return IpcDatasource(paths)
 
 
 def lance_available() -> bool:
@@ -94,6 +156,10 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
             ds = ds.select_columns(columns)  # right after parse — no
             # storage-side projection exists for line-delimited JSON
         return _filtered(ds)
+    if path.endswith(".orc"):
+        return _filtered(rd.read_datasource(_make_orc_datasource(path, columns)))
+    if path.endswith((".feather", ".arrow")):
+        return _filtered(rd.read_datasource(_make_ipc_datasource(path, columns)))
     if path.endswith((".csv", ".csv.gz")):
         from pyarrow import csv as pacsv
 

@@ -103,6 +103,53 @@ def test_read_table_jsonl_csv_parity(ray_session, tmp_path):
         assert got.equals(want), path
 
 
+def test_read_table_orc_feather_parity(ray_session, tmp_path):
+    """ORC (stripe-streamed, columns pushed into the stripe decode) and
+    Feather/Arrow-IPC (batch-streamed) arms return the same rows,
+    columns, and filter semantics as the Parquet pushdown path."""
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.feather as pafeather
+    import pyarrow.parquet as pq
+    from pyarrow import orc as paorc
+
+    from sanskrit_ocr_ray.sources.tables import read_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tbl = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
+    orcf = str(tmp_path / "docs.orc")
+    # small stripes so the stripe-per-block streaming path actually runs
+    paorc.write_table(tbl, orcf, stripe_size=16 * 1024)
+    fthr = str(tmp_path / "docs.feather")
+    pafeather.write_feather(
+        tbl.combine_chunks(), fthr, compression="zstd", chunksize=128
+    )
+    arrw = str(tmp_path / "docs.arrow")
+    with pa.ipc.new_file(arrw, tbl.schema) as w:
+        for b in tbl.to_batches(max_chunksize=128):
+            w.write_batch(b)
+
+    cols = ["doc_id", "n_chars"]
+    expr = ~pds.field("lang").isin(["sa"])  # filter col NOT in columns
+    want = (
+        read_table(src, columns=cols, row_filter=expr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    for path in (orcf, fthr, arrw):
+        got = read_table(path, columns=cols + ["lang"], row_filter=expr).to_pandas()
+        assert not (got["lang"] == "sa").any()
+        got = (
+            got[cols]
+            .astype(want.dtypes)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), path
+
+
 def test_read_table_gzip_ingestion_parity(ray_session, tmp_path):
     """.jsonl.gz / .csv.gz decompress inside the read task (Arrow stream
     layer) and return the same rows as the uncompressed arms."""
