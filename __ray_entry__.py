@@ -394,6 +394,63 @@ def _bpe_merges(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
 
 
+def _purchase_error_counts_full(sf_dir: str):
+    """FULL OUTER join: per-user counts of high-value 'purchase' vs
+    'error' events (value > 150, predicate pushed into the parquet
+    scan) — unmatched users on EITHER side survive with a zero on the
+    other side's count. Exercises hash_join(how='full'): both sides
+    co-partition by the same key hash, so a key's rows meet (or miss
+    each other) inside exactly one bucket; the outer merge runs per
+    bucket and null counts backfill to integer zero."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    from ray.data.aggregate import Sum
+
+    from sanskrit_ocr_ray.stages.relational import hash_join
+
+    def side(event_type: str, out: str):
+        ds = _tbl(
+            sf_dir,
+            "events",
+            ["user_id"],
+            row_filter=(pds.field("event_type") == event_type)
+            & (pds.field("value") > 150.0),
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(batch["user_id"].to_numpy(), return_counts=True)
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()), out: pa.array(c.astype(np.int64))}
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum(out, alias_name=out))
+        )
+
+    joined = hash_join(
+        side("purchase", "n_purchase"),
+        side("error", "n_error"),
+        "user_id",
+        how="full",
+        n_buckets=8,
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(batch["user_id"], pa.int64()),
+                "n_purchase": pc.fill_null(pc.cast(batch["n_purchase"], pa.int64()), 0),
+                "n_error": pc.fill_null(pc.cast(batch["n_error"], pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def _compact_docs(sf_dir: str):
     """Storage-lifecycle OPTIMIZE: rewrite the fixture's partitioned
     docs table into ceil(n/16)-file partitions; the returned stats are
@@ -1757,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _embedding_outliers,
         "compact_docs": _compact_docs,
         "bpe_merges": _bpe_merges,
+        "purchase_error_counts_full": _purchase_error_counts_full,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3105,6 +3163,21 @@ WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
          replace(s, ' ' || l || '  ' || r || ' ', ' ' || l || '_' || r || ' ') AS s
   FROM {_prev}, bpe_m{_i}
 )""")
+    # purchase_error_counts_full: FULL OUTER JOIN — unmatched users on
+    # either side survive; zero backfill mirrors the Ray fill_null
+    oracles["purchase_error_counts_full"] = """
+WITH p AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchase FROM events
+  WHERE event_type = 'purchase' AND value > 150 GROUP BY 1
+), e AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_error FROM events
+  WHERE event_type = 'error' AND value > 150 GROUP BY 1
+)
+SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+       COALESCE(p.n_purchase, 0) AS n_purchase,
+       COALESCE(e.n_error, 0) AS n_error
+FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+"""
     oracles["bpe_merges"] = (
         "WITH "
         + ",\n".join(_bpe_parts)

@@ -759,11 +759,15 @@ def hash_join(
 
     ``how``: 'inner' (default), 'left' (left-outer: unmatched left rows
     keep nulls in the right columns, which come back as NULLABLE arrow
-    ints — never silently floated), 'semi' (left rows WITH a right
+    ints — never silently floated), 'full' (full outer: unmatched rows
+    of EITHER side survive with nulls on the other side's columns —
+    correct under the bucket shuffle because both sides co-partition by
+    the same key hash, so a key's rows can only ever meet, or miss each
+    other, inside one bucket), 'semi' (left rows WITH a right
     match) or 'anti' (left rows WITHOUT one) — semi/anti return the left
     columns only and need just the right side's KEY column shipped
     through the shuffle."""
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"how={how!r}")
     keys = [key] if isinstance(key, str) else list(key)
     if native and how == "inner" and hasattr(type(left_ds), "join"):
@@ -839,6 +843,8 @@ def hash_join(
                 m = l[keys].merge(probe, on=keys, how="left", indicator=True)
                 hit = (m["_merge"].to_numpy() == "both")
             out = l[hit] if how == "semi" else l[~hit]
+        elif how == "full":
+            out = l.merge(r, on=keys, how="outer")
         else:
             out = l.merge(r, on=keys, how="left" if how == "left" else "inner")
         if not len(out):

@@ -62,6 +62,7 @@ SUBSET = [
     "typo_pairs",
     "embedding_outliers",
     "bpe_merges",
+    "purchase_error_counts_full",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

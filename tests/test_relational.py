@@ -256,6 +256,36 @@ def test_hash_join_left_outer(ray_session):
     assert out.lv.tolist() == [10, 10, 20, 30]
 
 
+def test_hash_join_full_outer(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hash_join
+
+    left = pd.DataFrame({"k": np.int64([1, 2, 3]), "lv": np.int64([10, 20, 30])})
+    right = pd.DataFrame({"k": np.int64([1, 1, 4]), "rv": np.int64([7, 8, 9])})
+    out = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", how="full",
+                  n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "rv"])
+        .reset_index(drop=True)
+    )
+    # pandas full outer on the same frames is the model
+    want = (
+        left.merge(right, on="k", how="outer")
+        .sort_values(["k", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want) == 5
+    assert out.k.tolist() == want.k.tolist() == [1, 1, 2, 3, 4]
+    # k=2 survives from the left with null rv; k=4 from the right with null lv
+    assert pd.isna(out.rv.iloc[2]) and pd.isna(out.lv.iloc[4])
+    # nulls stay nullable ints, never floats
+    assert out.lv.dtype.kind != "f" and out.rv.dtype.kind != "f"
+    assert out.lv.dropna().tolist() == [10, 10, 20, 30]
+    assert out.rv.dropna().tolist() == [7, 8, 9]
+
+
 def test_running_agg_cumsum_and_ties(ray_session):
     import ray.data as rd
 
