@@ -103,7 +103,13 @@ def lance_available() -> bool:
         return False
 
 
-def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
+def read_table(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    row_filter=None,
+    filter_columns: list[str] | None = None,
+):
     """Read an interleaved-docs (or media/any engine) table by path.
 
     ``path`` may point at a Lance dataset dir (``*.lance`` or containing
@@ -114,6 +120,16 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
     at 100 TB a post-read ``filter()`` on a partitioning-adjacent column
     (source, date, shard) wastes the whole scan; the filter column does
     NOT need to be in ``columns``.
+
+    On the NON-Parquet arms the filter runs per block after the read, so
+    a filter column outside ``columns`` forces the storage-side
+    projection to wait until after the filter (a full-width read —
+    pyarrow expressions expose no public field enumeration to widen the
+    projection automatically). Pass ``filter_columns`` — the columns the
+    expression references — to keep storage-side projection on those
+    arms: the read projects ``columns + filter_columns`` and the extras
+    drop right after the per-block filter. Parquet ignores the hint
+    (its scan pushes both natively).
     """
     import ray.data as rd
 
@@ -132,6 +148,21 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
 
         return ds.map_batches(_apply, batch_format="pyarrow")
 
+    # Projection plan for the non-Parquet arms: what to ask storage for
+    # (None = full width) and whether a post-filter select must trim.
+    if row_filter is None or columns is None:
+        read_cols: list[str] | None = columns
+        trim = False
+    elif filter_columns is not None:
+        read_cols = list(dict.fromkeys([*columns, *filter_columns]))
+        trim = read_cols != columns
+    else:  # filter refs unknown — stay correct, read full width
+        read_cols = None
+        trim = True
+
+    def _project(ds):
+        return ds.select_columns(columns) if trim else ds
+
     is_lance = path.endswith(".lance") or (
         os.path.isdir(path) and os.path.isdir(os.path.join(path, "_versions"))
     )
@@ -142,7 +173,7 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
                 "installed; install pylance or convert to Parquet"
             )
         # read_lance has no pyarrow-expression pushdown
-        return _filtered(rd.read_lance(path, columns=columns))
+        return _project(_filtered(rd.read_lance(path, columns=read_cols)))
     # gzip-compressed ingestion edges decompress in the read task via the
     # Arrow stream layer (arrow_open_stream_args) — no driver-side gunzip
     gz_args = {"compression": "gzip"} if path.endswith(".gz") else None
@@ -152,22 +183,26 @@ def read_table(path: str, *, columns: list[str] | None = None, row_filter=None):
             if gz_args
             else rd.read_json(path)
         )
-        if columns is not None:
-            ds = ds.select_columns(columns)  # right after parse — no
+        if read_cols is not None:
+            ds = ds.select_columns(read_cols)  # right after parse — no
             # storage-side projection exists for line-delimited JSON
-        return _filtered(ds)
+        return _project(_filtered(ds))
     if path.endswith(".orc"):
-        return _filtered(rd.read_datasource(_make_orc_datasource(path, columns)))
+        return _project(
+            _filtered(rd.read_datasource(_make_orc_datasource(path, read_cols)))
+        )
     if path.endswith((".feather", ".arrow")):
-        return _filtered(rd.read_datasource(_make_ipc_datasource(path, columns)))
+        return _project(
+            _filtered(rd.read_datasource(_make_ipc_datasource(path, read_cols)))
+        )
     if path.endswith((".csv", ".csv.gz")):
         from pyarrow import csv as pacsv
 
         convert = (
-            pacsv.ConvertOptions(include_columns=columns)
-            if columns is not None
+            pacsv.ConvertOptions(include_columns=read_cols)
+            if read_cols is not None
             else None
         )
         kw = {"arrow_open_stream_args": gz_args} if gz_args else {}
-        return _filtered(rd.read_csv(path, convert_options=convert, **kw))
+        return _project(_filtered(rd.read_csv(path, convert_options=convert, **kw)))
     return rd.read_parquet(path, columns=columns, filter=row_filter)

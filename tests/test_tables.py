@@ -150,6 +150,57 @@ def test_read_table_orc_feather_parity(ray_session, tmp_path):
         assert got.equals(want), path
 
 
+def test_read_table_filter_column_outside_projection(ray_session, tmp_path):
+    """A row_filter referencing a column NOT in ``columns`` must work on
+    every dispatch arm (Parquet pushes both natively; the others defer
+    projection past the filter) — with and without the ``filter_columns``
+    hint that keeps storage-side projection on the non-Parquet arms."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.feather as pafeather
+    import pyarrow.parquet as pq
+    from pyarrow import orc as paorc
+
+    from sanskrit_ocr_ray.sources.tables import read_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    sel = f"SELECT doc_id, lang, len(text) AS n_chars FROM read_parquet('{src}')"
+    jsonl = str(tmp_path / "docs.jsonl")
+    csvf = str(tmp_path / "docs.csv")
+    con.sql(f"COPY ({sel}) TO '{jsonl}' (FORMAT JSON)")
+    con.sql(f"COPY ({sel}) TO '{csvf}' (FORMAT CSV, HEADER)")
+    tbl = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
+    orcf = str(tmp_path / "docs.orc")
+    paorc.write_table(tbl, orcf, stripe_size=16 * 1024)
+    fthr = str(tmp_path / "docs.feather")
+    pafeather.write_feather(tbl.combine_chunks(), fthr, chunksize=128)
+
+    cols = ["doc_id", "n_chars"]
+    expr = ~pds.field("lang").isin(["sa"])  # 'lang' never projected
+    want = (
+        read_table(src, columns=cols, row_filter=expr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0 and list(want.columns) == cols
+    for path in (jsonl, csvf, orcf, fthr):
+        for hint in (None, ["lang"]):
+            got = read_table(
+                path, columns=cols, row_filter=expr, filter_columns=hint
+            ).to_pandas()
+            assert sorted(got.columns) == sorted(cols), (path, hint)
+            got = (
+                got[cols]
+                .astype(want.dtypes)
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert got.equals(want), (path, hint)
+
+
 def test_read_table_gzip_ingestion_parity(ray_session, tmp_path):
     """.jsonl.gz / .csv.gz decompress inside the read task (Arrow stream
     layer) and return the same rows as the uncompressed arms."""
