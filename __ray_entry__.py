@@ -394,6 +394,19 @@ def _bpe_merges(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
 
 
+def _kmeans_lloyd(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 3 assignment passes) over the
+    embeddings table — iterative-algorithm family with an integer-exact
+    contract (quantized vectors, floor-division centroid updates,
+    lowest-cluster tie rule), so the unrolled-CTE oracle replays every
+    iteration assignment-for-assignment."""
+    from sanskrit_ocr_ray.stages.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8, iters=3, q=1000
+    )
+
+
 def _purchase_error_counts_full(sf_dir: str):
     """FULL OUTER join: per-user counts of high-value 'purchase' vs
     'error' events (value > 150, predicate pushed into the parquet
@@ -1815,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_docs": _compact_docs,
         "bpe_merges": _bpe_merges,
         "purchase_error_counts_full": _purchase_error_counts_full,
+        "kmeans_lloyd": _kmeans_lloyd,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3186,6 +3200,50 @@ FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
             f"SELECT step, l AS lhs, r AS rhs, cnt FROM bpe_m{_i}"
             for _i in range(1, 5)
         )
+    )
+    # kmeans_lloyd (k=8, 3 assignment passes, q=1000): unrolled Lloyd
+    # iterations. Both sides quantize floor(float64(x)·1000), seed with
+    # the 8 smallest vec_ids (cluster = id rank), break assignment ties
+    # to the LOWEST cluster, and update centroids per-dim as
+    # floor(sum/count) — floor, not DuckDB's truncating `//`, hence the
+    # explicit floor(double division); COALESCE keeps an empty cluster's
+    # previous centroid. The final SELECT is the 3rd assignment, under
+    # the twice-updated centroids — exactly what the Ray loop returns.
+    _km_parts = [
+        """km_e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), km_init AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), km_c0 AS (
+  SELECT i.cl, e.d, e.xq AS cq FROM km_e e JOIN km_init i USING (vec_id)
+)"""
+    ]
+    for _i in range(1, 4):
+        _km_parts.append(f"""km_a{_i} AS (
+  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM (
+    SELECT e.vec_id, c.cl, SUM((e.xq - c.cq) * (e.xq - c.cq)) AS dist
+    FROM km_e e JOIN km_c{_i - 1} c ON e.d = c.d
+    GROUP BY e.vec_id, c.cl
+  )
+)""")
+        if _i < 3:
+            _km_parts.append(f"""km_c{_i} AS (
+  SELECT p.cl, p.d, COALESCE(u.cq, p.cq) AS cq
+  FROM km_c{_i - 1} p LEFT JOIN (
+    SELECT a.cl, e.d,
+           CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+    FROM km_e e JOIN (SELECT vec_id, cl FROM km_a{_i} WHERE rn = 1) a USING (vec_id)
+    GROUP BY a.cl, e.d
+  ) u ON u.cl = p.cl AND u.d = p.d
+)""")
+    oracles["kmeans_lloyd"] = (
+        "WITH "
+        + ",\n".join(_km_parts)
+        + "\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM km_a3 WHERE rn = 1"
     )
     # embedding_outliers: both sides evaluate the pure integer predicate
     # D(v) > 9·T on floor(float64(x)·100) quantized elements (HUGEINT

@@ -369,6 +369,127 @@ def nearest_centroid(ds, *, id_col: str = "vec_id", col: str = "embedding", labe
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def kmeans_lloyd(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    k: int = 8,
+    iters: int = 3,
+    q: int = 1000,
+):
+    """Distributed Lloyd k-means over an embedding column, integer-exact
+    so an unrolled-CTE SQL oracle reproduces every assignment.
+
+    Semantics (mirrored by the oracle):
+    - elements quantize to ``xq = floor(float64(x)·q)`` (int64; float32
+      → float64 widening is lossless IEEE, so both sides agree);
+    - initial centroids are the quantized vectors of the ``k`` smallest
+      ids, cluster index = rank of the id;
+    - an iteration assigns each vector to the centroid with minimum
+      squared euclidean distance — ties to the LOWEST cluster index —
+      then recomputes each centroid per-dim as ``floor(sum / count)``;
+      an empty cluster keeps its previous centroid;
+    - ``iters`` assignment passes run in total; the LAST one (under the
+      ``iters−1``-times-updated centroids) returns ``(vec_id, cluster)``.
+
+    Scale shape: init is a per-batch k-smallest partial then a tiny
+    sort+limit over ≤ #blocks·k rows. Each iteration is ONE streaming
+    pass — centroids broadcast via ``ray.put`` (k·d ints), per-batch
+    partials emit k rows of per-cluster (count, per-dim int sums) —
+    mergeable, so the shuffle carries #batches·k rows, never the
+    vectors — and the driver folds a k×d table. The assignment argmin
+    uses ``‖c‖² − 2·v·c`` (the row's own norm cancels), an exact f64
+    BLAS matmul (every product ≪ 2^53) compared in int64. Each pass
+    re-reads the source — the streaming trade for iterative algorithms;
+    at 100 TB, materialize the quantized vectors to Parquet once and
+    iterate over that table instead.
+    """
+    import ray
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
+        return np.floor(mat * q).astype(np.int64)
+
+    def _assign_idx(xq: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # argmin_c ‖v−c‖² = argmin_c (‖c‖² − 2·v·c); np.argmin keeps the
+        # FIRST minimum, which is the lowest cluster index — the tie rule
+        dots = np.rint(xq.astype(np.float64) @ c.astype(np.float64).T).astype(
+            np.int64
+        )
+        n2c = (c * c).sum(axis=1)
+        return np.argmin(n2c[None, :] - 2 * dots, axis=1)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        xq = _quant(batch)[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "xq": pa.array(
+                    [r.tolist() for r in xq], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    seed = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .to_pandas()
+    )
+    cent = np.stack([np.asarray(v, np.int64) for v in seed["xq"]])  # ≤k × d
+    kk, d = cent.shape
+
+    for _ in range(iters - 1):
+        ref = ray.put(cent)
+
+        def part(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            xq = _quant(batch)
+            cl = _assign_idx(xq, c)
+            sums = np.zeros((len(c), xq.shape[1]), np.int64)
+            np.add.at(sums, cl, xq)
+            cnt = np.bincount(cl, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cl": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "n": pa.array(cnt),
+                    "vsum": pa.array(
+                        [r.tolist() for r in sums], type=pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((kk, d), np.int64)
+        cnt = np.zeros(kk, np.int64)
+        for _, r in parts.iterrows():
+            sums[int(r["cl"])] += np.asarray(r["vsum"], np.int64)
+            cnt[int(r["cl"])] += int(r["n"])
+        upd = cnt > 0  # empty clusters keep their previous centroid
+        cent = cent.copy()
+        cent[upd] = np.floor_divide(sums[upd], cnt[upd, None])
+
+    final_ref = ray.put(cent)
+
+    def assign(batch: pa.Table, _ref=final_ref) -> pa.Table:
+        c = ray.get(_ref)
+        cl = _assign_idx(_quant(batch), c)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(cl.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds,
     *,

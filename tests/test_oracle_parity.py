@@ -63,6 +63,7 @@ SUBSET = [
     "embedding_outliers",
     "bpe_merges",
     "purchase_error_counts_full",
+    "kmeans_lloyd",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

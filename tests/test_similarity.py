@@ -294,3 +294,49 @@ def test_semantic_dedup_hot_cluster_bounded_tasks(ray_session):
     assert all(got[500 + i] == 1 for i in range(10))
     assert len(out) == 11                      # 1 keeper + 10 singletons
     assert out.cluster_size.sum() == 50        # every vector assigned once
+
+
+def test_kmeans_lloyd_matches_reference_model(ray_session):
+    """3 Lloyd passes on a tiny synthetic set match a local numpy replay
+    of the contract (floor quantization, id-rank seeding, lowest-cluster
+    ties, floor-division updates, empty clusters keep their centroid)."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.05, (20, 2)) for c in centers]
+    )
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))
+    ]
+    # k=4 > 3 true clusters → at least one cluster is likely to empty out,
+    # exercising the keep-previous-centroid branch on BOTH sides
+    k, iters, q = 4, 3, 1000
+    out = (
+        kmeans_lloyd(rd.from_items(rows).repartition(5), k=k, iters=iters, q=q)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    xq = np.floor(vecs * q).astype(np.int64)
+    cent = xq[:k].copy()  # ids are 0..n-1 so rank-of-id = row order
+
+    def assign(c):
+        d2 = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)  # first min = lowest cluster
+
+    for _ in range(iters - 1):
+        cl = assign(cent)
+        for j in range(k):
+            m = cl == j
+            if m.any():
+                cent[j] = np.floor_divide(xq[m].sum(axis=0), m.sum())
+    want = assign(cent)
+    assert out.vec_id.tolist() == list(range(len(vecs)))
+    assert out.cluster.tolist() == want.tolist()
+    assert out.cluster.nunique() <= k
