@@ -394,6 +394,17 @@ def _bpe_merges(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
 
 
+def _shard_assign(sf_dir: str):
+    """Training-shard assignment: rank docs by (md5(doc_id), doc_id)
+    WITHOUT a global sort (hash-range bucket histogram → driver prefix
+    sums → per-bucket local ranks) and cut into 64-doc shards."""
+    from sanskrit_ocr_ray.stages.corpus import shard_assign
+
+    return shard_assign(
+        _tbl(sf_dir, "documents", ["doc_id"]), shard_size=64, n_buckets=256
+    )
+
+
 def _kmeans_lloyd(sf_dir: str):
     """Distributed Lloyd k-means (k=8, 3 assignment passes) over the
     embeddings table — iterative-algorithm family with an integer-exact
@@ -1829,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "purchase_error_counts_full": _purchase_error_counts_full,
         "kmeans_lloyd": _kmeans_lloyd,
+        "shard_assign": _shard_assign,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3240,6 +3252,19 @@ FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
     GROUP BY a.cl, e.d
   ) u ON u.cl = p.cl AND u.d = p.d
 )""")
+    # shard_assign: the oracle IS the global sort the Ray side avoids —
+    # rank by (md5_u64(doc_id), doc_id), shard = rank // 64
+    oracles["shard_assign"] = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS rank,
+       CAST((ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1) // 64 AS BIGINT) AS shard_id
+FROM h
+"""
     oracles["kmeans_lloyd"] = (
         "WITH "
         + ",\n".join(_km_parts)

@@ -805,3 +805,74 @@ def bpe_merges(ds, *, column: str = "text", n_merges: int = 4):
     return pd.DataFrame(
         merges, columns=["step", "lhs", "rhs", "cnt"]
     ).astype({"step": np.int64, "cnt": np.int64})
+
+
+def shard_assign(ds, *, id_col: str = "doc_id", shard_size: int = 64, n_buckets: int = 256):
+    """Deterministic training-shard assignment: order rows by
+    ``(md5_u64(id), id)`` — a reproducible global shuffle — and cut that
+    order into fixed-size shards: ``shard_id = global_rank //
+    shard_size``. Returns ``(id, rank, shard_id)``. This is the step
+    that turns a curated corpus into numbered training shards (WebDataset
+    / tfrecord style) with a stable doc→shard mapping any worker can
+    recompute.
+
+    Scale shape: a GLOBAL SORT IS NEVER RUN. Distributed ranking runs in
+    two passes over hash-RANGE buckets (``hv >> (64 − log2 B)``, so
+    bucket order ≡ hash order): pass 1 histograms rows per bucket
+    (per-batch bincount partials → one B-row fold) and the driver
+    prefix-sums B offsets; pass 2 shuffles once on the bucket id, each
+    bucket sorts only ITS rows (hash-uniform ≈ n/B of the corpus —
+    raise B with the cluster, the offsets table stays tiny), and
+    ``bucket_offset + local_rank`` is the exact global rank. md5
+    uniformity bounds skew; ties on colliding hashes break by id on both
+    sides.
+    """
+    SHIFT = np.uint64(64 - int(np.log2(n_buckets)))
+    assert 1 << (64 - int(SHIFT)) == n_buckets, "n_buckets must be a power of two"
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        hv = md5_u64_many([str(v) for v in ids.tolist()])
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                # sign-flip keeps unsigned hash ORDER under int64 sorting
+                "hv": pa.array((hv ^ np.uint64(1 << 63)).view(np.int64)),
+                "__bk": pa.array((hv >> SHIFT).astype(np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        bk, n = np.unique(batch["__bk"].to_numpy(), return_counts=True)
+        return pa.table({"__bk": pa.array(bk), "n": pa.array(n.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (
+        tagged.map_batches(counts, batch_format="pyarrow")
+        .groupby("__bk")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ n_buckets tiny rows
+    )
+    offsets = np.zeros(n_buckets, dtype=np.int64)
+    if len(hist):
+        per = np.zeros(n_buckets, dtype=np.int64)
+        per[hist["__bk"].to_numpy()] = hist["n"].to_numpy()
+        offsets[1:] = np.cumsum(per)[:-1]
+
+    empty = typed_empty(**{id_col: np.int64, "rank": np.int64, "shard_id": np.int64})
+
+    def rank_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        order = np.lexsort((group[id_col].to_numpy(), group["hv"].to_numpy()))
+        ids = group[id_col].to_numpy()[order]
+        base = offsets[int(group["__bk"].iloc[0])]
+        rank = base + np.arange(len(ids), dtype=np.int64)
+        return pd.DataFrame(
+            {id_col: ids, "rank": rank, "shard_id": rank // shard_size}
+        )
+
+    return tagged.groupby("__bk").map_groups(rank_bucket, batch_format="pandas")

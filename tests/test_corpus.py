@@ -309,3 +309,36 @@ def test_bpe_merges_matches_scalar_trainer(ray_session):
         assert list(map(tuple, got.to_numpy())) == [
             (s, l, r, c) for (s, l, r, c) in want
         ], parts
+
+
+def test_shard_assign_is_exact_global_rank(ray_session):
+    """Bucketed two-pass ranking equals the global sort it avoids: ranks
+    are a permutation of 0..n-1, shards are full except the last, and
+    the mapping is invariant to input partitioning."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import shard_assign
+    from sanskrit_ocr_ray.util import md5_u64_many
+
+    ids = np.arange(1000, 1137, dtype=np.int64)  # 137 rows, 3 shards of ≤64
+    rows = [{"doc_id": int(i)} for i in ids]
+    out = (
+        shard_assign(rd.from_items(rows).repartition(7), shard_size=64, n_buckets=16)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert sorted(out["rank"]) == list(range(len(ids)))
+    want = ids[np.lexsort((ids, md5_u64_many([str(v) for v in ids])))]
+    assert out["doc_id"].tolist() == want.tolist()
+    sizes = out.groupby("shard_id").size()
+    assert sizes.iloc[:-1].eq(64).all() and sizes.iloc[-1] == 137 - 64 * 2
+    # partitioning-invariant
+    out2 = (
+        shard_assign(rd.from_items(rows).repartition(2), shard_size=64, n_buckets=64)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)

@@ -64,6 +64,7 @@ SUBSET = [
     "bpe_merges",
     "purchase_error_counts_full",
     "kmeans_lloyd",
+    "shard_assign",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",
