@@ -394,6 +394,44 @@ def _bpe_merges(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
 
 
+def _merge_scd1_docs(sf_dir: str):
+    """SCD1 MERGE / CDC compaction: apply a deterministic change stream
+    (upserts for doc_id%7, higher-version deletes for doc_id%11, inserts
+    at doc_id+10^6 for doc_id%13) to the documents table, latest-wins —
+    one bounded-bucket shuffle, vectorized per-bucket collapse."""
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import merge_scd1
+
+    base = _tbl(sf_dir, "documents", ["doc_id", "lang"])
+
+    def chg(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        up = ids[ids % 7 == 0]
+        de = ids[ids % 11 == 0]
+        ins = ids[ids % 13 == 0] + 1_000_000
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [*up.tolist(), *de.tolist(), *ins.tolist()], pa.int64()
+                ),
+                "ver": pa.array([1] * len(up) + [2] * len(de) + [1] * len(ins)),
+                "op": pa.array(
+                    ["upsert"] * len(up) + ["delete"] * len(de) + ["upsert"] * len(ins)
+                ),
+                "lang": pa.array(
+                    ["v1"] * len(up) + [None] * len(de) + ["new"] * len(ins),
+                    pa.string(),
+                ),
+            }
+        )
+
+    changes = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        chg, batch_format="pyarrow"
+    )
+    return merge_scd1(base, changes, key="doc_id", payload_cols=["lang"])
+
+
 def _shard_assign(sf_dir: str):
     """Training-shard assignment: rank docs by (md5(doc_id), doc_id)
     WITHOUT a global sort (hash-range bucket histogram → driver prefix
@@ -1841,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_error_counts_full": _purchase_error_counts_full,
         "kmeans_lloyd": _kmeans_lloyd,
         "shard_assign": _shard_assign,
+        "merge_scd1_docs": _merge_scd1_docs,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3252,6 +3291,29 @@ FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
     GROUP BY a.cl, e.d
   ) u ON u.cl = p.cl AND u.d = p.d
 )""")
+    # merge_scd1_docs: MERGE INTO semantics — latest change per key wins
+    # (max ver, delete on ver ties), winning delete removes the key,
+    # winning upsert replaces/inserts, unchanged keys pass through
+    oracles["merge_scd1_docs"] = """
+WITH chg AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS ver, 'upsert' AS op, 'v1' AS lang
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'delete', NULL FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 1, 'upsert', 'new' FROM documents WHERE doc_id % 13 = 0
+), latest AS (
+  SELECT doc_id, op, lang FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY ver DESC, CASE WHEN op = 'delete' THEN 0 ELSE 1 END) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+       CASE WHEN l.doc_id IS NULL THEN b.lang ELSE l.lang END AS lang
+FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+WHERE l.op IS DISTINCT FROM 'delete'
+"""
     # shard_assign: the oracle IS the global sort the Ray side avoids —
     # rank by (md5_u64(doc_id), doc_id), shard = rank // 64
     oracles["shard_assign"] = """

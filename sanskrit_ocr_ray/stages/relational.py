@@ -1913,3 +1913,101 @@ def monthly_rollup(
         .groupby("month")
         .aggregate(Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c"))
     )
+
+
+def merge_scd1(
+    base_ds,
+    changes_ds,
+    *,
+    key: str,
+    payload_cols: list[str],
+    ver_col: str = "ver",
+    op_col: str = "op",
+    n_buckets: int = 64,
+):
+    """SCD-type-1 MERGE: apply a change stream of ``{'upsert','delete'}``
+    operations to a base table, latest-wins — the ``MERGE INTO`` /
+    CDC-compaction primitive. Per key the winning change is the max
+    ``ver_col`` (a tie on ver resolves to 'delete' — deterministic
+    either way); a winning 'delete' removes the key, a winning 'upsert'
+    replaces (or inserts) the payload; keys without changes pass
+    through. Returns ``key + payload_cols``.
+
+    Scale shape: one bounded-bucket shuffle on ``hash(key) % B`` carries
+    BOTH sides (the same co-partitioning argument as
+    :func:`hash_join(how='full')`); each bucket collapses its changes
+    with one vectorized lexsort (never a Python call per key) and
+    resolves base-vs-change with pandas merges. No driver state, no
+    global sort; a key's full history meets in exactly one bucket.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    out_cols = [key] + list(payload_cols)
+    empty = typed_empty(**{c: np.int64 if c == key else object for c in out_cols})
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            kv = batch[key].to_numpy()
+            b = (
+                kv.astype(np.uint64)
+                if np.issubdtype(kv.dtype, np.integer)
+                else fast_hash_u64(kv.tolist())
+            ) % np.uint64(n_buckets)
+            cols = {key: batch[key]}
+            for c in payload_cols:
+                cols[c] = (
+                    batch[c]
+                    if c in batch.column_names
+                    else pa.nulls(batch.num_rows, type=pa.string())
+                )
+            for c, t in ((ver_col, pa.int64()), (op_col, pa.string())):
+                cols[c] = (
+                    batch[c]
+                    if c in batch.column_names
+                    else pa.nulls(batch.num_rows, type=t)
+                )
+            tb = pa.table(cols)
+            return tb.append_column(
+                "__bk", pa.array(b.astype(np.int32))
+            ).append_column("__side", pa.array([side] * batch.num_rows))
+
+        return fn
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        b = group[group["__side"] == "b"][out_cols]
+        c = group[group["__side"] == "c"]
+        if len(c):
+            # latest-wins collapse: one lexsort, first row per key wins.
+            # Sort (ver DESC, delete-first) → stable "max ver, delete on
+            # ver ties" without any per-key Python.
+            op_rank = (c[op_col].to_numpy() != "delete").astype(np.int8)
+            order = np.lexsort(
+                (op_rank, -c[ver_col].to_numpy(), c[key].to_numpy())
+            )
+            c = c.iloc[order]
+            c = c[~c[key].duplicated(keep="first")]
+        else:
+            c = c.iloc[0:0]
+        win = c[[key, op_col] + list(payload_cols)]
+        merged = b.merge(win, on=key, how="outer", suffixes=("", "__chg"))
+        op = merged[op_col]
+        keep = op.isna() | (op != "delete")
+        merged = merged[keep]
+        out = {key: merged[key].to_numpy()}
+        changed = merged[op_col].notna().to_numpy()
+        for pcol in payload_cols:
+            base_v = merged[pcol].to_numpy(dtype=object)
+            chg_v = merged[f"{pcol}__chg"].to_numpy(dtype=object)
+            out[pcol] = np.where(changed, chg_v, base_v)
+        res = pd.DataFrame(out)
+        if not len(res):
+            return empty.copy()
+        res[key] = res[key].astype(np.int64)
+        return res
+
+    tagged = base_ds.map_batches(tag("b"), batch_format="pyarrow").union(
+        changes_ds.map_batches(tag("c"), batch_format="pyarrow")
+    )
+    return tagged.groupby("__bk").map_groups(merge_bucket, batch_format="pandas")

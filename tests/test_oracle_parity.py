@@ -65,6 +65,7 @@ SUBSET = [
     "purchase_error_counts_full",
     "kmeans_lloyd",
     "shard_assign",
+    "merge_scd1_docs",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

@@ -763,3 +763,34 @@ def test_status_history_runs_ties_and_partition_invariance(ray_session):
             )
         )
         assert got == want, parts
+
+
+def test_merge_scd1_latest_wins(ray_session):
+    """SCD1 MERGE: max-ver wins, delete wins ver ties, winning delete
+    removes, winning upsert replaces/inserts, untouched keys pass."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import merge_scd1
+
+    base = rd.from_items(
+        [{"k": i, "val": f"b{i}"} for i in range(1, 6)]
+    ).repartition(3)
+    changes = rd.from_items(
+        [
+            {"k": 1, "ver": 1, "op": "upsert", "val": "u1a"},
+            {"k": 1, "ver": 2, "op": "upsert", "val": "u1b"},  # latest wins
+            {"k": 2, "ver": 1, "op": "delete", "val": None},   # removed
+            {"k": 3, "ver": 5, "op": "upsert", "val": "u3"},
+            {"k": 3, "ver": 5, "op": "delete", "val": None},   # tie → delete
+            {"k": 9, "ver": 1, "op": "upsert", "val": "new9"}, # insert
+            {"k": 10, "ver": 1, "op": "delete", "val": None},  # no-op delete
+        ]
+    ).repartition(2)
+    out = (
+        merge_scd1(base, changes, key="k", payload_cols=["val"], n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out.k.tolist() == [1, 4, 5, 9]
+    assert out.val.tolist() == ["u1b", "b4", "b5", "new9"]
