@@ -394,6 +394,35 @@ def _bpe_merges(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
 
 
+def _fk_integrity(sf_dir: str):
+    """Referential-integrity report across six TPC-H FK relations —
+    the pre-join validation gate: per relation, child rows / distinct
+    keys / orphan rows via pre-aggregated bucketed membership."""
+    import pandas as pd
+
+    from sanskrit_ocr_ray.stages.profile import fk_orphans
+
+    rels = [
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    frames = []
+    for name, child, ck, parent, pk in rels:
+        r = fk_orphans(
+            _tbl(sf_dir, child, [ck]),
+            _tbl(sf_dir, parent, [pk]),
+            child_key=ck,
+            parent_key=pk,
+        )
+        r.insert(0, "relation", name)
+        frames.append(r)
+    return pd.concat(frames, ignore_index=True)
+
+
 def _merge_scd1_docs(sf_dir: str):
     """SCD1 MERGE / CDC compaction: apply a deterministic change stream
     (upserts for doc_id%7, higher-version deletes for doc_id%11, inserts
@@ -1880,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_lloyd": _kmeans_lloyd,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
+        "fk_integrity": _fk_integrity,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3291,6 +3321,24 @@ FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
     GROUP BY a.cl, e.d
   ) u ON u.cl = p.cl AND u.d = p.d
 )""")
+    # fk_integrity: per-relation child rows / distinct keys / orphan rows
+    _fk_rels = [
+        ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    oracles["fk_integrity"] = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS relation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child_rows,
+       (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {child}) AS n_distinct_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        LEFT JOIN {parent} p ON c.{ck} = p.{pk}
+        WHERE p.{pk} IS NULL) AS n_orphan_rows"""
+        for name, child, ck, parent, pk in _fk_rels
+    )
     # merge_scd1_docs: MERGE INTO semantics — latest change per key wins
     # (max ver, delete on ver ties), winning delete removes the key,
     # winning upsert replaces/inserts, unchanged keys pass through

@@ -228,3 +228,83 @@ def embedding_outliers(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def fk_orphans(child_ds, parent_ds, *, child_key: str, parent_key: str, n_buckets: int = 32):
+    """Referential-integrity check for one FK relation: returns a
+    one-row DataFrame ``(n_child_rows, n_distinct_keys, n_orphan_rows)``
+    where orphans are child rows whose key has no parent. The validation
+    gate a pipeline runs before joining fact tables at scale — a broken
+    FK silently drops (inner) or null-pads (outer) rows downstream.
+
+    Scale shape: both sides pre-aggregate per batch (child → distinct
+    keys + multiplicities, parent → distinct keys), so the single
+    bounded-bucket shuffle on ``key % B`` carries at most
+    #batches·#distinct-per-batch rows, never the fact table; each
+    bucket resolves membership with one vectorized ``isin`` and emits
+    THREE integers. The driver folds B tiny rows.
+    """
+
+    def ctag(batch: pa.Table) -> pa.Table:
+        k = batch[child_key].to_numpy()
+        u, n = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(u.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+                "__bk": pa.array((u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)),
+                "__side": pa.array(["c"] * len(u)),
+            }
+        )
+
+    def ptag(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch[parent_key].to_numpy()).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(u),
+                "n": pa.array(np.zeros(len(u), np.int64)),
+                "__bk": pa.array((u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)),
+                "__side": pa.array(["p"] * len(u)),
+            }
+        )
+
+    empty = pd.DataFrame(
+        {
+            "n_child_rows": pd.Series(dtype=np.int64),
+            "n_distinct_keys": pd.Series(dtype=np.int64),
+            "n_orphan_rows": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        c = group[group["__side"] == "c"]
+        if not len(c):
+            return empty.copy()
+        cc = c.groupby("k")["n"].sum()
+        pkeys = group.loc[group["__side"] == "p", "k"].to_numpy()
+        orphan_mask = ~cc.index.isin(pkeys)
+        return pd.DataFrame(
+            {
+                "n_child_rows": [int(cc.sum())],
+                "n_distinct_keys": [len(cc)],
+                "n_orphan_rows": [int(cc[orphan_mask].sum())],
+            }
+        )
+
+    parts = (
+        child_ds.map_batches(ctag, batch_format="pyarrow")
+        .union(parent_ds.map_batches(ptag, batch_format="pyarrow"))
+        .groupby("__bk")
+        .map_groups(bucket, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets rows of three ints
+    )
+    tot = parts.sum() if len(parts) else empty.sum()
+    return pd.DataFrame(
+        {
+            "n_child_rows": [int(tot.get("n_child_rows", 0))],
+            "n_distinct_keys": [int(tot.get("n_distinct_keys", 0))],
+            "n_orphan_rows": [int(tot.get("n_orphan_rows", 0))],
+        }
+    )

@@ -66,6 +66,7 @@ SUBSET = [
     "kmeans_lloyd",
     "shard_assign",
     "merge_scd1_docs",
+    "fk_integrity",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",

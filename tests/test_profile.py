@@ -95,3 +95,20 @@ def test_embedding_outliers_flags_injected_outlier(ray_session):
         S = xq.sum(axis=0)
         D = ((200 * xq - S[None, :]) ** 2).sum(axis=1)
         assert out["d2n"].to_numpy().tolist() == D.tolist()
+
+
+def test_fk_orphans_counts(ray_session):
+    """Orphan rows (child keys with no parent) count exactly, with
+    multiplicities, across partitions and buckets."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.profile import fk_orphans
+
+    child = rd.from_items(
+        [{"fk": k} for k in [1, 1, 2, 3, 3, 3, 99, 99, 100]]
+    ).repartition(4)
+    parent = rd.from_items([{"pk": k} for k in [1, 2, 3, 4]]).repartition(2)
+    out = fk_orphans(child, parent, child_key="fk", parent_key="pk", n_buckets=4)
+    assert out.to_dict("records") == [
+        {"n_child_rows": 9, "n_distinct_keys": 5, "n_orphan_rows": 3}
+    ]
