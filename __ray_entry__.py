@@ -394,6 +394,29 @@ def _bpe_merges(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents", ["text"]), n_merges=4)
 
 
+def _image_dhash_pairs(sf_dir: str):
+    """Image near-duplicate detection: deterministic near-dup image
+    groups (shared gradient field, per-doc constant shift) round-trip
+    through the REAL lossless codecs (PNG/GIF/TIFF/BMP by md5 route),
+    decode → 64-bit dHash → banded hamming pairs (pigeonhole-exact for
+    distance ≤ 6). The oracle replays the 72-point grid from the synth
+    formula and does the quadratic scan the banding avoids."""
+    import numpy as np
+
+    from sanskrit_ocr_ray.stages.dedup import hamming64_pairs
+    from sanskrit_ocr_ray.stages.multimodal import (
+        image_dhash,
+        synth_neardup_image_batch,
+    )
+
+    imgs = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_neardup_image_batch, batch_format="pyarrow"
+    )
+    return hamming64_pairs(
+        image_dhash(imgs), max_hamming=6, id_dtype=np.int64
+    )
+
+
 def _fk_integrity(sf_dir: str):
     """Referential-integrity report across six TPC-H FK relations —
     the pre-join validation gate: per relation, child rows / distinct
@@ -1910,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
+        "image_dhash_pairs": _image_dhash_pairs,
         "kmv_jaccard": _kmv_jaccard,
         "contamination": _contamination,
         "decontaminate": _decontaminate,
@@ -3321,6 +3345,31 @@ FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
     GROUP BY a.cl, e.d
   ) u ON u.cl = p.cl AND u.d = p.d
 )""")
+    # image_dhash_pairs: replay pixel(doc, i) = ((2·(g%64)+1)·(i·i//3)
+    # + g·7 + doc%4) % 256, g = doc//4, at the 8×9 dHash grid points
+    # (y·4 rows, (x·32)//9 cols — all non-negative, so DuckDB's
+    # truncating // ≡ floor), then the quadratic hamming scan the
+    # banding avoids
+    oracles["image_dhash_pairs"] = """
+WITH pts AS (
+  SELECT d.doc_id, y.y, x.x,
+         (((2 * ((d.doc_id // 4) % 64) + 1)
+             * ((((y.y * 4) * 32 + (x.x * 32) // 9)
+                 * ((y.y * 4) * 32 + (x.x * 32) // 9)) // 3)
+           + (d.doc_id // 4) * 7
+           + d.doc_id % 4) % 256) AS p
+  FROM documents d, range(0, 8) y(y), range(0, 9) x(x)
+), bits AS (
+  SELECT a.doc_id, a.y, a.x, CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+  FROM pts a JOIN pts b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+FROM bits a JOIN bits b ON a.y = b.y AND a.x = b.x AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 6
+"""
     # fk_integrity: per-relation child rows / distinct keys / orphan rows
     _fk_rels = [
         ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -590,31 +590,38 @@ def minhash_lsh_clusters(
 # ---------------------------------------------------------------------------
 
 
-def simhash_dup_pairs(
-    ds,
+def hamming64_pairs(
+    sig_ds,
     *,
-    max_hamming: int = 6,
-    column: str = "text",
+    sig_col: str = "sig",
     id_col: str = "doc_id",
+    max_hamming: int = 6,
     n_buckets: int = DEFAULT_BUCKETS,
+    id_dtype=None,
 ):
-    """All pairs with simhash hamming distance ≤ ``max_hamming``.
+    """All pairs of 64-bit signatures at hamming distance ≤
+    ``max_hamming`` — the banded near-dup primitive shared by text
+    simhash and image perceptual hashes. Input: a dataset with
+    ``(id_col, sig_col uint64)``; output (doc_a, doc_b, hamming) with
+    doc_a < doc_b.
 
     With 8 bands of 8 bits, any pair at hamming ≤ 7 shares at least one
-    identical band (pigeonhole), so band-bucketing + verification is EXACT
-    for ``max_hamming`` ≤ 7 — this is the scale path (no all-pairs scan);
-    the DuckDB oracle does the quadratic scan instead.
-    Returns (doc_a, doc_b, hamming), doc_a < doc_b. Token-less docs emit
-    no signature (simhash_batch) and so never pair.
+    identical band (pigeonhole), so band-bucketing + in-bucket popcount
+    verification is EXACT for ``max_hamming`` ≤ 7 — the scale path: the
+    shuffle carries 8 rows per signature, never candidate pairs, and no
+    all-pairs scan exists anywhere.
     """
-    from .text_analysis import simhash_batch
-
-    id_dtype = _pd_dtypes(ds)[id_col]
+    if max_hamming > 7:
+        raise ValueError(
+            "8 bands of 8 bits guarantee candidate capture only for "
+            f"hamming <= 7 (pigeonhole); got max_hamming={max_hamming}"
+        )
+    if id_dtype is None:  # callers pass it to keep schema resolution
+        id_dtype = _pd_dtypes(sig_ds)[id_col]  # metadata-only upstream
 
     def bands(batch: pa.Table) -> pa.Table:
-        sig_t = simhash_batch(batch, column)
-        ids = sig_t["doc_id"].to_pylist()
-        sigs = [int(s, 16) for s in sig_t["simhash"].to_pylist()]
+        ids = batch[id_col].to_pylist()
+        sigs = [int(s) for s in batch[sig_col].to_pylist()]
         rows_id, rows_sig, rows_bucket = [], [], []
         for d, s in zip(ids, sigs):
             for b in range(8):
@@ -629,12 +636,6 @@ def simhash_dup_pairs(
             }
         )
         return t.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
-
-    if max_hamming > 7:
-        raise ValueError(
-            "8 bands of 8 bits guarantee candidate capture only for "
-            f"hamming <= 7 (pigeonhole); got max_hamming={max_hamming}"
-        )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
@@ -654,7 +655,7 @@ def simhash_dup_pairs(
         )
 
     pairs = (
-        ds.map_batches(bands, batch_format="pyarrow")
+        sig_ds.map_batches(bands, batch_format="pyarrow")
         .groupby("__sb")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -665,6 +666,43 @@ def simhash_dup_pairs(
         ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False)["hamming"].min(),
         empty=typed_empty(doc_a=id_dtype, doc_b=id_dtype, hamming=np.int64),
+    )
+
+
+def simhash_dup_pairs(
+    ds,
+    *,
+    max_hamming: int = 6,
+    column: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """All pairs with simhash hamming distance ≤ ``max_hamming`` —
+    :func:`hamming64_pairs` over text simhash signatures. Returns
+    (doc_a, doc_b, hamming), doc_a < doc_b; token-less docs emit no
+    signature (simhash_batch) and so never pair. The DuckDB oracle does
+    the quadratic scan the banding avoids."""
+    from .text_analysis import simhash_batch
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        sig_t = simhash_batch(batch, column)
+        return pa.table(
+            {
+                id_col: sig_t["doc_id"],
+                "sig": pa.array(
+                    [int(s, 16) for s in sig_t["simhash"].to_pylist()],
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    return hamming64_pairs(
+        ds.map_batches(sigs, batch_format="pyarrow"),
+        sig_col="sig",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_buckets=n_buckets,
+        id_dtype=_pd_dtypes(ds)[id_col],
     )
 
 

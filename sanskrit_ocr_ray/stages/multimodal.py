@@ -25,12 +25,13 @@ import pyarrow as pa
 
 # top-level (not runtime) import: the package ships to workers by value,
 # so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
+from ..util import md5_u64
 from .avi import avi_decode, avi_encode
-from .gif import gif_decode
-from .bmp import bmp_decode
+from .gif import gif_decode, gif_encode
+from .bmp import bmp_decode, bmp_encode
 from .jpeg import jpeg_decode
-from .png import png_decode
-from .tiff import tiff_decode
+from .png import png_decode, png_encode
+from .tiff import tiff_decode, tiff_encode
 from .wav import wav_decode, wav_encode, wav_encode_adpcm_codes
 
 #: media payload table with codec metadata
@@ -315,6 +316,98 @@ def audio_energy(ds, *, window: int = 256, id_col: str = "doc_id"):
                 id_col: pa.array(out_id, type=pa.int64()),
                 "win": pa.array(out_w, type=pa.int64()),
                 "energy": pa.array(out_e, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def synth_neardup_image_batch(
+    batch: pa.Table, *, width: int = 32, height: int = 32, id_col: str = "doc_id"
+) -> pa.Table:
+    """Deterministic single-frame image per doc with NEAR-duplicate
+    structure: with group ``g = doc//4``, ``pixel(doc, i) =
+    ((2·(g%64)+1)·(i·i//3) + g·7 + doc%4) % 256`` — four consecutive
+    doc_ids share a base field (the //3 breaks the mod-256 algebraic
+    row-degeneracy of plain i²; the ODD multiplier makes the field
+    structurally distinct per group) shifted by a constant 0–3, so their
+    perceptual hashes differ on at most a few wrap-crossing bits, while
+    different multipliers disagree on most bits. A fifth of the payloads
+    round-trip through each REAL lossless codec (md5(doc_id)%5 → PNG /
+    GIF87a / baseline TIFF / BMP; the rest stay raw8), so the dedup path
+    exercises actual container decode, not just byte math."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    hw = width * height
+    i = np.arange(hw, dtype=np.int64)
+    g = ids[:, None] // 4
+    pix = (
+        ((2 * (g % 64) + 1) * ((i * i) // 3)[None, :] + g * 7 + (ids[:, None] % 4))
+        % 256
+    ).astype(np.uint8)
+    types, payloads = [], []
+    for j, d in enumerate(ids):
+        img = pix[j].reshape(height, width)
+        sel = md5_u64(str(int(d))) % 5
+        if sel == 0:
+            types.append("image/png")
+            payloads.append(png_encode(img, level=1))
+        elif sel == 1:
+            types.append("image/gif")
+            payloads.append(gif_encode(img))
+        elif sel == 2:
+            types.append("image/tiff")
+            payloads.append(tiff_encode(img, compression="packbits"))
+        elif sel == 3:
+            types.append("image/bmp")
+            payloads.append(bmp_encode(img))
+        else:
+            types.append("image/raw8")
+            payloads.append(img.tobytes())
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "media_type": pa.array(types, type=pa.string()),
+            "width": pa.array([width] * len(ids), type=pa.int32()),
+            "height": pa.array([height] * len(ids), type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def image_dhash(ds, *, id_col: str = "doc_id"):
+    """64-bit difference hash (dHash) per image: decode the payload
+    (any codec :func:`decode_payload` knows), subsample a 8×9 grid at
+    ``(y·H//8, x·W//9)`` and set bit ``y·8+x`` when the left grid pixel
+    is strictly darker than its right neighbour. Pure integer pixel
+    compares — no resize interpolation — so a SQL oracle can replay the
+    grid from the synth formula exactly. Returns ``(id, sig uint64)``
+    ready for :func:`stages.dedup.hamming64_pairs`.
+
+    Scale shape: shuffle-free map; decode + 72 gathers per image,
+    vectorized across the batch after decode."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        types = batch["media_type"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        sigs = []
+        for mt, w, h, p in zip(types, ws, hs, payloads):
+            img = decode_payload(mt, p, w, h)
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            grid = img[np.ix_(ys, xs)].astype(np.int64)  # 8×9
+            bits = (grid[:, :-1] < grid[:, 1:]).astype(np.uint64)  # 8×8
+            weights = np.uint64(1) << (
+                np.arange(8, dtype=np.uint64)[:, None] * np.uint64(8)
+                + np.arange(8, dtype=np.uint64)[None, :]
+            )
+            sigs.append(int((bits * weights).sum(dtype=np.uint64)))
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "sig": pa.array(sigs, type=pa.uint64()),
             }
         )
 

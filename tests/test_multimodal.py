@@ -168,3 +168,53 @@ def test_audio_energy_windows_including_partial_tail(ray_session):
     out = audio_energy(ds, window=4).to_pandas().sort_values("win")
     assert out.win.tolist() == [0, 1]
     assert out.energy.tolist() == [9 + 16, 25 + 144 + 1]
+
+
+def test_image_dhash_codec_roundtrip_and_pairs(ray_session):
+    """dHash signatures are identical whichever lossless codec carried
+    the payload, and the banded pair stage finds exactly the near-dup
+    groups a brute-force scan finds."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import hamming64_pairs
+    from sanskrit_ocr_ray.stages.multimodal import (
+        image_dhash,
+        synth_neardup_image_batch,
+    )
+
+    n = 64
+    docs = rd.from_items([{"doc_id": i} for i in range(n)]).repartition(5)
+    sigs = (
+        image_dhash(docs.map_batches(synth_neardup_image_batch, batch_format="pyarrow"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(sigs) == n
+    # reference: recompute signatures straight from the formula (no codec)
+    i = np.arange(32 * 32, dtype=np.int64)
+    ys, xs = (np.arange(8) * 32) // 8, (np.arange(9) * 32) // 9
+    wts = np.uint64(1) << (
+        np.arange(8, dtype=np.uint64)[:, None] * np.uint64(8)
+        + np.arange(8, dtype=np.uint64)[None, :]
+    )
+    want_sigs = []
+    for d in range(n):
+        g = d // 4
+        pix = ((2 * (g % 64) + 1) * ((i * i) // 3) + g * 7 + d % 4) % 256
+        grid = pix.reshape(32, 32)[np.ix_(ys, xs)]
+        bits = (grid[:, :-1] < grid[:, 1:]).astype(np.uint64)
+        want_sigs.append(int((bits * wts).sum(dtype=np.uint64)))
+    assert sigs["sig"].tolist() == want_sigs  # codec round-trips lossless
+    pairs = hamming64_pairs(
+        rd.from_pandas(sigs), max_hamming=6, id_dtype=np.int64
+    ).to_pandas()
+    want_pairs = {
+        (a, b): bin(want_sigs[a] ^ want_sigs[b]).count("1")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin(want_sigs[a] ^ want_sigs[b]).count("1") <= 6
+    }
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.itertuples()}
+    assert got == want_pairs and len(got) > 0

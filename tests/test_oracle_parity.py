@@ -67,6 +67,7 @@ SUBSET = [
     "shard_assign",
     "merge_scd1_docs",
     "fk_integrity",
+    "image_dhash_pairs",
     "asof_view_before_purchase",
     "q1_pricing",
     "revenue_by_nation",
