@@ -1029,6 +1029,15 @@ def _rarity_score(sf_dir: str):
     return rarity_score(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _dedup_spans(sf_dir: str):
+    """C4-style corpus-wide repeated-span removal (8-token spans, freq>=3)."""
+    from sanskrit_ocr_ray.stages.hygiene import dedup_spans
+
+    return dedup_spans(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), span_tokens=8, min_count=3
+    )
+
+
 def _value_quantiles_binned(sf_dir: str):
     """Binned quantile sketch over the continuous events.value column."""
     from sanskrit_ocr_ray.stages.relational import quantiles_binned
@@ -1944,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _incremental_dedup,
         "bloom_new_docs": _bloom_new_docs,
         "rarity_score": _rarity_score,
+        "dedup_spans": _dedup_spans,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2829,6 +2839,27 @@ WITH tok AS (
 )
 SELECT d.doc_id AS doc_id, CAST(SUM(d.c * (1000000000 // tf.n)) AS BIGINT) AS rarity
 FROM d JOIN tf USING (t) GROUP BY d.doc_id
+""",
+        "dedup_spans": """
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(j AS BIGINT) AS idx,
+         array_to_string(list_slice(ts, j * 8 + 1, j * 8 + 8), ' ') AS line,
+         CAST(ceil(len(ts) / 8.0) AS BIGINT) AS n_spans
+  FROM toks, unnest(range(CAST(ceil(len(ts) / 8.0) AS BIGINT))) r(j)
+), freq AS (
+  SELECT line, COUNT(*) AS n FROM ch GROUP BY line
+), kept AS (
+  SELECT ch.doc_id, ch.idx, ch.line, ch.n_spans
+  FROM ch JOIN freq USING (line) WHERE freq.n < 3
+)
+SELECT doc_id,
+       string_agg(line, ' ' ORDER BY idx) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(n_spans) - COUNT(*) AS BIGINT) AS n_removed
+FROM kept GROUP BY doc_id
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

@@ -675,3 +675,111 @@ def rarity_score(ds, *, id_col: str = "doc_id", text_col: str = "text", n_bucket
         partial, [id_col], sum_doc, n_buckets=n_buckets, empty=empty_out,
         coalesce_first=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide repeated-span removal (C4-style line dedup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_count: int = 3,
+    n_buckets: int = 64,
+):
+    """C4-style repeated-span removal: drop every occurrence of any
+    ``span_tokens``-token span whose CORPUS-WIDE frequency reaches
+    ``min_count``, then rebuild each document from its surviving spans in
+    original order (Raffel et al. 2020 §2.2 discard lines repeated across
+    the dataset; the reference has no corpus-level hygiene at all — its
+    pipeline ends at per-doc dedup, datagen/h5_to_parquet.py:45-48).
+
+    Spans are NON-overlapping windows of ``span_tokens`` space-split
+    tokens (the corpus tokenization convention shared with
+    :func:`rarity_score`); a short tail span counts like any other.
+    Removal is a pure frequency filter — order-independent, so the result
+    is deterministic under any partitioning. Documents whose every span
+    is removed disappear from the output (documented contract; the
+    caller's anti-join against the input recovers them if needed).
+
+    Returns ``(doc_id, text, n_kept, n_removed)``.
+
+    Scale shape: explode is a shuffle-free map; the global span census
+    never materializes anywhere — each span row is routed to its
+    ``hash(span) % B`` bucket where the count-and-filter is a vectorized
+    ``transform('size')``, then one doc-keyed bucketed rebuild (the A4
+    reassembly pattern). Two bounded shuffles total, shuffle payload =
+    the corpus text exactly once per shuffle.
+    """
+    from .dedup import bucketed_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_d, out_i, out_l, out_n = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _tokens(t)
+            if not toks:
+                continue
+            spans = [
+                " ".join(toks[j : j + span_tokens])
+                for j in range(0, len(toks), span_tokens)
+            ]
+            out_d.extend([did] * len(spans))
+            out_i.extend(range(len(spans)))
+            out_l.extend(spans)
+            out_n.extend([len(spans)] * len(spans))
+        return pa.table(
+            {
+                id_col: pa.array(out_d, type=pa.int64()),
+                "idx": pa.array(out_i, type=pa.int64()),
+                "line": pa.array(out_l, type=pa.string()),
+                "n_spans": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    empty_kept = typed_empty(
+        **{id_col: np.int64, "idx": np.int64, "line": object, "n_spans": np.int64}
+    )
+
+    def census_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_kept.copy()
+        freq = df.groupby("line")["line"].transform("size")
+        out = df[freq < min_count]
+        return out if not out.empty else empty_kept.copy()
+
+    kept = bucketed_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["line"],
+        census_filter,
+        n_buckets=n_buckets,
+        empty=empty_kept,
+    )
+
+    empty_out = typed_empty(
+        **{id_col: np.int64, text_col: object, "n_kept": np.int64, "n_removed": np.int64}
+    )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_out.copy()
+        df = df.sort_values([id_col, "idx"], kind="mergesort")
+        g = df.groupby(id_col, as_index=False)
+        out = g.agg(
+            **{
+                text_col: ("line", " ".join),
+                "n_kept": ("idx", "size"),
+                "n_spans": ("n_spans", "first"),
+            }
+        )
+        out["n_removed"] = (out["n_spans"] - out["n_kept"]).astype(np.int64)
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[[id_col, text_col, "n_kept", "n_removed"]]
+
+    return bucketed_aggregate(
+        kept, [id_col], rebuild, n_buckets=n_buckets, empty=empty_out,
+        coalesce_first=False,
+    )

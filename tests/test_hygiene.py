@@ -257,3 +257,55 @@ def test_bm25_empty_and_missing_terms(ray_session):
     out = bm25_topk(rd.from_pandas(docs), ["zzz"], k=5)
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "score"]
+
+
+def test_dedup_spans_planted(ray_session):
+    """C4-style repeated-span removal: an 8-token span planted in 3 docs
+    is removed from ALL of them; fully-removed docs vanish; order and
+    kept/removed counts are exact."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import dedup_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))  # the repeated span
+    u = lambda d, k: " ".join(f"u{d}_{j}" for j in range(k))  # unique filler
+    ds = rd.from_items(
+        [
+            # span layout is non-overlapping 8-token windows, so the
+            # boilerplate must sit at a window boundary to be shared
+            {"doc_id": 1, "text": boiler + " " + u(1, 8)},
+            {"doc_id": 2, "text": boiler + " " + u(2, 8)},
+            {"doc_id": 3, "text": boiler + " " + u(3, 3)},  # short tail span
+            {"doc_id": 4, "text": u(4, 5)},                 # untouched
+            {"doc_id": 5, "text": boiler},                  # fully removed
+            {"doc_id": 6, "text": ""},                      # token-less
+        ]
+    )
+    out = (
+        dedup_spans(ds, span_tokens=8, min_count=3, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.doc_id) == [1, 2, 3, 4]  # 5 fully removed, 6 empty
+    assert list(out.text) == [u(1, 8), u(2, 8), u(3, 3), u(4, 5)]
+    assert list(out.n_kept) == [1, 1, 1, 1]
+    assert list(out.n_removed) == [1, 1, 1, 0]
+
+
+def test_dedup_spans_below_threshold_kept(ray_session):
+    """A span repeated only twice survives min_count=3 everywhere."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import dedup_spans
+
+    dup = " ".join(f"d{i}" for i in range(8))
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": dup},
+            {"doc_id": 2, "text": dup},
+        ]
+    )
+    out = dedup_spans(ds, span_tokens=8, min_count=3, n_buckets=4).to_pandas()
+    assert sorted(out.text) == [dup, dup]
+    assert out.n_removed.sum() == 0

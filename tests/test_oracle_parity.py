@@ -81,6 +81,7 @@ SUBSET = [
     "priority_sample",
     "decontaminate",
     "rarity_score",
+    "dedup_spans",
     "bloom_new_docs",
     "value_quantiles_binned",
     "frame_checksums",
