@@ -1038,6 +1038,13 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _bigram_surprisal(sf_dir: str):
+    """Bigram conditional-surprisal LM gate (integer CCNet-style score)."""
+    from sanskrit_ocr_ray.stages.hygiene import bigram_surprisal
+
+    return bigram_surprisal(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _value_quantiles_binned(sf_dir: str):
     """Binned quantile sketch over the continuous events.value column."""
     from sanskrit_ocr_ray.stages.relational import quantiles_binned
@@ -1954,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_new_docs": _bloom_new_docs,
         "rarity_score": _rarity_score,
         "dedup_spans": _dedup_spans,
+        "bigram_surprisal": _bigram_surprisal,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2860,6 +2868,25 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_kept,
        CAST(MIN(n_spans) - COUNT(*) AS BIGINT) AS n_removed
 FROM kept GROUP BY doc_id
+""",
+        "bigram_surprisal": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), bi AS (
+  SELECT doc_id, ts[i] AS x, ts[i + 1] AS y
+  FROM tok, unnest(range(1, len(ts))) r(i)
+), cxy AS (
+  SELECT x, y, COUNT(*) AS nxy FROM bi GROUP BY x, y
+), cx AS (
+  SELECT x, COUNT(*) AS nx FROM bi GROUP BY x
+), d AS (
+  SELECT doc_id, x, y, COUNT(*) AS c FROM bi GROUP BY doc_id, x, y
+)
+SELECT d.doc_id AS doc_id,
+       CAST(SUM(d.c * (1000000 * cx.nx // cxy.nxy)) AS BIGINT) AS surprisal
+FROM d JOIN cxy USING (x, y) JOIN cx USING (x)
+GROUP BY d.doc_id
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

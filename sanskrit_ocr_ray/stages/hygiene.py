@@ -783,3 +783,85 @@ def dedup_spans(
         kept, [id_col], rebuild, n_buckets=n_buckets, empty=empty_out,
         coalesce_first=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram conditional surprisal (LM-quality gate)
+# ---------------------------------------------------------------------------
+
+
+def bigram_surprisal(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Per-doc bigram-LM score: Σ over bigram INSTANCES (x, y) of
+    ``10⁶ · c(x·) // c(x,y)`` — the integer reciprocal of the corpus
+    conditional frequency ``p(y|x)``, an exact stand-in for the CCNet
+    LM-perplexity gate (Wenzek et al. 2020) without float logs, one
+    model order up from :func:`rarity_score`'s unigram census. High
+    score = improbable-transition-heavy text (shuffled words, OCR
+    noise); low = formulaic text. ``c(x·)`` counts x as a bigram LEFT
+    context, so ``c(x,y) ≤ c(x·)`` and every ratio ≥ 1. Docs with < 2
+    tokens have no bigrams and drop out. Returns (doc_id, surprisal).
+
+    Scale shape: per-batch (doc, x, y, c) bigram partials, then ONE
+    bucketed shuffle keyed on the LEFT token only — all bigrams sharing
+    x co-locate, so both the context census c(x·) and the pair census
+    c(x,y) are in-bucket ``transform`` sums (neither global table ever
+    exists) — then one doc-keyed bucketed sum. A stopword-hot x skews
+    its bucket like rarity_score's hot token does; acceptable because
+    the bucket holds (distinct doc, x, y) partials, not instances.
+    """
+    from .dedup import bucketed_aggregate
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = _tokens(t)
+            for i in range(len(toks) - 1):
+                key = (did, toks[i], toks[i + 1])
+                counts[key] = counts.get(key, 0) + 1
+        return pa.table(
+            {
+                id_col: pa.array([k[0] for k in counts], type=pa.int64()),
+                "x": pa.array([k[1] for k in counts], type=pa.string()),
+                "y": pa.array([k[2] for k in counts], type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    empty_part = typed_empty(**{id_col: np.int64, "part": np.int64})
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty_part.copy()
+        nx = df.groupby("x")["c"].transform("sum")
+        nxy = df.groupby(["x", "y"])["c"].transform("sum")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col],
+                "part": (df["c"] * (SCORE_SCALE * nx // nxy)).astype(np.int64),
+            }
+        )
+
+    partial = bucketed_aggregate(
+        ds.map_batches(bigram_rows, batch_format="pyarrow"),
+        ["x"],
+        score_bucket,
+        n_buckets=n_buckets,
+        empty=empty_part,
+    )
+
+    empty_out = typed_empty(**{id_col: np.int64, "surprisal": np.int64})
+
+    def sum_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(id_col, as_index=False)["part"].sum()
+        return out.rename(columns={"part": "surprisal"}).astype(np.int64)
+
+    return bucketed_aggregate(
+        partial, [id_col], sum_doc, n_buckets=n_buckets, empty=empty_out,
+        coalesce_first=False,
+    )

@@ -309,3 +309,24 @@ def test_dedup_spans_below_threshold_kept(ray_session):
     out = dedup_spans(ds, span_tokens=8, min_count=3, n_buckets=4).to_pandas()
     assert sorted(out.text) == [dup, dup]
     assert out.n_removed.sum() == 0
+
+
+def test_bigram_surprisal_hand_computed(ray_session):
+    """surprisal = sum over bigram instances of 1e6 * c(x.) // c(x,y)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import bigram_surprisal
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b a b"},  # (a,b)x2, (b,a)x1
+            {"doc_id": 2, "text": "a c"},      # (a,c)x1
+            {"doc_id": 3, "text": "z"},        # no bigrams → no row
+        ]
+    )
+    out = bigram_surprisal(ds, n_buckets=4).to_pandas().sort_values("doc_id")
+    # c(a.)=3, c(b.)=1; surp(a,b)=1e6*3//2, surp(b,a)=1e6, surp(a,c)=3e6
+    assert list(zip(out.doc_id, out.surprisal)) == [
+        (1, 2 * 1_500_000 + 1_000_000),
+        (2, 3_000_000),
+    ]

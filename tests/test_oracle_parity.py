@@ -82,6 +82,7 @@ SUBSET = [
     "decontaminate",
     "rarity_score",
     "dedup_spans",
+    "bigram_surprisal",
     "bloom_new_docs",
     "value_quantiles_binned",
     "frame_checksums",
