@@ -1038,6 +1038,15 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _value_ntile(sf_dir: str):
+    """Exact NTILE(4) OVER (ORDER BY value, event_id) without a global sort."""
+    from sanskrit_ocr_ray.stages.relational import ntile_assign
+
+    return ntile_assign(
+        _tbl(sf_dir, "events", ["event_id", "value"]), "value", n_tiles=4
+    )
+
+
 def _bigram_surprisal(sf_dir: str):
     """Bigram conditional-surprisal LM gate (integer CCNet-style score)."""
     from sanskrit_ocr_ray.stages.hygiene import bigram_surprisal
@@ -1962,6 +1971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarity_score": _rarity_score,
         "dedup_spans": _dedup_spans,
         "bigram_surprisal": _bigram_surprisal,
+        "value_ntile": _value_ntile,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2887,6 +2897,11 @@ SELECT d.doc_id AS doc_id,
        CAST(SUM(d.c * (1000000 * cx.nx // cxy.nxy)) AS BIGINT) AS surprisal
 FROM d JOIN cxy USING (x, y) JOIN cx USING (x)
 GROUP BY d.doc_id
+""",
+        "value_ntile": """
+SELECT event_id,
+       CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

@@ -2011,3 +2011,93 @@ def merge_scd1(
         changes_ds.map_batches(tag("c"), batch_format="pyarrow")
     )
     return tagged.groupby("__bk").map_groups(merge_bucket, batch_format="pandas")
+
+
+def ntile_assign(
+    ds,
+    column: str,
+    *,
+    id_col: str = "event_id",
+    n_tiles: int = 4,
+    scale: int = 10,
+    n_buckets: int = 64,
+):
+    """Exact SQL ``NTILE(n) OVER (ORDER BY column, id)`` WITHOUT a global
+    sort — the equal-population bucketing behind curriculum tiers and
+    quality-quartile splits. Returns ``(id_col, tile)``, tile ∈ [1, n].
+
+    Two passes, the :func:`shard_assign` rank shape transplanted to a
+    VALUE order: (1) quantize the double column to integer bins
+    (``floor(value·scale)`` — order-preserving, bounded-cardinality
+    assumption shared with :func:`quantiles_binned`), per-batch bin
+    counts → one small groupby → driver prefix sums over ≤ #bins rows,
+    broadcast via ``ray.put``; (2) one bin-keyed bucketed shuffle gives
+    each row its exact global 0-rank = bin_start + in-bin (value, id)
+    rank, from which NTILE's first-(N mod n)-tiles-get-one-extra split
+    is a vectorized closed form. Ties are impossible: ``id_col`` is
+    unique, matching the oracle's two-key ORDER BY.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def binned(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy()
+        b = np.floor(v * scale).astype(np.int64)
+        vals, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(binned, batch_format="pyarrow", batch_size=None)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(#bins) rows only
+        .sort_values("bin")
+    )
+    bins = hist["bin"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = int(counts.sum())
+    ref = ray.put((bins, starts))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy()
+        b = np.floor(v * scale).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "__v": batch[column],
+                "__bin": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(**{id_col: np.int64, "tile": np.int64})
+    q, rem = divmod(n_total, n_tiles)
+    boundary = rem * (q + 1)
+    q_safe = max(q, 1)
+
+    def rank_tile(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        bins_b, starts_b = ray.get(ref)
+        df = df.sort_values(["__bin", "__v", id_col], kind="mergesort")
+        cc = df.groupby("__bin").cumcount().to_numpy()
+        r0 = starts_b[np.searchsorted(bins_b, df["__bin"].to_numpy())] + cc
+        tile = np.where(
+            r0 < boundary, r0 // (q + 1), rem + (r0 - boundary) // q_safe
+        ) + 1
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "tile": tile.astype(np.int64)}
+        )
+
+    return bucketed_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["__bin"],
+        rank_tile,
+        n_buckets=n_buckets,
+        empty=empty,
+    )

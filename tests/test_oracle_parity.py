@@ -84,6 +84,7 @@ SUBSET = [
     "dedup_spans",
     "bigram_surprisal",
     "bloom_new_docs",
+    "value_ntile",
     "value_quantiles_binned",
     "frame_checksums",
     "audio_energy",

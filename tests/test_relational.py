@@ -794,3 +794,57 @@ def test_merge_scd1_latest_wins(ray_session):
     )
     assert out.k.tolist() == [1, 4, 5, 9]
     assert out.val.tolist() == ["u1b", "b4", "b5", "new9"]
+
+
+def test_ntile_assign_exact_split(ray_session):
+    """NTILE semantics: first (N mod n) tiles get one extra row; order is
+    (value, id); result invariant to partitioning."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import ntile_assign
+
+    # N=10, n=4 -> tile sizes 3,3,2,2 over ascending value order
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(10, dtype=np.int64),
+            "value": np.array([5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 0.5]),
+        }
+    )
+    for parts in (1, 5):
+        out = (
+            ntile_assign(
+                rd.from_pandas(df).repartition(parts),
+                "value",
+                n_tiles=4,
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        by_rank = df.sort_values(["value", "event_id"]).event_id.to_numpy()
+        expect = {}
+        sizes = [3, 3, 2, 2]
+        pos = 0
+        for t, s in enumerate(sizes, start=1):
+            for eid in by_rank[pos : pos + s]:
+                expect[eid] = t
+            pos += s
+        got = dict(zip(out.event_id, out.tile))
+        assert got == expect
+
+
+def test_ntile_assign_ties_and_small_n(ray_session):
+    """Equal values tie-break by id; N < n gives each row its own tile."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import ntile_assign
+
+    df = pd.DataFrame(
+        {"event_id": np.array([3, 1, 2], dtype=np.int64), "value": [1.0, 1.0, 1.0]}
+    )
+    out = (
+        ntile_assign(rd.from_pandas(df), "value", n_tiles=5, n_buckets=2)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert list(zip(out.event_id, out.tile)) == [(1, 1), (2, 2), (3, 3)]
