@@ -1038,6 +1038,18 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _snm_pairs(sf_dir: str):
+    """Sorted-neighborhood near-dup pairs (24-char key, window 4, J>=0.8)."""
+    from sanskrit_ocr_ray.stages.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        key_chars=24,
+        window=4,
+        threshold_pm=800,
+    )
+
+
 def _value_ntile(sf_dir: str):
     """Exact NTILE(4) OVER (ORDER BY value, event_id) without a global sort."""
     from sanskrit_ocr_ray.stages.relational import ntile_assign
@@ -1972,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": _dedup_spans,
         "bigram_surprisal": _bigram_surprisal,
         "value_ntile": _value_ntile,
+        "snm_pairs": _snm_pairs,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2902,6 +2915,23 @@ GROUP BY d.doc_id
 SELECT event_id,
        CAST(ntile(4) OVER (ORDER BY value, event_id) AS BIGINT) AS tile
 FROM events
+""",
+        "snm_pairs": """
+WITH k AS (
+  SELECT doc_id, substr(text, 1, 24) AS key,
+         list_distinct(list_filter(str_split(text, ' '), x -> x <> '')) AS ts
+  FROM documents
+), r AS (
+  SELECT doc_id, ts, row_number() OVER (ORDER BY key, doc_id) - 1 AS rnk FROM k
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(1000 * len(list_intersect(a.ts, b.ts))
+            // (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+            AS BIGINT) AS j_pm
+FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 4
+WHERE (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) > 0
+  AND 1000 * len(list_intersect(a.ts, b.ts))
+      >= 800 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

@@ -1039,3 +1039,157 @@ def typo_token_pairs(ds, *, column: str = "token", n_buckets: int = DEFAULT_BUCK
         empty=key_empty,
         coalesce_first=False,
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood near-dup pairs (Hernandez & Stolfo SNM)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 24,
+    window: int = 4,
+    threshold_pm: int = 800,
+    n_buckets: int = 64,
+):
+    """Sorted-neighborhood near-dup candidates: order records by a
+    blocking key (the first ``key_chars`` characters of the text, doc id
+    tie-break), compare each record only with its ``window`` successors
+    in that order, and keep pairs whose distinct-token Jaccard reaches
+    ``threshold_pm`` per-mille (Hernández & Stolfo 1995 — the classic
+    record-linkage blocking family LSH/SimHash/FastSS don't cover: one
+    linear pass over a sort order instead of hash buckets). Returns
+    ``(doc_a, doc_b, j_pm)`` with doc_a the lower-ranked record.
+
+    Scale shape — NO global sort materializes anywhere:
+    1. global rank per record via the order-preserving-bin two-pass
+       (first-8-byte key prefix → driver prefix sums over the ≤ #distinct
+       prefixes histogram — the documented bounded-distinct assumption of
+       ``percent_rank_map`` — then in-bin (key, id) cumcount);
+    2. ranks are a contiguous 0..N-1 sequence, so the window join is a
+       band join on rank: each record ships to rank-stripe ``rnk // window``
+       and its successor stripe (2× replication), and inside a stripe the
+       d-th successor is literally ``rows[i + d]`` — a vectorized shift,
+       no comparisons;
+    3. Jaccard verify on the co-shipped distinct-token strings, pairs
+       emitted only from the higher rank's home stripe (each pair once).
+    """
+
+    def _key_prefix_u64(keys: list[str]) -> np.ndarray:
+        out = np.empty(len(keys), dtype=np.uint64)
+        for i, k in enumerate(keys):
+            b = k.encode("utf-8")[:8].ljust(8, b"\0")
+            out[i] = int.from_bytes(b, "big")
+        return out
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        keys = [(t or "")[:key_chars] for t in texts]
+        toks = [" ".join(sorted(set((t or "").split(" ")) - {""})) for t in texts]
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+                "toks": pa.array(toks, type=pa.string()),
+                "__bin": pa.array(_key_prefix_u64(keys).astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    # pass 1: per-bin counts -> driver prefix sums (O(#distinct prefixes))
+    import ray
+    from ray.data.aggregate import Count
+
+    hist = (
+        keyed_ds.groupby("__bin")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("__bin")
+    )
+    bins = hist["__bin"].to_numpy(np.int64)
+    starts = np.concatenate([[0], np.cumsum(hist["n"].to_numpy(np.int64))[:-1]])
+    ref = ray.put((bins, starts))
+
+    rank_empty = typed_empty(**{id_col: np.int64, "toks": object, "rnk": np.int64})
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return rank_empty.copy()
+        b, s = ray.get(ref)
+        df = df.sort_values(["__bin", "key", id_col], kind="mergesort")
+        cc = df.groupby("__bin").cumcount().to_numpy()
+        rnk = s[np.searchsorted(b, df["__bin"].to_numpy())] + cc
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "toks": df["toks"].to_numpy(),
+                "rnk": rnk.astype(np.int64),
+            }
+        )
+
+    ranked = bucketed_aggregate(
+        keyed_ds, ["__bin"], rank_bucket, n_buckets=n_buckets, empty=rank_empty
+    )
+
+    # pass 2: band join on rank via stripe replication
+    def striped(batch: pa.Table) -> pa.Table:
+        r = batch["rnk"].to_numpy()
+        home = r // window
+        t = pa.concat_tables(
+            [
+                batch.append_column("g", pa.array(home.astype(np.int64))),
+                batch.append_column("g", pa.array((home + 1).astype(np.int64))),
+            ]
+        )
+        return t
+
+    pair_empty = typed_empty(doc_a=np.int64, doc_b=np.int64, j_pm=np.int64)
+
+    def pair_stripe(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pair_empty.copy()
+        out_a, out_b, out_j = [], [], []
+        for g, grp in df.groupby("g"):
+            grp = grp.sort_values("rnk", kind="mergesort")
+            ids = grp[id_col].to_numpy()
+            rnk = grp["rnk"].to_numpy()
+            sets = [set(t.split(" ")) - {""} for t in grp["toks"]]
+            m = len(grp)
+            for d in range(1, window + 1):
+                for i in range(m - d):
+                    rb = rnk[i + d]
+                    if rb // window != g:  # emit in the higher rank's home stripe
+                        continue
+                    sa, sb = sets[i], sets[i + d]
+                    union = len(sa | sb)
+                    if union == 0:
+                        continue
+                    inter = len(sa & sb)
+                    if 1000 * inter >= threshold_pm * union:
+                        out_a.append(ids[i])
+                        out_b.append(ids[i + d])
+                        out_j.append(1000 * inter // union)
+        if not out_a:
+            return pair_empty.copy()
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a, dtype=np.int64),
+                "doc_b": np.asarray(out_b, dtype=np.int64),
+                "j_pm": np.asarray(out_j, dtype=np.int64),
+            }
+        )
+
+    return bucketed_aggregate(
+        ranked.map_batches(striped, batch_format="pyarrow"),
+        ["g"],
+        pair_stripe,
+        n_buckets=n_buckets,
+        empty=pair_empty,
+        coalesce_first=False,
+    )

@@ -244,3 +244,63 @@ def test_typo_token_pairs_matches_bruteforce(ray_session):
         out = typo_token_pairs(ds, n_buckets=16).to_pandas()
         got = sorted(zip(out["t1"], out["t2"]))
         assert got == want, parts
+
+
+def test_snm_pairs_window_and_threshold(ray_session):
+    """Sorted-neighborhood: near-identical docs adjacent in key order
+    pair up; records farther than `window` apart in the sort order never
+    pair even if identical; partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import sorted_neighborhood_pairs
+
+    # keys sort as: aaa...(1), aab...(2), zz0..zz9 filler, zzz(8), zzz(9)
+    filler = [
+        {"doc_id": 10 + i, "text": f"zz{i} unique_{i} filler_{i}"} for i in range(6)
+    ]
+    docs = [
+        {"doc_id": 1, "text": "aaa common tokens here exact"},
+        {"doc_id": 2, "text": "aab common tokens here exact"},  # adjacent, J=4/6
+        {"doc_id": 8, "text": "zzz same same body words"},
+        {"doc_id": 9, "text": "zzz same same body words"},      # identical, adjacent
+    ] + filler
+    for parts in (1, 4):
+        out = (
+            sorted_neighborhood_pairs(
+                rd.from_items(docs).repartition(parts),
+                key_chars=24,
+                window=2,
+                threshold_pm=600,
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        got = set(zip(out.doc_a, out.doc_b, out.j_pm))
+        # (1,2): tokens {aaa,common,tokens,here,exact} vs {aab,...}: inter 4, union 6 -> 666
+        # (8,9): identical distinct sets {zzz,same,body,words}: 1000
+        assert (1, 2, 666) in got
+        assert (8, 9, 1000) in got
+        # docs 1 and 8 are > window apart in sort order: never paired
+        assert not any(a == 1 and b == 8 for a, b, _ in got)
+        assert len(got) == 2
+
+
+def test_snm_pairs_empty_docs_no_division(ray_session):
+    """Token-less docs adjacent in sort order produce no pair (union=0)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import sorted_neighborhood_pairs
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "real words here"},
+        ]
+    )
+    out = sorted_neighborhood_pairs(
+        ds, window=2, threshold_pm=500, n_buckets=2
+    ).to_pandas()
+    assert len(out) == 0

@@ -45,6 +45,7 @@ SUBSET = [
     "mktsegment_join_skew",
     "props_k_by_type",
     "fuzzy_dedup_survivors",
+    "snm_pairs",
     "simhash64",
     "minhash_sig",
     "knn_top5",
