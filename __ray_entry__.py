@@ -1038,6 +1038,13 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _cms_registers(sf_dir: str):
+    """Count-min sketch registers (4x256) over corpus token instances."""
+    from sanskrit_ocr_ray.stages.sketch import cms_registers
+
+    return cms_registers(_tbl(sf_dir, "documents", ["text"]), depth=4, width=256)
+
+
 def _snm_pairs(sf_dir: str):
     """Sorted-neighborhood near-dup pairs (24-char key, window 4, J>=0.8)."""
     from sanskrit_ocr_ray.stages.dedup import sorted_neighborhood_pairs
@@ -1985,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal": _bigram_surprisal,
         "value_ntile": _value_ntile,
         "snm_pairs": _snm_pairs,
+        "cms_registers": _cms_registers,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2932,6 +2940,22 @@ FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 4
 WHERE (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) > 0
   AND 1000 * len(list_intersect(a.ts, b.ts))
       >= 800 * (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+""",
+        "cms_registers": """
+WITH tok AS (
+  SELECT unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), cnt AS (
+  SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+), h AS (
+  SELECT CAST(r AS BIGINT) AS row_idx,
+         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || t), 1, 16))::UBIGINT
+              % 256 AS BIGINT) AS col_idx,
+         n
+  FROM cnt, unnest(range(4)) rr(r)
+)
+SELECT row_idx, col_idx, CAST(SUM(n) AS BIGINT) AS cnt
+FROM h GROUP BY row_idx, col_idx
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

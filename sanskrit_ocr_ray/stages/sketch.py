@@ -294,3 +294,78 @@ def kmv_jaccard(
             "jaccard_pm": np.asarray([j_pm], np.int64),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_registers(ds, *, column: str = "text", depth: int = 4, width: int = 256):
+    """Count-min sketch register table over corpus token INSTANCES →
+    ``(row_idx, col_idx, cnt)`` with ``depth`` md5-derived hash rows of
+    ``width`` counters each (Cormode & Muthukrishnan 2005) — the
+    frequency-sketch complement to :func:`hll_registers` (distincts) and
+    :func:`kmv_distinct` (set ops): point-frequency upper bounds for any
+    token from ``depth·width`` integers, regardless of vocabulary size.
+
+    The OUTPUT is the integer registers, not an estimate, so the DuckDB
+    oracle reproduces every cell exactly (row-r hash of token t =
+    ``md5_u64(f"{r}:{t}") % width``, the repo's md5 convention). Zero
+    cells are absent on both sides. Point estimates are a driver-side
+    ``min`` over the d rows (:func:`cms_point_estimate`), kept out of
+    the operator so the gate stays integer-exact.
+
+    Scale shape: the textbook mergeable partial — each batch folds its
+    own token counts into a local ``depth × width`` array and emits its
+    nonzero cells; one native groupby-sum over the ≤ depth·width key
+    space folds them. Shuffle ≤ #batches·depth·width tiny rows;
+    nothing driver-side.
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pd.DataFrame(
+        {
+            "row_idx": np.array([], np.int64),
+            "col_idx": np.array([], np.int64),
+            "cnt": np.array([], np.int64),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[column].to_pylist():
+            for w in (t or "").split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        if not counts:
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        arr = np.zeros((depth, width), np.int64)
+        for tok, n in counts.items():
+            for r in range(depth):
+                arr[r, md5_u64(f"{r}:{tok}") % width] += n
+        rows, cols = np.nonzero(arr)
+        return pa.table(
+            {
+                "row_idx": pa.array(rows.astype(np.int64)),
+                "col_idx": pa.array(cols.astype(np.int64)),
+                "cnt": pa.array(arr[rows, cols]),
+            }
+        )
+
+    assert depth * width <= 65536  # partials stay tiny
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row_idx", "col_idx"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_point_estimate(registers: pd.DataFrame, token: str, *, depth: int = 4, width: int = 256) -> int:
+    """Point-frequency upper bound for ``token`` from a materialized
+    :func:`cms_registers` frame: min over the d rows' cells (missing
+    cell = 0). Never underestimates; exact when no collision."""
+    lut = {(r, c): n for r, c, n in zip(registers["row_idx"], registers["col_idx"], registers["cnt"])}
+    return min(
+        int(lut.get((r, md5_u64(f"{r}:{token}") % width), 0)) for r in range(depth)
+    )

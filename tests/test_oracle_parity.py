@@ -57,6 +57,7 @@ SUBSET = [
     "corpus_mix",
     "ngram_top",
     "heavy_hitters",
+    "cms_registers",
     "basket_pairs",
     "status_history",
     "embedding_moments",

@@ -290,3 +290,36 @@ def test_kmv_jaccard_exact_and_estimate_paths(ray_session):
     est2 = kmv_jaccard(rd.from_pandas(big).repartition(7), k=128)
     pd.testing.assert_frame_equal(est, est2)  # hash-order pure
     assert 0 < est["jaccard_pm"].iloc[0] < 1000
+
+
+def test_cms_registers_exact_and_estimate(ray_session):
+    """CMS registers are partition-invariant mergeable partials; the
+    point estimate never underestimates and is exact without collisions."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import cms_point_estimate, cms_registers
+
+    docs = [
+        {"text": "apple apple banana"},
+        {"text": "apple cherry"},
+        {"text": ""},
+    ]
+    true = {"apple": 3, "banana": 1, "cherry": 1}
+    frames = []
+    for parts in (1, 3):
+        regs = (
+            cms_registers(rd.from_items(docs).repartition(parts), depth=4, width=256)
+            .to_pandas()
+            .sort_values(["row_idx", "col_idx"])
+            .reset_index(drop=True)
+        )
+        frames.append(regs)
+    assert frames[0].equals(frames[1])  # partition invariance
+    regs = frames[0]
+    assert regs.cnt.sum() == 4 * 5  # every instance in every row
+    for tok, n in true.items():
+        est = cms_point_estimate(regs, tok, depth=4, width=256)
+        assert est >= n
+    # 3 distinct tokens in 256 columns: no collisions, estimates exact
+    assert cms_point_estimate(regs, "apple") == 3
+    assert cms_point_estimate(regs, "durian") == 0
