@@ -1038,6 +1038,21 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _lineitem_unpivot(sf_dir: str):
+    """Wide-to-long melt of lineitem's three rate measures."""
+    from sanskrit_ocr_ray.stages.relational import unpivot
+
+    return unpivot(
+        _tbl(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+        ),
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+    )
+
+
 def _cms_registers(sf_dir: str):
     """Count-min sketch registers (4x256) over corpus token instances."""
     from sanskrit_ocr_ray.stages.sketch import cms_registers
@@ -1993,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ntile": _value_ntile,
         "snm_pairs": _snm_pairs,
         "cms_registers": _cms_registers,
+        "lineitem_unpivot": _lineitem_unpivot,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2956,6 +2972,15 @@ WITH tok AS (
 )
 SELECT row_idx, col_idx, CAST(SUM(n) AS BIGINT) AS cnt
 FROM h GROUP BY row_idx, col_idx
+""",
+        "lineitem_unpivot": """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+       CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

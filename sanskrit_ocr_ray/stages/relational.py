@@ -2101,3 +2101,22 @@ def ntile_assign(
         n_buckets=n_buckets,
         empty=empty,
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str], *, var_col: str = "variable", val_col: str = "value"):
+    """Wide→long melt (ANSI UNPIVOT; inverse of :func:`pivot_counts`):
+    each input row becomes ``len(value_cols)`` rows of
+    ``(*id_cols, var_col, val_col)``, measures cast to float64 (SQL
+    UNPIVOT's common-supertype rule). Shuffle-free, zero-copy on the id
+    columns — one Arrow concat of per-measure projections per batch."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: batch[k] for k in id_cols}
+            cols[var_col] = pa.array([c] * batch.num_rows, type=pa.string())
+            cols[val_col] = batch[c].cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

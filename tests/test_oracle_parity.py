@@ -58,6 +58,7 @@ SUBSET = [
     "ngram_top",
     "heavy_hitters",
     "cms_registers",
+    "lineitem_unpivot",
     "basket_pairs",
     "status_history",
     "embedding_moments",

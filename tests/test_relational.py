@@ -848,3 +848,30 @@ def test_ntile_assign_ties_and_small_n(ray_session):
         .sort_values("event_id")
     )
     assert list(zip(out.event_id, out.tile)) == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_unpivot_melt(ray_session):
+    """Wide->long: one row per (row, measure), ids repeated, float cast."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import unpivot
+
+    df = pd.DataFrame(
+        {
+            "id": np.array([1, 2], dtype=np.int64),
+            "a": np.array([10, 20], dtype=np.int64),
+            "b": [0.5, 1.5],
+        }
+    )
+    out = (
+        unpivot(rd.from_pandas(df), ["id"], ["a", "b"])
+        .to_pandas()
+        .sort_values(["id", "variable"])
+        .reset_index(drop=True)
+    )
+    assert list(zip(out.id, out.variable, out.value)) == [
+        (1, "a", 10.0),
+        (1, "b", 0.5),
+        (2, "a", 20.0),
+        (2, "b", 1.5),
+    ]
