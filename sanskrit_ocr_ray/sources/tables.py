@@ -24,6 +24,9 @@ actually on disk:
 - ``*.feather`` / ``*.arrow`` → a batch-streaming :class:`IpcDatasource`
   over the Arrow IPC file format — zero parse cost (IPC **is** the
   in-memory layout), projection right after each record batch;
+- ``*.avro`` → a block-streaming pure-Python OCF decoder
+  (:mod:`.avro`; no ``fastavro`` in the sandbox) — row-major ingestion
+  edge like JSONL, one Ray block per Avro block, null/deflate codecs;
 - otherwise → ``ray.data.read_parquet`` with column + row-group pushdown.
 
 All arms return the identical Ray Dataset schema for the same rows, so
@@ -194,6 +197,14 @@ def read_table(
     if path.endswith((".feather", ".arrow")):
         return _project(
             _filtered(rd.read_datasource(_make_ipc_datasource(path, read_cols)))
+        )
+    if path.endswith(".avro"):
+        from .avro import make_avro_datasource
+
+        # row-major ingestion edge: projection right after each OCF
+        # block decodes (no storage-side projection exists for Avro)
+        return _project(
+            _filtered(rd.read_datasource(make_avro_datasource(path, read_cols)))
         )
     if path.endswith((".csv", ".csv.gz")):
         from pyarrow import csv as pacsv

@@ -243,3 +243,64 @@ def test_read_table_gzip_ingestion_parity(ray_session, tmp_path):
             .reset_index(drop=True)
         )
         assert got.equals(want), name
+
+
+def test_avro_codec_roundtrip():
+    """Pure-Python Avro OCF: encode -> decode is lossless for the
+    supported primitive + timestamp-micros types, both codecs, nulls
+    included; malformed payloads raise."""
+    import pyarrow as pa
+    import pytest
+
+    from sanskrit_ocr_ray.sources.avro import decode_avro, encode_avro
+
+    tbl = pa.table(
+        {
+            "i": pa.array([1, None, -3], type=pa.int64()),
+            "s": pa.array(["a", "β", None], type=pa.string()),
+            "d": pa.array([0.5, None, -2.25], type=pa.float64()),
+            "b": pa.array([True, False, None], type=pa.bool_()),
+            "raw": pa.array([b"\x00\xff", None, b""], type=pa.binary()),
+            "ts": pa.array([1_000_000, 2_500_000, None], type=pa.timestamp("us")),
+        }
+    )
+    for codec in ("null", "deflate"):
+        out = decode_avro(encode_avro(tbl, codec=codec, block_rows=2))
+        assert out.equals(tbl), codec
+    with pytest.raises(ValueError):
+        decode_avro(b"NotAvroAtAll")
+    good = encode_avro(tbl)
+    with pytest.raises(ValueError):
+        decode_avro(good[:-4])  # truncated final block/sync
+
+
+def test_read_table_avro_parity(ray_session, tmp_path):
+    """The Avro ingestion arm returns the same rows, columns, and filter
+    semantics as the Parquet pushdown path; multi-block files stream one
+    Ray block per OCF block."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from sanskrit_ocr_ray.sources.avro import encode_avro
+    from sanskrit_ocr_ray.sources.tables import read_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    tbl = pq.read_table(src, columns=["doc_id", "lang", "n_chars"])
+    avrof = str(tmp_path / "docs.avro")
+    with open(avrof, "wb") as f:
+        f.write(encode_avro(tbl, codec="deflate", block_rows=128))
+
+    cols = ["doc_id", "n_chars"]
+    expr = ~pds.field("lang").isin(["sa"])  # filter col NOT in columns
+    want = (
+        read_table(src, columns=cols, row_filter=expr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    got = read_table(
+        avrof, columns=cols, row_filter=expr, filter_columns=["lang"]
+    ).to_pandas()
+    got = got.astype(want.dtypes).sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want)
