@@ -144,6 +144,11 @@ def run_bench() -> dict:
         "status_history",
         "embedding_moments",
         "typo_pairs",
+        "dedup_spans",
+        "bigram_surprisal",
+        "snm_pairs",
+        "value_ntile",
+        "cms_registers",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)

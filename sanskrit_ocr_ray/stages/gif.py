@@ -235,3 +235,105 @@ def _gif_decode(payload: bytes) -> np.ndarray:
     if bool((pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()):
         return pal[idx, 0].reshape(h, w)
     return pal[idx].reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# animated GIF89a (multi-frame)
+# ---------------------------------------------------------------------------
+
+
+def gif_encode_anim(frames: np.ndarray, *, delay_cs: int = 4) -> bytes:
+    """Encode an (N, H, W) uint8 grayscale stack as an animated GIF89a:
+    Netscape-free minimal animation — one Graphic Control Extension
+    (disposal=1 'leave in place', ``delay_cs`` centiseconds, no
+    transparency) + full-rect image per frame, shared identity grayscale
+    global palette. Every frame covers the whole canvas, so decode needs
+    no compositing and the stack round-trips byte-exact (lossless)."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("gif_encode_anim expects an (N, H, W) uint8 array")
+    n, h, w = frames.shape
+    if n < 1:
+        raise ValueError("gif_encode_anim needs at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += np.repeat(np.arange(256, dtype=np.uint8), 3).tobytes()
+    for f in range(n):
+        # graphic control extension: disposal=1, no transparent color
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x04, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(8)
+        lzw = _lzw_encode(frames[f].reshape(-1))
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def gif_decode_frames(payload: bytes) -> np.ndarray:
+    """Decode an animated GIF89a written by :func:`gif_encode_anim` (or
+    any full-rect grayscale-palette animation) to (N, H, W) uint8.
+    Sub-rectangle frames, transparency, local tables, interlace and
+    min-code-size ≠ 8 raise ValueError (quarantine path) — honest
+    rejection, not silent compositing."""
+    try:
+        return _gif_decode_frames(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"gif: truncated payload ({exc})") from exc
+
+
+def _gif_decode_frames(payload: bytes) -> np.ndarray:
+    if len(payload) < 13 or payload[:4] != b"GIF8":
+        raise ValueError("gif: bad signature")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if not packed & 0x80:
+        raise ValueError("gif: missing global color table")
+    n_pal = 2 << (packed & 0x07)
+    pos = 13
+    pal = np.frombuffer(payload[pos : pos + 3 * n_pal], np.uint8).reshape(n_pal, 3)
+    pos += 3 * n_pal
+    if not bool((pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()):
+        raise ValueError("gif: color-palette animations unsupported")
+    frames: list[np.ndarray] = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: validate GCE transparency, then skip
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] == 4 and payload[pos + 1] & 0x01:
+                raise ValueError("gif: transparency unsupported")
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{b:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+        pos += 10
+        if ipacked & 0xC0:
+            raise ValueError("gif: local color table / interlace unsupported")
+        if (iw, ih) != (w, h):
+            raise ValueError("gif: sub-rectangle frames unsupported")
+        mcs = payload[pos]
+        pos += 1
+        if mcs != 8:
+            raise ValueError(f"gif: LZW min code size {mcs} unsupported")
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated sub-blocks")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(payload[pos : pos + ln])
+            pos += ln
+        idx = np.frombuffer(_lzw_decode(b"".join(chunks), w * h), np.uint8)
+        frames.append(pal[idx, 0].reshape(h, w))
+    if not frames:
+        raise ValueError("gif: no frames")
+    return np.stack(frames)

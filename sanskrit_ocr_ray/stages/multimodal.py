@@ -27,7 +27,7 @@ import pyarrow as pa
 # so a name-based `import sanskrit_ocr_ray...` inside a worker would fail
 from ..util import md5_u64
 from .avi import avi_decode, avi_encode
-from .gif import gif_decode, gif_encode
+from .gif import gif_decode, gif_decode_frames, gif_encode, gif_encode_anim
 from .bmp import bmp_decode, bmp_encode
 from .jpeg import jpeg_decode
 from .png import png_decode, png_encode
@@ -173,14 +173,20 @@ def synth_video_batch(
     # (B, n_frames, hw) built vectorized, then to per-row bytes
     pix = ((ids[:, None, None] * 7 + f[None, :, None] * 13 + (i * i)[None, None, :]) % 256
            ).astype(np.uint8)
-    # even doc_ids ship inside a REAL RIFF/AVI container (uncompressed
-    # 8-bit DIB frames — lossless, so per-frame checksums and the DuckDB
-    # oracle are unchanged); odd ones stay raw8 concatenated frames.
-    # Deterministic per doc, parallelism-invariant.
-    types = ["video/avi" if d % 2 == 0 else "video/raw8" for d in ids]
+    # even doc_ids ship inside REAL containers (both lossless for 8-bit
+    # gray, so per-frame checksums and the DuckDB oracle are unchanged):
+    # doc_id%4==0 → RIFF/AVI with uncompressed DIB frames, doc_id%4==2 →
+    # animated GIF89a (full-rect frames, LZW); odd ones stay raw8
+    # concatenated frames. Deterministic per doc, parallelism-invariant.
+    types = [
+        ("video/avi" if d % 4 == 0 else "video/gif") if d % 2 == 0 else "video/raw8"
+        for d in ids
+    ]
     payloads = [
         avi_encode(p.reshape(n_frames, height, width), fps=25, codec="DIB ")
         if t == "video/avi"
+        else gif_encode_anim(p.reshape(n_frames, height, width))
+        if t == "video/gif"
         else p.tobytes()
         for p, t in zip(pix, types)
     ]
@@ -216,6 +222,8 @@ def sample_frames(ds, *, stride: int = 2, id_col: str = "doc_id"):
         for did, nf, w, h, p, mt in zip(ids, nfs, ws, hs, payloads, types):
             if mt == "video/avi":
                 arr = avi_decode(p)[0].reshape(-1, w * h)
+            elif mt == "video/gif":
+                arr = gif_decode_frames(p).reshape(-1, w * h)
             else:
                 arr = np.frombuffer(p, dtype=np.uint8, count=nf * w * h).reshape(nf, w * h)
             idx = np.arange(0, nf, stride)

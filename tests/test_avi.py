@@ -80,15 +80,19 @@ def test_sample_frames_container_parity():
     batch = pa.table({"doc_id": pa.array([2, 3, 4, 7], type=pa.int64())})
     t = synth_video_batch(batch)
     types = t["media_type"].to_pylist()
-    assert types == ["video/avi", "video/raw8", "video/avi", "video/raw8"]
+    assert types == ["video/gif", "video/raw8", "video/avi", "video/raw8"]
     nf = t["n_frames"][0].as_py()
     w, h = t["width"][0].as_py(), t["height"][0].as_py()
+    from sanskrit_ocr_ray.stages.gif import gif_decode_frames
+
     for did, mt, p in zip(t["doc_id"].to_pylist(), types, t["payload"].to_pylist()):
         i = np.arange(h * w, dtype=np.int64)
         f = np.arange(nf, dtype=np.int64)
         expect = ((did * 7 + f[:, None] * 13 + (i * i)[None, :]) % 256).astype(np.uint8)
         if mt == "video/avi":
             got = avi_decode(p)[0].reshape(nf, -1)
+        elif mt == "video/gif":
+            got = gif_decode_frames(p).reshape(nf, -1)
         else:
             got = np.frombuffer(p, np.uint8).reshape(nf, -1)
         np.testing.assert_array_equal(got, expect)

@@ -124,3 +124,55 @@ def test_multimodal_dispatch_and_quarantine():
     feats = res["features"].to_pylist()
     assert errs[0] is None and len(feats[0]) == 16
     assert errs[1] is not None and feats[1] is None
+
+
+def test_gif_anim_roundtrip_exact():
+    """Animated GIF89a: an (N,H,W) gray stack round-trips byte-exact,
+    including frames that differ and a 1-frame animation."""
+    from sanskrit_ocr_ray.stages.gif import gif_decode_frames, gif_encode_anim
+
+    rng = np.random.default_rng(7)
+    fr = rng.integers(0, 256, size=(5, 17, 23), dtype=np.uint8)
+    out = gif_decode_frames(gif_encode_anim(fr))
+    np.testing.assert_array_equal(out, fr)
+    one = rng.integers(0, 256, size=(1, 9, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(gif_decode_frames(gif_encode_anim(one)), one)
+
+
+def test_gif_anim_single_frame_compat():
+    """The single-frame decoder reads the first frame of an animation
+    (it skips GCE extensions), and the animated decoder reads plain
+    GIF87a stills as a 1-frame stack."""
+    from sanskrit_ocr_ray.stages.gif import (
+        gif_decode,
+        gif_decode_frames,
+        gif_encode,
+        gif_encode_anim,
+    )
+
+    rng = np.random.default_rng(11)
+    fr = rng.integers(0, 256, size=(3, 8, 12), dtype=np.uint8)
+    np.testing.assert_array_equal(gif_decode(gif_encode_anim(fr)), fr[0])
+    still = rng.integers(0, 256, size=(8, 12), dtype=np.uint8)
+    st = gif_decode_frames(gif_encode(still))
+    np.testing.assert_array_equal(st, still[None])
+
+
+def test_gif_anim_malformed_quarantine():
+    """Truncation, transparency, and sub-rect frames raise ValueError."""
+    import pytest
+
+    from sanskrit_ocr_ray.stages.gif import gif_decode_frames, gif_encode_anim
+
+    fr = np.zeros((2, 6, 6), dtype=np.uint8)
+    good = gif_encode_anim(fr)
+    with pytest.raises(ValueError):
+        gif_decode_frames(good[:40])
+    with pytest.raises(ValueError):
+        gif_decode_frames(b"NOTGIF" + good)
+    # flip the GCE transparency bit (first 0x21 0xF9 block after palette)
+    bad = bytearray(good)
+    gce = bad.index(b"\x21\xf9", 13)
+    bad[gce + 3] |= 0x01
+    with pytest.raises(ValueError):
+        gif_decode_frames(bytes(bad))
