@@ -1038,6 +1038,15 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _user_ewma(sf_dir: str):
+    """Per-user integer EWMA (alpha=1/4, centi-value fixed point)."""
+    from sanskrit_ocr_ray.stages.relational import ewma_by_user
+
+    return ewma_by_user(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
 def _lineitem_unpivot(sf_dir: str):
     """Wide-to-long melt of lineitem's three rate measures."""
     from sanskrit_ocr_ray.stages.relational import unpivot
@@ -2009,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": _snm_pairs,
         "cms_registers": _cms_registers,
         "lineitem_unpivot": _lineitem_unpivot,
+        "user_ewma": _user_ewma,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -2981,6 +2991,19 @@ SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE)
 FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+""",
+        "user_ewma": """
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), w(user_id, rn, event_id, s) AS (
+  SELECT user_id, rn, event_id, v FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, ev.event_id, (ev.v + 3 * w.s) // 4
+  FROM w JOIN ev ON ev.user_id = w.user_id AND ev.rn = w.rn + 1
+)
+SELECT event_id, CAST(s AS BIGINT) AS ewma FROM w
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

@@ -2120,3 +2120,64 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str], *, var_col: str = "va
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def ewma_by_user(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    scale: int = 100,
+    n_buckets: int = 64,
+):
+    """Per-user integer EWMA over the (ts, id)-ordered event stream:
+    ``s₀ = v₀;  sᵢ = (alpha_num·vᵢ + (alpha_den−alpha_num)·sᵢ₋₁) // alpha_den``
+    with ``v = floor(value·scale)`` — the exponential-smoothing feature
+    of per-user engagement scoring as an EXACT integer recurrence (no
+    float accumulator drift), the stateful-scan class IMA-ADPCM's
+    decoder also lives in; the DuckDB oracle replays the identical
+    recurrence with a recursive CTE. Requires ``value ≥ 0`` (where
+    Python floor-division and SQL ``//`` agree). Returns
+    ``(id_col, ewma)`` for every event.
+
+    Scale shape: one ``hash(user) % B`` bucketed shuffle (the sessionize
+    pattern) co-locates each user's stream; inside a bucket the
+    recurrence is a STEP SCAN — rows grouped by their per-user position
+    k, and step k updates ALL users' k-th events in one vectorized
+    searchsorted+gather — so the Python loop length is the bucket's max
+    events-per-user, not its row count.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    beta = alpha_den - alpha_num
+    empty = typed_empty(**{id_col: np.int64, "ewma": np.int64})
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        v = np.floor(df[value_col].to_numpy() * scale).astype(np.int64)
+        u = df[user_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        cc = df.groupby(user_col).cumcount().to_numpy()
+        order = np.lexsort((u, cc))  # (position k, then user)
+        u_s, v_s, cc_s = u[order], v[order], cc[order]
+        s = np.empty_like(v_s)
+        kmax = int(cc_s.max())
+        starts = np.searchsorted(cc_s, np.arange(kmax + 2))
+        s[: starts[1]] = v_s[: starts[1]]
+        for k in range(1, kmax + 1):
+            a, b = starts[k], starts[k + 1]
+            pa_, pb = starts[k - 1], starts[k]
+            idx = np.searchsorted(u_s[pa_:pb], u_s[a:b])
+            sp = s[pa_:pb][idx]
+            s[a:b] = (alpha_num * v_s[a:b] + beta * sp) // alpha_den
+        out_ids = ids[order]
+        return pd.DataFrame({id_col: out_ids, "ewma": s.astype(np.int64)})
+
+    return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)

@@ -78,6 +78,7 @@ SUBSET = [
     "sessionize",
     "top_users_by_value",
     "user_rolling_value",
+    "user_ewma",
     "funnel_counts",
     "user_mode_event",
     "doc_ttr",

@@ -875,3 +875,52 @@ def test_unpivot_melt(ray_session):
         (2, "a", 20.0),
         (2, "b", 1.5),
     ]
+
+
+def test_ewma_by_user_recurrence(ray_session):
+    """Integer EWMA: s0=v0, s_i=(v_i+3*s_{i-1})//4 per user in (ts,id)
+    order; partition-invariant; single-event users pass through."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import ewma_by_user
+
+    rows = [
+        # user 1: v = 400, 100, 100 -> s = 400, (100+1200)//4=325, (100+975)//4=268
+        {"event_id": 1, "user_id": 1, "ts": 10, "value": 4.0},
+        {"event_id": 2, "user_id": 1, "ts": 20, "value": 1.0},
+        {"event_id": 3, "user_id": 1, "ts": 30, "value": 1.0},
+        # user 2: single event
+        {"event_id": 4, "user_id": 2, "ts": 5, "value": 2.5},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    for parts in (1, 3):
+        out = (
+            ewma_by_user(rd.from_pandas(df).repartition(parts), n_buckets=4)
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert list(zip(out.event_id, out.ewma)) == [
+            (1, 400),
+            (2, 325),
+            (3, 268),
+            (4, 250),
+        ]
+
+
+def test_ewma_by_user_tie_order(ray_session):
+    """Equal timestamps order by event_id (the oracle's two-key sort)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import ewma_by_user
+
+    df = pd.DataFrame(
+        [
+            {"event_id": 2, "user_id": 1, "ts": 10, "value": 1.0},
+            {"event_id": 1, "user_id": 1, "ts": 10, "value": 4.0},
+        ]
+    )
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    out = ewma_by_user(rd.from_pandas(df), n_buckets=2).to_pandas().sort_values("event_id")
+    # order is id 1 (v=400) then id 2 (v=100): s = 400, then 325
+    assert list(zip(out.event_id, out.ewma)) == [(1, 400), (2, 325)]
