@@ -1038,6 +1038,24 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _lineitem_zorder(sf_dir: str):
+    """Z-order clustering keys over (l_partkey, l_suppkey) + z-range shards."""
+    from sanskrit_ocr_ray.stages.relational import zorder_keys
+
+    return zorder_keys(
+        _tbl(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        ),
+        "l_partkey",
+        "l_suppkey",
+        id_cols=["l_orderkey", "l_linenumber"],
+        bits=16,
+        shard_bits=4,
+    )
+
+
 def _user_ewma(sf_dir: str):
     """Per-user integer EWMA (alpha=1/4, centi-value fixed point)."""
     from sanskrit_ocr_ray.stages.relational import ewma_by_user
@@ -2019,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_registers": _cms_registers,
         "lineitem_unpivot": _lineitem_unpivot,
         "user_ewma": _user_ewma,
+        "lineitem_zorder": _lineitem_zorder,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -3791,6 +3810,17 @@ GROUP BY token, m.n HAVING COUNT(*) * 32 > m.n
         + " ".join(f"WHEN w >= {1 << b} THEN {b + 1}" for b in range(57, 0, -1))
         + " WHEN w >= 1 THEN 1 ELSE 0 END"
     )
+    _zbits = " + ".join(
+        f"(((l_partkey >> {i}) & 1) << {2 * i}) + "
+        f"(((l_suppkey >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    oracles["lineitem_zorder"] = f"""
+SELECT l_orderkey, l_linenumber,
+       CAST({_zbits} AS BIGINT) AS zkey,
+       CAST(({_zbits}) >> 28 AS BIGINT) AS shard
+FROM lineitem
+"""
     oracles["hll_registers"] = f"""
 WITH tok AS (
   SELECT list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents

@@ -2181,3 +2181,56 @@ def ewma_by_user(
         return pd.DataFrame({id_col: out_ids, "ewma": s.astype(np.int64)})
 
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
+
+
+def zorder_keys(
+    ds,
+    x_col: str,
+    y_col: str,
+    *,
+    id_cols: list[str],
+    bits: int = 16,
+    shard_bits: int = 4,
+    out_key: str = "zkey",
+    out_shard: str = "shard",
+):
+    """Z-order (Morton) clustering key over two integer columns — the
+    data-layout primitive behind multi-column data skipping (Delta/Lance
+    OPTIMIZE ZORDER BY): interleave the low ``bits`` bits of x and y so
+    rows close in BOTH dimensions get close keys, and derive a shard id
+    from the key's top ``shard_bits`` bits (a z-range partition: each
+    shard is a contiguous z-interval = an axis-aligned tile family, so a
+    predicate on either column prunes shards). Shuffle-free map; the
+    caller sorts/writes by (shard, zkey) to materialize the layout.
+    Returns ``(*id_cols, zkey, shard)``.
+
+    The bit interleave is the classic magic-number spread (4 shift-mask
+    steps per operand, fully vectorized); the DuckDB oracle computes the
+    same key as an explicit per-bit sum, so the equality gate covers
+    every bit position.
+    """
+    if bits > 31:
+        raise ValueError("bits > 31 would overflow the int64 zkey")
+    mask = (1 << bits) - 1
+
+    def _spread(v: np.ndarray) -> np.ndarray:
+        # 16-bit magic spread extended to 31 bits via uint64 intermediates
+        x = v.astype(np.uint64)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        xv = batch[x_col].to_numpy().astype(np.int64) & mask
+        yv = batch[y_col].to_numpy().astype(np.int64) & mask
+        z = (_spread(xv) | (_spread(yv) << np.uint64(1))).astype(np.int64)
+        shard = z >> np.int64(2 * bits - shard_bits)
+        cols = {k: batch[k] for k in id_cols}
+        cols[out_key] = pa.array(z)
+        cols[out_shard] = pa.array(shard)
+        return pa.table(cols)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -59,6 +59,7 @@ SUBSET = [
     "heavy_hitters",
     "cms_registers",
     "lineitem_unpivot",
+    "lineitem_zorder",
     "basket_pairs",
     "status_history",
     "embedding_moments",

@@ -924,3 +924,38 @@ def test_ewma_by_user_tie_order(ray_session):
     out = ewma_by_user(rd.from_pandas(df), n_buckets=2).to_pandas().sort_values("event_id")
     # order is id 1 (v=400) then id 2 (v=100): s = 400, then 325
     assert list(zip(out.event_id, out.ewma)) == [(1, 400), (2, 325)]
+
+
+def test_zorder_keys_locality_and_bits(ray_session):
+    """Morton interleave: known bit patterns map exactly; z-range shards
+    are axis-aligned tiles (both coords share top bits within a shard)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import zorder_keys
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4, dtype=np.int64),
+            "x": np.array([0b1010, 0, 0xFFFF, 1], dtype=np.int64),
+            "y": np.array([0b0101, 0xFFFF, 0, 1], dtype=np.int64),
+        }
+    )
+    out = (
+        zorder_keys(rd.from_pandas(df), "x", "y", id_cols=["id"], bits=16, shard_bits=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+
+    def morton(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    for _, r in out.iterrows():
+        assert r.zkey == morton(df.x[r.id], df.y[r.id])
+        assert r.shard == r.zkey >> 28
+    # interleave of x=0b1010, y=0b0101: alternating bits -> 0b01100110
+    assert out.zkey[0] == 0b01100110
