@@ -1038,6 +1038,15 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _debounce_events(sf_dir: str):
+    """Per-user 6-hour debounce: kept-chain throttle over the event stream."""
+    from sanskrit_ocr_ray.stages.relational import debounce_events
+
+    return debounce_events(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id"]), window_s=21600
+    )
+
+
 def _lineitem_zorder(sf_dir: str):
     """Z-order clustering keys over (l_partkey, l_suppkey) + z-range shards."""
     from sanskrit_ocr_ray.stages.relational import zorder_keys
@@ -2038,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": _lineitem_unpivot,
         "user_ewma": _user_ewma,
         "lineitem_zorder": _lineitem_zorder,
+        "debounce_events": _debounce_events,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -3023,6 +3033,21 @@ WITH RECURSIVE ev AS (
   FROM w JOIN ev ON ev.user_id = w.user_id AND ev.rn = w.rn + 1
 )
 SELECT event_id, CAST(s AS BIGINT) AS ewma FROM w
+""",
+        "debounce_events": """
+WITH RECURSIVE ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), w(user_id, rn, event_id, s, kept) AS (
+  SELECT user_id, rn, event_id, t, TRUE FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, ev.event_id,
+         CASE WHEN ev.t - w.s >= 21600000000 THEN ev.t ELSE w.s END,
+         ev.t - w.s >= 21600000000
+  FROM w JOIN ev ON ev.user_id = w.user_id AND ev.rn = w.rn + 1
+)
+SELECT event_id FROM w WHERE kept
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

@@ -2234,3 +2234,61 @@ def zorder_keys(
         return pa.table(cols)
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def debounce_events(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_s: int = 21600,
+    n_buckets: int = 64,
+):
+    """Per-user event debounce (rate limiting with KEPT-chain state):
+    keep an event iff at least ``window_s`` seconds passed since the
+    last KEPT event of the same user (first event always kept) — the
+    throttling rule of event-stream hygiene. Unlike a lag-gap filter,
+    the state is the kept chain itself (a burst of close events is
+    collapsed to its FIRST member, not thinned pairwise), so this is a
+    stateful sequential recurrence:
+    ``sᵢ = tᵢ if tᵢ − sᵢ₋₁ ≥ w else sᵢ₋₁`` — the DuckDB oracle replays
+    it with a recursive CTE. Returns the kept ``(id_col,)`` rows.
+
+    Scale shape: identical to :func:`ewma_by_user` — one user-bucketed
+    shuffle, then a step scan whose vectorized steps update all users'
+    k-th events at once (Python loop = max events-per-user per bucket).
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    w_us = np.int64(window_s) * np.int64(1_000_000)
+    empty = typed_empty(**{id_col: np.int64})
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        t = df[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = df[user_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        cc = df.groupby(user_col).cumcount().to_numpy()
+        order = np.lexsort((u, cc))
+        u_s, t_s = u[order], t[order]
+        s = np.empty_like(t_s)
+        kept = np.zeros(len(t_s), dtype=bool)
+        kmax = int(cc[order].max())
+        starts = np.searchsorted(cc[order], np.arange(kmax + 2))
+        s[: starts[1]] = t_s[: starts[1]]
+        kept[: starts[1]] = True
+        for k in range(1, kmax + 1):
+            a, b = starts[k], starts[k + 1]
+            pa_, pb = starts[k - 1], starts[k]
+            idx = np.searchsorted(u_s[pa_:pb], u_s[a:b])
+            sp = s[pa_:pb][idx]
+            keep = t_s[a:b] - sp >= w_us
+            s[a:b] = np.where(keep, t_s[a:b], sp)
+            kept[a:b] = keep
+        return pd.DataFrame({id_col: ids[order][kept].astype(np.int64)})
+
+    return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)

@@ -80,6 +80,7 @@ SUBSET = [
     "top_users_by_value",
     "user_rolling_value",
     "user_ewma",
+    "debounce_events",
     "funnel_counts",
     "user_mode_event",
     "doc_ttr",

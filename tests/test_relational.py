@@ -959,3 +959,30 @@ def test_zorder_keys_locality_and_bits(ray_session):
         assert r.shard == r.zkey >> 28
     # interleave of x=0b1010, y=0b0101: alternating bits -> 0b01100110
     assert out.zkey[0] == 0b01100110
+
+
+def test_debounce_events_kept_chain(ray_session):
+    """Debounce measures from the last KEPT event, not the last event:
+    t=0,100,200 with w=150 keeps {0, 200} (a pairwise-gap filter would
+    drop 200 too); first event per user always kept; partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import debounce_events
+
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": 0},
+        {"event_id": 2, "user_id": 1, "ts": 100},
+        {"event_id": 3, "user_id": 1, "ts": 200},
+        {"event_id": 4, "user_id": 2, "ts": 50},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    for parts in (1, 3):
+        out = (
+            debounce_events(
+                rd.from_pandas(df).repartition(parts), window_s=150, n_buckets=4
+            )
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert list(out.event_id) == [1, 3, 4]
