@@ -1038,6 +1038,20 @@ def _dedup_spans(sf_dir: str):
     )
 
 
+def _media_sniff(sf_dir: str):
+    """Header-only media metadata (format, dims) — no pixel decode."""
+    from sanskrit_ocr_ray.stages.multimodal import (
+        sniff_media_batch,
+        synth_image_batch,
+    )
+
+    return (
+        _tbl(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth_image_batch, batch_format="pyarrow")
+        .map_batches(sniff_media_batch, batch_format="pyarrow")
+    )
+
+
 def _debounce_events(sf_dir: str):
     """Per-user 6-hour debounce: kept-chain throttle over the event stream."""
     from sanskrit_ocr_ray.stages.relational import debounce_events
@@ -2048,6 +2062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ewma": _user_ewma,
         "lineitem_zorder": _lineitem_zorder,
         "debounce_events": _debounce_events,
+        "media_sniff": _media_sniff,
         "profile_documents": _profile_documents,
         "validate_documents": _validate_documents,
         "fuzzy_dedup_survivors": _fuzzy_dedup,
@@ -3048,6 +3063,17 @@ WITH RECURSIVE ev AS (
   FROM w JOIN ev ON ev.user_id = w.user_id AND ev.rn = w.rn + 1
 )
 SELECT event_id FROM w WHERE kept
+""",
+        "media_sniff": """
+SELECT doc_id,
+       CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+                       WHEN 3 THEN 'tiff' WHEN 4 THEN 'bmp' ELSE 'raw8'
+       END AS format,
+       CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE 16 + doc_id % 17 END AS BIGINT)
+         AS width,
+       CAST(CASE WHEN doc_id % 6 = 5 THEN -1 ELSE 12 + doc_id % 13 END AS BIGINT)
+         AS height
+FROM documents
 """,
         "value_quantiles_binned": """
 WITH b AS (SELECT CAST(floor(value * 10) AS BIGINT) AS bin FROM events),

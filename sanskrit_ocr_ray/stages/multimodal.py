@@ -29,7 +29,7 @@ from ..util import md5_u64
 from .avi import avi_decode, avi_encode
 from .gif import gif_decode, gif_decode_frames, gif_encode, gif_encode_anim
 from .bmp import bmp_decode, bmp_encode
-from .jpeg import jpeg_decode
+from .jpeg import jpeg_decode, jpeg_encode
 from .png import png_decode, png_encode
 from .tiff import tiff_decode, tiff_encode
 from .wav import wav_decode, wav_encode, wav_encode_adpcm_codes
@@ -420,3 +420,114 @@ def image_dhash(ds, *, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def synth_image_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic single-image payloads per doc for the metadata-sniff
+    op: dims vary per doc (``w = 16 + id%17, h = 12 + id%13``), pixels
+    ``(id*3 + i) % 256``, container by ``id % 6`` — PNG, baseline JPEG,
+    GIF87a, TIFF, BMP, raw8 (headerless). Parallelism-invariant."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    types, payloads = [], []
+    for d in ids:
+        w = 16 + int(d) % 17
+        h = 12 + int(d) % 13
+        img = ((int(d) * 3 + np.arange(h * w, dtype=np.int64)) % 256).astype(np.uint8).reshape(h, w)
+        sel = int(d) % 6
+        if sel == 0:
+            types.append("image/png")
+            payloads.append(png_encode(img, level=1))
+        elif sel == 1:
+            types.append("image/jpeg")
+            payloads.append(jpeg_encode(img))
+        elif sel == 2:
+            types.append("image/gif")
+            payloads.append(gif_encode(img))
+        elif sel == 3:
+            types.append("image/tiff")
+            payloads.append(tiff_encode(img))
+        elif sel == 4:
+            types.append("image/bmp")
+            payloads.append(bmp_encode(img))
+        else:
+            types.append("image/raw8")
+            payloads.append(img.tobytes())
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def sniff_media_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
+    """Header-only media metadata extraction — (format, width, height)
+    from container MAGIC BYTES AND HEADERS, never a pixel decode: the
+    schema-inference pass a binary-column pipeline runs BEFORE deciding
+    batch sizes / decode pools (dims bound decode memory), at ~10²
+    bytes touched per payload instead of the full compressed stream.
+    Headerless payloads sniff as ``(raw8, -1, -1)``; a malformed header
+    quarantines as ``(unknown, -1, -1)`` rather than erroring the batch.
+    Shuffle-free map.
+    """
+    import struct as _struct
+
+    ids = batch[id_col].to_pylist()
+    payloads = batch["payload"].to_pylist()
+    fmts, ws, hs = [], [], []
+    for p in payloads:
+        fmt, w, h = "unknown", -1, -1
+        try:
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                fmt = "png"
+                w, h = _struct.unpack(">II", p[16:24])
+            elif p[:3] == b"\xff\xd8\xff":
+                fmt = "jpeg"
+                pos = 2
+                while pos + 9 < len(p):
+                    if p[pos] != 0xFF:
+                        break
+                    marker = p[pos + 1]
+                    seg = _struct.unpack(">H", p[pos + 2 : pos + 4])[0]
+                    if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                        h, w = _struct.unpack(">HH", p[pos + 5 : pos + 9])
+                        break
+                    pos += 2 + seg
+            elif p[:4] == b"GIF8":
+                fmt = "gif"
+                w, h = _struct.unpack("<HH", p[6:10])
+            elif p[:2] in (b"II", b"MM") and len(p) >= 8:
+                fmt = "tiff"
+                bo = "<" if p[:2] == b"II" else ">"
+                off = _struct.unpack(bo + "I", p[4:8])[0]
+                n = _struct.unpack(bo + "H", p[off : off + 2])[0]
+                for i in range(n):
+                    e = off + 2 + 12 * i
+                    tag, typ = _struct.unpack(bo + "HH", p[e : e + 4])
+                    if tag in (256, 257):
+                        val = _struct.unpack(
+                            bo + ("H" if typ == 3 else "I"), p[e + 8 : e + 10 if typ == 3 else e + 12]
+                        )[0]
+                        if tag == 256:
+                            w = val
+                        else:
+                            h = val
+            elif p[:2] == b"BM":
+                fmt = "bmp"
+                w, h = _struct.unpack("<ii", p[18:26])
+                h = abs(h)  # top-down BMPs store negative height
+            else:
+                fmt = "raw8"
+        except (IndexError, _struct.error):
+            fmt, w, h = "unknown", -1, -1
+        fmts.append(fmt)
+        ws.append(int(w))
+        hs.append(int(h))
+    return pa.table(
+        {
+            id_col: pa.array(ids, type=pa.int64()),
+            "format": pa.array(fmts, type=pa.string()),
+            "width": pa.array(ws, type=pa.int64()),
+            "height": pa.array(hs, type=pa.int64()),
+        }
+    )

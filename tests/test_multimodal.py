@@ -218,3 +218,40 @@ def test_image_dhash_codec_roundtrip_and_pairs(ray_session):
     }
     got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.itertuples()}
     assert got == want_pairs and len(got) > 0
+
+
+def test_sniff_media_headers_only():
+    """Sniff reads dims from container headers for all five real codecs,
+    reports raw8 as headerless, and quarantines malformed headers as
+    'unknown' instead of raising."""
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.multimodal import (
+        sniff_media_batch,
+        synth_image_batch,
+    )
+
+    b = pa.table({"doc_id": pa.array(list(range(12)), type=pa.int64())})
+    t = sniff_media_batch(synth_image_batch(b))
+    fmts = ["png", "jpeg", "gif", "tiff", "bmp", "raw8"]
+    for d, f, w, h in zip(
+        t["doc_id"].to_pylist(),
+        t["format"].to_pylist(),
+        t["width"].to_pylist(),
+        t["height"].to_pylist(),
+    ):
+        assert f == fmts[d % 6]
+        if f == "raw8":
+            assert (w, h) == (-1, -1)
+        else:
+            assert (w, h) == (16 + d % 17, 12 + d % 13)
+    # truncated PNG header (magic intact, IHDR cut) -> unknown, not an error
+    bad = pa.table(
+        {
+            "doc_id": pa.array([99], type=pa.int64()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\n\x00"], type=pa.binary()),
+        }
+    )
+    out = sniff_media_batch(bad)
+    assert out["format"].to_pylist() == ["unknown"]
+    assert out["width"].to_pylist() == [-1]

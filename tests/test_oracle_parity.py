@@ -81,6 +81,7 @@ SUBSET = [
     "user_rolling_value",
     "user_ewma",
     "debounce_events",
+    "media_sniff",
     "funnel_counts",
     "user_mode_event",
     "doc_ttr",
