@@ -1982,6 +1982,50 @@ def _props_k_by_type(sf_dir: str):
     )
 
 
+def _revenue_forecast(sf_dir: str):
+    """Forecast revenue (TPC-H Q6 shape): shipdate range pushed into the
+    parquet scan as a row filter (row groups outside the window never
+    decode), then one shuffle-free partial-sum fold."""
+    import numpy as np
+    import pyarrow.dataset as pds
+
+    from sanskrit_ocr_ray.stages.relational import revenue_forecast
+
+    ds = _tbl(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        row_filter=(
+            (pds.field("l_shipdate") >= pds.scalar(np.datetime64("1996-01-01", "us")))
+            & (pds.field("l_shipdate") < pds.scalar(np.datetime64("1997-01-01", "us")))
+        ),
+    )
+    return revenue_forecast(ds)
+
+
+def _promo_revenue(sf_dir: str):
+    """Promo revenue share per ship month (TPC-H Q14 shape): part is the
+    broadcast dimension; integer per-mille output."""
+    from sanskrit_ocr_ray.stages.relational import promo_revenue_pm
+
+    return promo_revenue_pm(
+        _tbl(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]),
+        _pdf(sf_dir, "part", ["p_partkey", "p_type"]),
+    )
+
+
+def _late_order_priorities(sf_dir: str):
+    """Late-order priority census (TPC-H Q4 shape): EXISTS over lineitems
+    shipping >60 days after the order date, pre-collapsed per orderkey so
+    the join moves one row per order."""
+    from sanskrit_ocr_ray.stages.relational import late_order_priority_counts
+
+    return late_order_priority_counts(
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -2132,6 +2176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": _top_users,
         "top_lineitems": _top_lineitems,
         "mktsegment_join": _mktsegment_join,
+        "revenue_forecast": _revenue_forecast,
+        "promo_revenue": _promo_revenue,
+        "late_order_priorities": _late_order_priorities,
     }
 
 
@@ -3254,6 +3301,35 @@ SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders,
        CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
+""",
+        "revenue_forecast": """
+SELECT CAST(coalesce(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)), 0)
+            // 1000 AS BIGINT) AS revenue_c
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) BETWEEN 30 AND 70
+  AND l_quantity < 24
+""",
+        "promo_revenue": """
+WITH j AS (
+  SELECT (year(l.l_shipdate) * 100 + month(l.l_shipdate)) AS ship_ym,
+         CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS rev,
+         (p.p_type = 'PROMO') AS promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(ship_ym AS BIGINT) AS ship_ym,
+       CAST((1000 * SUM(CASE WHEN promo THEN rev ELSE 0 END)) // SUM(rev) AS BIGINT) AS promo_pm
+FROM j GROUP BY ship_ym
+""",
+        "late_order_priorities": """
+WITH lm AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+FROM orders o JOIN lm ON o.o_orderkey = lm.l_orderkey
+WHERE epoch_us(lm.max_ship) - epoch_us(o.o_orderdate) > 60 * 86400000000
+GROUP BY o.o_orderpriority
 """,
         "event_gaps": """
 SELECT event_id, user_id,

@@ -2292,3 +2292,183 @@ def debounce_events(
         return pd.DataFrame({id_col: ids[order][kept].astype(np.int64)})
 
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
+
+
+def revenue_forecast(
+    ds,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo_pm: int = 30,
+    disc_hi_pm: int = 70,
+    max_qty: int = 24,
+):
+    """Forecast-revenue query (TPC-H Q6 shape): SUM(extendedprice ·
+    discount) in cents over lineitems shipped in [date_from, date_to)
+    with discount in [lo, hi] per-mille and quantity < max_qty.
+
+    Scale shape: the selective predicates belong AT THE READ — callers
+    pass a ``row_filter`` on ``l_shipdate`` into ``read_table`` so whole
+    row groups skip (the ``__ray_entry__`` caller does); what remains is
+    a shuffle-free per-batch filter + partial sum folded by one global
+    Sum over a handful of partials. Discount is compared in exact
+    per-mille integers (the testdata's discounts are hundredths, so
+    floor(d·1000+0.5) is lossless) — never float equality."""
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_from)
+    hi = np.datetime64(date_to)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy()
+        disc_pm = np.floor(batch["l_discount"].to_numpy() * 1000.0 + 0.5).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy()
+        m = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc_pm >= disc_lo_pm)
+            & (disc_pm <= disc_hi_pm)
+            & (qty < max_qty)
+        )
+        # cents(price)·disc_pm / 1000 stays integer-exact: sum the
+        # per-mille-weighted cents, divide ONCE at the end (driver side)
+        rev = np.int64(
+            (_cents(batch["l_extendedprice"].to_numpy()[m]) * disc_pm[m]).sum()
+        )
+        return pa.table({"rev_pm_c": pa.array([rev], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).aggregate(
+        Sum("rev_pm_c", alias_name="rev_pm_c")
+    )
+    total = int((agg or {}).get("rev_pm_c") or 0)
+    return pd.DataFrame({"revenue_c": np.asarray([total // 1000], np.int64)})
+
+
+def promo_revenue_pm(lineitem_ds, part_df: pd.DataFrame, *, promo_type: str = "PROMO"):
+    """Promotion-revenue share (TPC-H Q14 shape): per-mille of discounted
+    revenue attributable to parts of ``promo_type``, per ship month.
+
+    part is the broadcast side (``ray.put`` once, ``pd.Series.map`` per
+    batch); lineitem streams through one shuffle-free partial that buckets
+    by month, then a tiny month groupby. Output ratio is an integer
+    per-mille: floor(1000·promo_c / total_c)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    is_promo = dict(
+        zip(
+            part_df["p_partkey"].to_numpy(),
+            (part_df["p_type"].astype(str) == promo_type).to_numpy(),
+        )
+    )
+    ref = ray.put(is_promo)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        ship = batch["l_shipdate"].to_numpy().astype("datetime64[M]")
+        month = (ship.astype(np.int64) % 12 + 1).astype(np.int64)
+        year = (ship.astype("datetime64[Y]").astype(np.int64) + 1970).astype(np.int64)
+        ym = year * 100 + month
+        promo = pd.Series(batch["l_partkey"].to_numpy()).map(lookup).to_numpy(bool)
+        rev = _cents(
+            batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy())
+        )
+        df = pd.DataFrame(
+            {"ship_ym": ym, "promo_c": np.where(promo, rev, 0), "total_c": rev}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("ship_ym", as_index=False).sum(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out = (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("ship_ym")
+        .aggregate(Sum("promo_c", alias_name="promo_c"), Sum("total_c", alias_name="total_c"))
+        .to_pandas()  # one row per ship month — bounded
+    )
+    out["promo_pm"] = (1000 * out["promo_c"]) // out["total_c"]
+    out = out.sort_values("ship_ym").reset_index(drop=True)
+    return out[["ship_ym", "promo_pm"]].astype(np.int64)
+
+
+def late_order_priority_counts(orders_ds, lineitem_ds, *, grace_days: int = 60, n_buckets: int = 16):
+    """Order-priority census of LATE orders (TPC-H Q4 shape, adapted to
+    the testdata's columns): an order is late iff ANY of its lineitems
+    shipped more than ``grace_days`` after the order date — an EXISTS
+    semi-join with a correlated date predicate.
+
+    Scale shape: lineitem first collapses to one row per orderkey
+    (per-batch partial max(l_shipdate), then a bucketed max-combine — the
+    EXISTS only needs the latest shipment), so the join shuffle moves
+    #orders rows, not #lineitems. The correlated predicate is then a
+    vectorized filter on the joined frame, and the final groupby is 5
+    rows."""
+    from ..util import typed_empty
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "max_ship_us": pc.cast(
+                    pc.cast(batch["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ).to_numpy(),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False).max(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    li_max = lineitem_ds.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
+    empty = typed_empty(l_orderkey=np.int64, max_ship_us=np.int64)
+
+    from .dedup import bucketed_aggregate
+
+    li_max = bucketed_aggregate(
+        li_max,
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False).max(),
+        n_buckets=n_buckets,
+        empty=empty,
+        coalesce_first=False,
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch["o_orderkey"],
+                "o_orderpriority": batch["o_orderpriority"],
+                "order_us": pc.cast(
+                    pc.cast(batch["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    joined = hash_join(
+        orders_ds.map_batches(o_prep, batch_format="pyarrow", batch_size=None),
+        li_max,
+        "l_orderkey",
+        n_buckets=n_buckets,
+    )
+    grace_us = np.int64(grace_days) * np.int64(86_400_000_000)
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = (
+            batch["max_ship_us"].to_numpy() - batch["order_us"].to_numpy() > grace_us
+        )
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": np.asarray(batch["o_orderpriority"].to_pylist())[late],
+                "n_late": np.ones(int(late.sum()), np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", as_index=False).sum(), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(late_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_late", alias_name="n_late"))
+    )

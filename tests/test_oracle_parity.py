@@ -103,6 +103,9 @@ SUBSET = [
     "text_hash_dup_pairs",
     "revenue_by_region",
     "orders_by_month",
+    "revenue_forecast",
+    "promo_revenue",
+    "late_order_priorities",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
