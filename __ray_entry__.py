@@ -2014,6 +2014,25 @@ def _promo_revenue(sf_dir: str):
     )
 
 
+def _feature_hashing(sf_dir: str):
+    """Hashing-trick vectorizer: (doc_id, feat, n) sparse triples with
+    feat = md5_u64(token) % 1024; shuffle-free."""
+    from sanskrit_ocr_ray.stages.corpus import feature_hashing
+
+    return feature_hashing(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _target_affinity(sf_dir: str):
+    """DSIR-style importance score vs the English subcorpus: hashed-bigram
+    histogram of the target folded driver-side (one 4096-int vector),
+    broadcast, then a shuffle-free per-doc dot product."""
+    from sanskrit_ocr_ray.stages.corpus import target_affinity
+
+    return target_affinity(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "lang"]), target_lang="en"
+    )
+
+
 def _late_order_priorities(sf_dir: str):
     """Late-order priority census (TPC-H Q4 shape): EXISTS over lineitems
     shipping >60 days after the order date, pre-collapsed per orderkey so
@@ -2179,6 +2198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_forecast": _revenue_forecast,
         "promo_revenue": _promo_revenue,
         "late_order_priorities": _late_order_priorities,
+        "feature_hashing": _feature_hashing,
+        "target_affinity": _target_affinity,
     }
 
 
@@ -3321,6 +3342,32 @@ WITH j AS (
 SELECT CAST(ship_ym AS BIGINT) AS ship_ym,
        CAST((1000 * SUM(CASE WHEN promo THEN rev ELSE 0 END)) // SUM(rev) AS BIGINT) AS promo_pm
 FROM j GROUP BY ship_ym
+""",
+        "feature_hashing": """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(t), 1, 16))::UBIGINT % 1024 AS BIGINT) AS feat,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM tok GROUP BY doc_id, feat
+""",
+        "target_affinity": """
+WITH ts AS (
+  SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') AS l
+  FROM documents
+), big AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(l[i] || ' ' || l[i + 1]), 1, 16))::UBIGINT
+              % 4096 AS BIGINT) AS f
+  FROM ts, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+  WHERE len(l) >= 2
+), tgt AS (
+  SELECT f, COUNT(*) AS c FROM big WHERE lang = 'en' GROUP BY f
+)
+SELECT b.doc_id AS doc_id, CAST(SUM(coalesce(t.c, 0)) AS BIGINT) AS affinity
+FROM big b LEFT JOIN tgt t USING (f) GROUP BY b.doc_id
 """,
         "late_order_priorities": """
 WITH lm AS (

@@ -876,3 +876,132 @@ def shard_assign(ds, *, id_col: str = "doc_id", shard_size: int = 64, n_buckets:
         )
 
     return tagged.groupby("__bk").map_groups(rank_bucket, batch_format="pandas")
+
+
+def feature_hashing(ds, *, n_features: int = 1024, text_col: str = "text", id_col: str = "doc_id"):
+    """Hashing-trick vectorizer (Weinberger et al. 2009): every document
+    becomes sparse (doc_id, feat, n) triples with ``feat = md5_u64(token)
+    % n_features`` — the fixed-width feature space that makes downstream
+    linear models / importance estimators shuffle-free regardless of
+    vocabulary size (no vocab induction pass, no OOV).
+
+    Scale shape: one shuffle-free map pass; per-batch the token stream is
+    hashed once per DISTINCT token (Zipf memo) and collapsed with a
+    vectorized (doc, feat) groupby, so output rows ≤ min(tokens,
+    docs·n_features)."""
+    from ..util import tok_hash_cache
+
+    nf = np.uint64(n_features)
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        cache = tok_hash_cache()
+        doc_ids: list = []
+        feats: list = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            if not toks:
+                continue
+            doc_ids.extend([did] * len(toks))
+            feats.extend(int(np.uint64(cache[w]) % nf) for w in toks)
+        if not doc_ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "feat": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame({id_col: doc_ids, "feat": np.asarray(feats, np.int64)})
+        g = df.groupby([id_col, "feat"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}).astype({"n": np.int64}),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    # docs never split across batches, so per-batch (doc, feat) collapse
+    # is already the final answer — no shuffle needed
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _hashed_bigrams(tokens: list[str], cache, nf: np.uint64) -> np.ndarray:
+    """md5-hashed adjacent-pair features ("w1 w2") mod nf, int64."""
+    if len(tokens) < 2:
+        return np.empty(0, np.int64)
+    return np.fromiter(
+        (int(np.uint64(cache[a + " " + b]) % nf) for a, b in zip(tokens, tokens[1:])),
+        np.int64,
+        len(tokens) - 1,
+    )
+
+
+def target_affinity(
+    ds,
+    *,
+    target_lang: str = "en",
+    n_features: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+):
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): documents are scored
+    by how much their hashed-bigram features overlap a TARGET
+    distribution — here the integer-exact proxy ``score(d) = Σ_f
+    tf(d, f) · target_count(f)`` over ``n_features`` hashed buckets
+    (DSIR's log-ratio weight needs float logs; the dot product against
+    the raw target histogram ranks identically for selection gates and
+    stays oracle-exact).
+
+    Scale shape: pass 1 folds per-batch K-vector partials of the target
+    docs' bigram counts (each partial is ONE K-length row, the driver
+    fold is O(#blocks · K) — K is fixed at 4096, independent of corpus
+    size); the folded histogram broadcasts once via ``ray.put``. Pass 2
+    is a shuffle-free map: per doc, histogram-gather + dot. Docs with <2
+    tokens emit no row (no bigram support — documented convention)."""
+    import ray
+
+    from ..util import tok_hash_cache
+
+    nf = np.uint64(n_features)
+
+    def target_partial(batch: pa.Table) -> pa.Table:
+        cache = tok_hash_cache()
+        counts = np.zeros(n_features, np.int64)
+        langs = batch[lang_col].to_pylist()
+        for lg, t in zip(langs, batch[text_col].to_pylist()):
+            if lg != target_lang:
+                continue
+            toks = [w for w in (t or "").split(" ") if w]
+            f = _hashed_bigrams(toks, cache, nf)
+            if len(f):
+                np.add.at(counts, f, 1)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    hist = np.zeros(n_features, np.int64)
+    for b in ds.map_batches(
+        target_partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        for payload in b["counts"].to_pylist():
+            hist += np.frombuffer(payload, np.int64)
+    ref = ray.put(hist)
+
+    def score(batch: pa.Table) -> pa.Table:
+        h = ray.get(ref)
+        cache = tok_hash_cache()
+        ids: list = []
+        scores: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = [w for w in (t or "").split(" ") if w]
+            f = _hashed_bigrams(toks, cache, nf)
+            if not len(f):
+                continue
+            ids.append(did)
+            scores.append(int(h[f].sum()))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "affinity": pa.array(scores, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
