@@ -2014,6 +2014,21 @@ def _promo_revenue(sf_dir: str):
     )
 
 
+def _image_patches(sf_dir: str):
+    """ViT-style 8×8 patch sums over per-doc synthetic pages that
+    round-trip the real lossless codecs (PNG/GIF/TIFF/BMP/raw8); the
+    oracle replays the pixel formula and the block layout in SQL."""
+    from sanskrit_ocr_ray.stages.multimodal import (
+        image_patch_sums,
+        synth_patch_image_batch,
+    )
+
+    imgs = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_patch_image_batch, batch_format="pyarrow"
+    )
+    return image_patch_sums(imgs, patch=8)
+
+
 def _feature_hashing(sf_dir: str):
     """Hashing-trick vectorizer: (doc_id, feat, n) sparse triples with
     feat = md5_u64(token) % 1024; shuffle-free."""
@@ -2200,6 +2215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_order_priorities": _late_order_priorities,
         "feature_hashing": _feature_hashing,
         "target_affinity": _target_affinity,
+        "image_patches": _image_patches,
     }
 
 
@@ -3342,6 +3358,17 @@ WITH j AS (
 SELECT CAST(ship_ym AS BIGINT) AS ship_ym,
        CAST((1000 * SUM(CASE WHEN promo THEN rev ELSE 0 END)) // SUM(rev) AS BIGINT) AS promo_pm
 FROM j GROUP BY ship_ym
+""",
+        "image_patches": """
+WITH px AS (
+  SELECT doc_id, i, (doc_id * 11 + (i * i) // 5) % 256 AS p,
+         (i // 32) AS row, (i % 32) AS col
+  FROM documents, unnest(range(1024)) AS r(i)
+)
+SELECT doc_id, CAST(row // 8 AS BIGINT) AS patch_row,
+       CAST(col // 8 AS BIGINT) AS patch_col,
+       CAST(SUM(p) AS BIGINT) AS psum
+FROM px GROUP BY doc_id, row // 8, col // 8
 """,
         "feature_hashing": """
 WITH tok AS (

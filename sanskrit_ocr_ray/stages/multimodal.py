@@ -531,3 +531,103 @@ def sniff_media_batch(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
             "height": pa.array(hs, type=pa.int64()),
         }
     )
+
+
+def synth_patch_image_batch(
+    batch: pa.Table, *, width: int = 32, height: int = 32, id_col: str = "doc_id"
+) -> pa.Table:
+    """Deterministic per-doc grayscale page for the patch-extraction op:
+    ``pixel(doc, i) = (doc·11 + (i·i)//5) % 256`` (the //5 breaks the
+    mod-256 row-degeneracy of plain i²). Each payload round-trips through
+    a REAL lossless container chosen by ``md5(doc)%5`` (PNG / GIF87a /
+    PackBits TIFF / BMP; else headerless raw8), so patching exercises
+    actual codec decode."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    hw = width * height
+    i = np.arange(hw, dtype=np.int64)
+    pix = ((ids[:, None] * 11 + ((i * i) // 5)[None, :]) % 256).astype(np.uint8)
+    types, payloads = [], []
+    for j, d in enumerate(ids):
+        img = pix[j].reshape(height, width)
+        sel = md5_u64(str(int(d))) % 5
+        if sel == 0:
+            types.append("image/png")
+            payloads.append(png_encode(img, level=1))
+        elif sel == 1:
+            types.append("image/gif")
+            payloads.append(gif_encode(img))
+        elif sel == 2:
+            types.append("image/tiff")
+            payloads.append(tiff_encode(img, compression="packbits"))
+        elif sel == 3:
+            types.append("image/bmp")
+            payloads.append(bmp_encode(img))
+        else:
+            types.append("image/raw8")
+            payloads.append(img.tobytes())
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "media_type": pa.array(types, type=pa.string()),
+            "width": pa.array([width] * len(ids), type=pa.int32()),
+            "height": pa.array([height] * len(ids), type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def image_patch_sums(ds, *, patch: int = 8, id_col: str = "doc_id"):
+    """ViT-style non-overlapping patch extraction: decode each image
+    payload (any codec :func:`decode_payload` knows), tile it into
+    ``patch×patch`` blocks and emit one row per block with its integer
+    pixel sum — the patch-embedding precursor (the projection matmul is
+    the model's job; the ENGINE's job is decode + layout, which this
+    pins exactly). Images whose dims don't divide by ``patch`` keep only
+    full blocks (standard ViT crop semantics).
+
+    Scale shape: shuffle-free actor-free map; per image one reshape
+    (H//p, p, W//p, p) + sum over the two patch axes — no Python loop
+    over patches. Output rows = docs · (H//p)·(W//p), each tiny."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        out_id: list = []
+        out_pr: list = []
+        out_pc: list = []
+        out_sum: list = []
+        for did, mt, w, h, p in zip(
+            batch[id_col].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            img = decode_payload(mt, p, w, h)
+            nr, nc = img.shape[0] // patch, img.shape[1] // patch
+            if nr == 0 or nc == 0:
+                continue
+            crop = img[: nr * patch, : nc * patch].astype(np.int64)
+            sums = crop.reshape(nr, patch, nc, patch).sum(axis=(1, 3))
+            rr, cc = np.meshgrid(np.arange(nr), np.arange(nc), indexing="ij")
+            out_id.extend([did] * (nr * nc))
+            out_pr.append(rr.ravel())
+            out_pc.append(cc.ravel())
+            out_sum.append(sums.ravel())
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "patch_row": pa.array([], pa.int64()),
+                    "patch_col": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "patch_row": pa.array(np.concatenate(out_pr).astype(np.int64)),
+                "patch_col": pa.array(np.concatenate(out_pc).astype(np.int64)),
+                "psum": pa.array(np.concatenate(out_sum).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

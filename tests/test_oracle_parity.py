@@ -108,6 +108,7 @@ SUBSET = [
     "late_order_priorities",
     "feature_hashing",
     "target_affinity",
+    "image_patches",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
