@@ -2029,6 +2029,19 @@ def _image_patches(sf_dir: str):
     return image_patch_sums(imgs, patch=8)
 
 
+def _knn_join(sf_dir: str):
+    """Dataset↔dataset nearest-neighbor JOIN (broadcast-build
+    block-nested-loop): probes = label<5 vectors, build = label>=5;
+    integer-quantized dot scores, min-build-id tie-break, one row per
+    probe, shuffle-free."""
+    from sanskrit_ocr_ray.stages.similarity import knn_join
+
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    probe = emb.filter(expr="label < 5")
+    build = emb.filter(expr="label >= 5")
+    return knn_join(probe, build, q=1000)
+
+
 def _feature_hashing(sf_dir: str):
     """Hashing-trick vectorizer: (doc_id, feat, n) sparse triples with
     feat = md5_u64(token) % 1024; shuffle-free."""
@@ -2216,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hashing": _feature_hashing,
         "target_affinity": _target_affinity,
         "image_patches": _image_patches,
+        "knn_join": _knn_join,
     }
 
 
@@ -4080,4 +4094,21 @@ WITH ev AS (
         "SELECT rep AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size "
         "FROM comp GROUP BY rep",
     )
+    # knn_join: both sides quantize floor(float64(x)·1000) per element
+    # (the embedding_moments convention) so the dot scores are
+    # integer-exact; ties broken by smallest build id via row_number
+    oracles["knn_join"] = """
+WITH e AS (
+  SELECT vec_id, label, i,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), s AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS build_id,
+         CAST(SUM(a.xq * b.xq) AS BIGINT) AS score
+  FROM e a JOIN e b ON a.i = b.i AND a.label < 5 AND b.label >= 5
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT probe_id, build_id, score FROM s
+QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, build_id) = 1
+"""
     return oracles

@@ -890,3 +890,90 @@ def hashed_text_dup_pairs(
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     return emb.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+
+
+def knn_join(
+    probe_ds,
+    build_ds,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    q: int = 1000,
+):
+    """Dataset↔dataset nearest-neighbor JOIN: for every probe vector,
+    the single best build vector by integer-quantized dot product
+    (``xq = floor(float64(x)·q)`` per element — the `embedding_moments`
+    convention), ties broken by smallest build id. Unlike
+    :func:`knn_brute` (tiny query set broadcast against a big corpus),
+    BOTH sides here are datasets; this is the broadcast-build
+    block-nested-loop shape (Spark's BroadcastNestedLoopJoin for
+    similarity): the build side is quantized once and pinned in the
+    object store as block refs, and each probe task streams over those
+    tiles keeping only a running argmax — so the operator is
+    SHUFFLE-FREE and emits exactly one row per probe.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    the quantized build side must fit in the cluster's aggregate object
+    store (it is never resident in any single task: tasks hold one
+    probe batch × one build tile at a time). For build sides beyond
+    that, flip the sides or fall back to :func:`knn_ivf` per probe
+    block.
+
+    Exactness: |xq| ≤ q·max|x|; the float64 BLAS matmul of int64-valued
+    operands is exact while dim·(q·max|x|)² < 2^53 — for unit-norm-ish
+    embeddings at q=1000 and dim=64 the products are ≤ 6.4e7, eight
+    orders under the mantissa bound.
+    """
+    import ray
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.floor(_batch_matrix(batch, col) * q).astype(np.int64)
+        return pa.table(
+            {
+                "bid": pa.array(ids),
+                "qv": pa.array(list(mat), type=pa.list_(pa.int64())),
+            }
+        )
+
+    tile_refs = (
+        build_ds.map_batches(quantize, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )  # driver holds O(#blocks) refs, never the vectors
+
+    def probe(batch: pa.Table) -> pa.Table:
+        pids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pmat = np.floor(_batch_matrix(batch, col) * q).astype(np.float64)
+        best_score = np.full(len(pids), np.iinfo(np.int64).min, dtype=np.int64)
+        best_id = np.full(len(pids), -1, dtype=np.int64)
+        for ref in tile_refs:
+            t = ray.get(ref)
+            if t.num_rows == 0:
+                continue
+            bids = t["bid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bmat = (
+                t["qv"].combine_chunks().values.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(t.num_rows, -1)
+            )
+            scores = np.rint(pmat @ bmat.T).astype(np.int64)  # exact, see above
+            # argmax with min-id tie-break: scan build rows in id order
+            order = np.argsort(bids, kind="stable")
+            s = scores[:, order]
+            loc = np.argmax(s, axis=1)  # first (= smallest id) max
+            sc = s[np.arange(len(pids)), loc]
+            cand_id = bids[order][loc]
+            upd = (sc > best_score) | ((sc == best_score) & (cand_id < best_id))
+            best_score = np.where(upd, sc, best_score)
+            best_id = np.where(upd, cand_id, best_id)
+        keep = best_id >= 0
+        return pa.table(
+            {
+                "probe_id": pa.array(pids[keep]),
+                "build_id": pa.array(best_id[keep]),
+                "score": pa.array(best_score[keep]),
+            }
+        )
+
+    return probe_ds.map_batches(probe, batch_format="pyarrow")

@@ -340,3 +340,64 @@ def test_kmeans_lloyd_matches_reference_model(ray_session):
     assert out.vec_id.tolist() == list(range(len(vecs)))
     assert out.cluster.tolist() == want.tolist()
     assert out.cluster.nunique() <= k
+
+
+def test_knn_join_matches_numpy_over_multiple_tiles(ray_session):
+    """knn_join argmax + min-build-id tie-break vs a dense numpy replay,
+    with the build side split across several blocks (multi-tile path)
+    and an exact-tie pair planted."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import knn_join
+
+    rng = np.random.default_rng(11)
+    probe_rows = [
+        {"vec_id": i, "embedding": rng.normal(size=8).astype(np.float32).tolist()}
+        for i in range(17)
+    ]
+    build_rows = [
+        {"vec_id": 100 + i, "embedding": rng.normal(size=8).astype(np.float32).tolist()}
+        for i in range(37)
+    ]
+    # plant an exact duplicate pair in the build side: ids 200 and 201
+    # (norm ~5x any random build row, so it IS probe 50's argmax)
+    dup = (5.0 * rng.normal(size=8)).astype(np.float32).tolist()
+    build_rows.append({"vec_id": 201, "embedding": dup})
+    build_rows.append({"vec_id": 200, "embedding": dup})
+    # and a probe equal to it so the dup is its argmax → tie on score
+    probe_rows.append({"vec_id": 50, "embedding": [x * 3 for x in dup]})
+
+    probe = rd.from_items(probe_rows)
+    build = rd.from_items(build_rows).repartition(5)  # force multiple tiles
+    got = (
+        knn_join(probe, build, q=1000)
+        .to_pandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+
+    def quant(rows):
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        m = np.floor(
+            np.stack([np.asarray(r["embedding"], np.float64) for r in rows]) * 1000
+        ).astype(np.int64)
+        return ids, m
+
+    pid, pm = quant(probe_rows)
+    bid, bm = quant(build_rows)
+    scores = pm @ bm.T
+    exp_bid, exp_score = [], []
+    for r in range(len(pid)):
+        s = scores[r]
+        best = s.max()
+        exp_score.append(best)
+        exp_bid.append(bid[s == best].min())
+    exp = (
+        __import__("pandas")
+        .DataFrame({"probe_id": pid, "build_id": exp_bid, "score": exp_score})
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    assert got.to_dict("list") == exp.to_dict("list")
+    # the planted tie resolved to the SMALLER build id
+    assert int(got.loc[got["probe_id"] == 50, "build_id"].iloc[0]) == 200
