@@ -628,6 +628,15 @@ def _embedding_moments(sf_dir: str):
     return embedding_moments(_tbl(sf_dir, "embeddings", ["embedding"]), q=1000)
 
 
+def _embedding_covariance(sf_dir: str):
+    """Cross-dimension covariance sufficient statistics (PCA/whitening
+    prereq): one XᵀX Gram matmul per batch → d(d+1)/2 mergeable integer
+    partial rows → tiny groupby fold."""
+    from sanskrit_ocr_ray.stages.profile import embedding_covariance
+
+    return embedding_covariance(_tbl(sf_dir, "embeddings", ["embedding"]), q=1000)
+
+
 def _status_history(sf_dir: str):
     """SCD2/CDC history build: per-user event_type runs → validity
     intervals, user-bucketed with one vectorized run-collapse pass."""
@@ -2230,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_affinity": _target_affinity,
         "image_patches": _image_patches,
         "knn_join": _knn_join,
+        "embedding_covariance": _embedding_covariance,
     }
 
 
@@ -4110,5 +4120,21 @@ WITH e AS (
 )
 SELECT probe_id, build_id, score FROM s
 QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, build_id) = 1
+"""
+    # embedding_covariance: same floor(x·1000) quantization as
+    # embedding_moments; pairs are unordered (i <= j)
+    oracles["embedding_covariance"] = """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a.xq) AS BIGINT) AS sum_i,
+       CAST(SUM(b.xq) AS BIGINT) AS sum_j,
+       CAST(SUM(a.xq * b.xq) AS BIGINT) AS sum_ij
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
 """
     return oracles

@@ -308,3 +308,54 @@ def fk_orphans(child_ds, parent_ds, *, child_key: str, parent_key: str, n_bucket
             "n_orphan_rows": [int(tot.get("n_orphan_rows", 0))],
         }
     )
+
+
+def embedding_covariance(ds, *, column: str = "embedding", q: int = 1000):
+    """Cross-dimension covariance sufficient statistics — the Gram-matrix
+    companion to :func:`embedding_moments`, feeding PCA/whitening and
+    redundant-feature detection: one row per unordered dimension pair
+    ``i <= j`` with ``(dim_i, dim_j, n, sum_i, sum_j, sum_ij)`` over
+    elements quantized to ``floor(x·q)``. All sums are int64-exact, so
+    the covariance numerator ``n·sum_ij − sum_i·sum_j`` (computed by the
+    consumer, Python-int safe) is reduction-order independent.
+
+    Scale shape: per batch ONE dense ``XᵀX`` float64 BLAS matmul
+    (exact while n_batch·(q·max|x|)² < 2^53, e.g. 8·10⁹ rows/batch at
+    |x| ≤ 1, q=1000) emitted as d·(d+1)/2 partial rows; a tiny groupby
+    folds #batches partials. Nothing proportional to the row count ever
+    crosses the shuffle — d=64 means 2,080 pair rows per batch.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[column]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
+        xq = np.floor(mat * q)
+        d = mat.shape[1]
+        gram = np.rint(xq.T @ xq).astype(np.int64)  # exact, see envelope
+        sums = xq.sum(axis=0).astype(np.int64)
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array(iu.astype(np.int64)),
+                "dim_j": pa.array(ju.astype(np.int64)),
+                "n": pa.array(np.full(len(iu), len(mat), dtype=np.int64)),
+                "sum_i": pa.array(sums[iu]),
+                "sum_j": pa.array(sums[ju]),
+                "sum_ij": pa.array(gram[iu, ju]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_i", alias_name="sum_i"),
+            Sum("sum_j", alias_name="sum_j"),
+            Sum("sum_ij", alias_name="sum_ij"),
+        )
+    )

@@ -112,3 +112,30 @@ def test_fk_orphans_counts(ray_session):
     assert out.to_dict("records") == [
         {"n_child_rows": 9, "n_distinct_keys": 5, "n_orphan_rows": 3}
     ]
+
+
+def test_embedding_covariance_exact_and_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.profile import embedding_covariance
+
+    rng = np.random.default_rng(17)
+    vecs = (rng.standard_normal((90, 6)) * 2).astype(np.float32)
+    xq = np.floor(vecs.astype(np.float64) * 1000).astype(np.int64)
+    gram = xq.T @ xq
+    sums = xq.sum(axis=0)
+    iu, ju = np.triu_indices(6)
+    df = pd.DataFrame({"embedding": [v.tolist() for v in vecs]})
+    for parts in (1, 5):
+        out = (
+            embedding_covariance(rd.from_pandas(df).repartition(parts), q=1000)
+            .to_pandas()
+            .sort_values(["dim_i", "dim_j"])
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [90] * len(iu)
+        assert out["sum_i"].tolist() == sums[iu].tolist()
+        assert out["sum_j"].tolist() == sums[ju].tolist()
+        assert out["sum_ij"].tolist() == gram[iu, ju].tolist()
