@@ -2051,6 +2051,47 @@ def _knn_join(sf_dir: str):
     return knn_join(probe, build, q=1000)
 
 
+def _schema_union(sf_dir: str):
+    """Schema-evolution read (union_by_name / mergeSchema): two table
+    generations derived from `documents` — gen A (even doc_ids) stores
+    (doc_id int32, text, lang), gen B (odd doc_ids) stores
+    (doc_id int64, text, source, n_chars) — are read back as ONE dataset
+    on the promoted union schema (doc_id widened to int64, absent
+    columns null-filled), via the footer-only-sniff + per-block-conform
+    + plan-level-union seam in sources/tables.py."""
+    import hashlib
+    import shutil
+
+    import pyarrow as _pa
+
+    from sanskrit_ocr_ray.sources.tables import read_table_union
+
+    root = "/tmp/sxray_schema_union/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def gen_a(b: _pa.Table) -> _pa.Table:
+        b = b.filter(_pa.compute.equal(_pa.compute.bit_wise_and(b["doc_id"], 1), 0))
+        return _pa.table(
+            {
+                "doc_id": b["doc_id"].cast(_pa.int32()),
+                "text": b["text"],
+                "lang": b["lang"],
+            }
+        )
+
+    def gen_b(b: _pa.Table) -> _pa.Table:
+        b = b.filter(_pa.compute.equal(_pa.compute.bit_wise_and(b["doc_id"], 1), 1))
+        return b.select(["doc_id", "text", "source", "n_chars"])
+
+    shutil.rmtree(root, ignore_errors=True)
+    docs.map_batches(gen_a, batch_format="pyarrow").write_parquet(root + "/gen_a")
+    docs.map_batches(gen_b, batch_format="pyarrow").write_parquet(root + "/gen_b")
+    return read_table_union(
+        [root + "/gen_a", root + "/gen_b"],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 def _feature_hashing(sf_dir: str):
     """Hashing-trick vectorizer: (doc_id, feat, n) sparse triples with
     feat = md5_u64(token) % 1024; shuffle-free."""
@@ -2240,6 +2281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_patches": _image_patches,
         "knn_join": _knn_join,
         "embedding_covariance": _embedding_covariance,
+        "schema_union": _schema_union,
     }
 
 
@@ -4136,5 +4178,15 @@ SELECT a.dim AS dim_i, b.dim AS dim_j,
        CAST(SUM(a.xq * b.xq) AS BIGINT) AS sum_ij
 FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY a.dim, b.dim
+"""
+    # schema_union: gen A never stored source/n_chars, gen B never
+    # stored lang — the union schema null-fills both, doc_id promoted
+    oracles["schema_union"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang,
+       NULL AS source, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+FROM documents WHERE doc_id % 2 = 1
 """
     return oracles

@@ -353,3 +353,14 @@ def make_avro_datasource(paths, columns):
                 yield t.select(columns) if columns is not None else t
 
     return AvroDatasource(paths)
+
+
+def ocf_schema(path: str) -> pa.Schema:
+    """Arrow schema of an OCF file from its header only (the header is
+    the first few KiB; no block is decoded)."""
+    with open(path, "rb") as f:
+        buf = f.read(1 << 20)  # header is tiny; 1 MiB covers huge metas
+    fields, _, _, _ = read_avro_header(buf)
+    return pa.schema(
+        [pa.field(f["name"], _avro_type_to_arrow(f["type"])) for f in fields]
+    )

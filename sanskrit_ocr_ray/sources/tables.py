@@ -217,3 +217,86 @@ def read_table(
         kw = {"arrow_open_stream_args": gz_args} if gz_args else {}
         return _project(_filtered(rd.read_csv(path, convert_options=convert, **kw)))
     return rd.read_parquet(path, columns=columns, filter=row_filter)
+
+
+def table_schema(path: str):
+    """Driver-side schema sniff for one table path — footer/header only,
+    never row data. Used by :func:`read_table_union` to plan projection
+    and null-fill before any scan task launches."""
+    import pyarrow as pa
+
+    if path.endswith((".jsonl", ".json", ".jsonl.gz", ".json.gz", ".csv", ".csv.gz")):
+        raise ValueError(
+            "schema-evolution union reads are a columnar-storage feature; "
+            f"convert the ingestion-edge file first: {path}"
+        )
+    if path.endswith(".orc"):
+        from pyarrow import orc as paorc
+
+        return paorc.ORCFile(path).schema
+    if path.endswith((".feather", ".arrow")):
+        with pa.OSFile(path, "rb") as f:
+            return pa.ipc.open_file(f).schema
+    if path.endswith(".avro"):
+        from .avro import ocf_schema
+
+        return ocf_schema(path)
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        names = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        ) or sorted(os.listdir(path))
+        return pq.read_schema(os.path.join(path, names[0]))
+    return pq.read_schema(path)
+
+
+def read_table_union(
+    paths: list[str],
+    *,
+    columns: list[str] | None = None,
+    row_filter=None,
+    filter_columns: list[str] | None = None,
+):
+    """Schema-evolution read: one Dataset over table files written at
+    DIFFERENT schema versions (columns added or dropped over time,
+    integer widths widened) — DuckDB's ``union_by_name`` / Spark's
+    ``mergeSchema``. Per path the requested projection is intersected
+    with what that file actually stores; after the scan each block is
+    null-filled and cast to the PROMOTED union schema
+    (``pa.unify_schemas(..., promote_options="permissive")``: int32+int64
+    → int64 etc.), then the plans are unioned — a plan-level concat, no
+    shuffle and no driver row materialization. The sniff reads footers
+    only, so planning cost is O(#paths) metadata fetches.
+    """
+    import pyarrow as pa
+
+    schemas = [table_schema(p) for p in paths]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    want = list(columns) if columns is not None else [f.name for f in unified]
+    missing = [c for c in want if c not in unified.names]
+    if missing:
+        raise KeyError(f"columns {missing} exist in none of {paths}")
+    out_schema = pa.schema([unified.field(c) for c in want])
+
+    def _conform(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in out_schema:
+            if f.name in batch.column_names:
+                cols.append(batch[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=f.type))
+        return pa.table(dict(zip(out_schema.names, cols)))
+
+    parts = []
+    for p, s in zip(paths, schemas):
+        have = [c for c in want if c in s.names]
+        fcols = (
+            [c for c in filter_columns if c in s.names]
+            if filter_columns is not None
+            else None
+        )
+        ds = read_table(p, columns=have, row_filter=row_filter, filter_columns=fcols)
+        parts.append(ds.map_batches(_conform, batch_format="pyarrow"))
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out

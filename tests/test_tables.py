@@ -304,3 +304,48 @@ def test_read_table_avro_parity(ray_session, tmp_path):
     ).to_pandas()
     got = got.astype(want.dtypes).sort_values("doc_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_read_table_union_schema_evolution(ray_session, tmp_path):
+    """Union-by-name over three generations in three formats: int32→int64
+    promotion, null-fill of columns absent from a generation, projection
+    intersected per path, and a KeyError for a column no path stores."""
+    import pyarrow as pa
+    import pyarrow.feather as feather
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from sanskrit_ocr_ray.sources.tables import read_table_union
+
+    g1 = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int32()), "text": ["a", "b"]}
+    )
+    g2 = pa.table(
+        {"doc_id": pa.array([3], pa.int64()), "lang": ["sa"]}
+    )
+    g3 = pa.table(
+        {"doc_id": pa.array([4], pa.int64()), "text": ["d"], "lang": ["en"]}
+    )
+    p1 = str(tmp_path / "g1.parquet")
+    p2 = str(tmp_path / "g2.feather")
+    p3 = str(tmp_path / "g3.parquet")
+    pq.write_table(g1, p1)
+    feather.write_feather(g2, p2)
+    pq.write_table(g3, p3)
+
+    out = (
+        read_table_union([p1, p2, p3])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert str(out["doc_id"].dtype) == "int64"  # promoted
+    assert out["text"].tolist() == ["a", "b", None, "d"]
+    assert out["lang"].tolist() == [None, None, "sa", "en"]
+
+    proj = read_table_union([p1, p2, p3], columns=["doc_id", "lang"]).to_pandas()
+    assert sorted(proj.columns) == ["doc_id", "lang"]
+
+    with _pytest.raises(KeyError):
+        read_table_union([p1, p2], columns=["nope"])
