@@ -105,6 +105,18 @@ def _frame_checksums(sf_dir: str):
     return sample_frames(vids, stride=2)
 
 
+def _audio_autocorr(sf_dir: str):
+    """Lag autocorrelation (pitch/periodicity feature) over the same
+    four-codec audio payloads as audio_energy — exact int64 lag dots,
+    shuffle-free."""
+    from sanskrit_ocr_ray.stages.multimodal import audio_autocorr, synth_pcm16_batch
+
+    aud = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_pcm16_batch, batch_format="pyarrow"
+    )
+    return audio_autocorr(aud, lags=(1, 8, 64))
+
+
 def _audio_energy(sf_dir: str):
     """Windowed audio energy over deterministic audio payloads — raw
     s16le, RIFF/WAVE PCM16, G.711 µ-law (doc_id%8==2, stateless integer
@@ -2282,6 +2294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _knn_join,
         "embedding_covariance": _embedding_covariance,
         "schema_union": _schema_union,
+        "audio_autocorr": _audio_autocorr,
     }
 
 
@@ -4189,4 +4202,15 @@ UNION ALL
 SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, source, n_chars
 FROM documents WHERE doc_id % 2 = 1
 """
+    # audio_autocorr: the same four-codec decoded stream `allx` as
+    # audio_energy (recursive-CTE ADPCM included), reduced by lag dots
+    # instead of windowed sums-of-squares
+    oracles["audio_autocorr"] = oracles["audio_energy"].replace(
+        "SELECT doc_id, CAST(i // 256 AS BIGINT) AS win, "
+        "CAST(SUM(x * x) AS BIGINT) AS energy\nFROM allx GROUP BY doc_id, i // 256",
+        "SELECT a.doc_id, lg.k AS lag, CAST(SUM(a.x * b.x) AS BIGINT) AS ac\n"
+        "FROM allx a CROSS JOIN (VALUES (1), (8), (64)) AS lg(k)\n"
+        "JOIN allx b ON b.doc_id = a.doc_id AND b.i = a.i + lg.k\n"
+        "GROUP BY a.doc_id, lg.k",
+    )
     return oracles

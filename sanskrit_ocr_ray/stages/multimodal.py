@@ -631,3 +631,40 @@ def image_patch_sums(ds, *, patch: int = 8, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def audio_autocorr(ds, *, lags: tuple = (1, 8, 64), id_col: str = "doc_id"):
+    """Lag autocorrelation over audio payloads — the pitch/periodicity
+    feature extractor: decode each payload (WAV containers through the
+    real :mod:`.wav` codecs — PCM16 / µ-law / A-law / IMA ADPCM — raw
+    s16le otherwise, same dispatch as :func:`audio_energy`) and emit
+    ``(doc_id, lag, ac)`` with ``ac = Σ_t x[t]·x[t+lag]`` as exact int64
+    (|x| < 2¹⁵ ⇒ each product < 2³⁰; 2048-sample clips keep the sum
+    under 2⁴¹). Shuffle-free vectorized map: one int64 dot per lag."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        types = (batch["media_type"].to_pylist()
+                 if "media_type" in batch.column_names else [None] * len(ids))
+        out_id, out_k, out_ac = [], [], []
+        for did, p, mt in zip(ids, payloads, types):
+            if mt == "audio/wav":
+                x = wav_decode(p)[0].reshape(-1).astype(np.int64)
+            else:
+                x = np.frombuffer(p, dtype="<i2").astype(np.int64)
+            for k in lags:
+                if k >= len(x):
+                    continue
+                out_id.append(did)
+                out_k.append(int(k))
+                out_ac.append(int(np.dot(x[:-k], x[k:])))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "lag": pa.array(out_k, type=pa.int64()),
+                "ac": pa.array(out_ac, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

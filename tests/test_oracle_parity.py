@@ -112,6 +112,7 @@ SUBSET = [
     "knn_join",
     "embedding_covariance",
     "schema_union",
+    "audio_autocorr",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -316,3 +316,44 @@ def test_wav_alaw_container_roundtrip():
     samples, rate, ch = wav_decode(wav_encode(codes, 8000, codec="alaw"))
     assert (rate, ch) == (8000, 1)
     assert samples.tolist() == ALAW_LUT.tolist()
+
+
+def test_audio_autocorr_mixed_codecs_vs_numpy(ray_session):
+    """audio_autocorr reproduces exact integer lag dots across all four
+    codec families, and drops lags >= the clip length."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.multimodal import audio_autocorr, synth_pcm16_batch
+    from sanskrit_ocr_ray.stages.wav import ALAW_LUT, ULAW_LUT, adpcm_decode_codes
+
+    ids = np.arange(16, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = (
+        audio_autocorr(
+            ds.map_batches(synth_pcm16_batch, batch_format="pyarrow"),
+            lags=(1, 64, 5000),  # 5000 > 2048 samples → emitted for no doc
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "lag"])
+        .reset_index(drop=True)
+    )
+    assert (got["lag"] < 2048).all()
+    i = np.arange(2048, dtype=np.int64)
+    rows = []
+    for d in ids:
+        if d % 8 == 2:
+            x = ULAW_LUT[((d * 31 + i * 7) % 256).astype(np.uint8)].astype(np.int64)
+        elif d % 8 == 4:
+            x = ALAW_LUT[((d * 17 + i * 11) % 256).astype(np.uint8)].astype(np.int64)
+        elif d % 8 == 6:
+            nib = ((d * 13 + i[1:] * 5) % 16).astype(np.uint8)
+            x = adpcm_decode_codes(
+                nib[None, :], [((d * 31) % 4096) - 2048], [d % 89]
+            )[0].astype(np.int64)
+        else:
+            x = ((d * 31 + i * 7) % 4096) - 2048
+        for k in (1, 64):
+            rows.append((d, k, int(np.dot(x[:-k], x[k:]))))
+    want = pd.DataFrame(rows, columns=["doc_id", "lag", "ac"])
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
