@@ -105,6 +105,18 @@ def _frame_checksums(sf_dir: str):
     return sample_frames(vids, stride=2)
 
 
+def _video_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over the three-container video payloads
+    (AVI/DIB, animated GIF, raw8): exact integer consecutive-frame
+    absolute diffs + a threshold gate; shuffle-free."""
+    from sanskrit_ocr_ray.stages.multimodal import synth_video_batch, video_scene_cuts
+
+    vids = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_video_batch, batch_format="pyarrow"
+    )
+    return video_scene_cuts(vids, threshold=40000)
+
+
 def _audio_autocorr(sf_dir: str):
     """Lag autocorrelation (pitch/periodicity feature) over the same
     four-codec audio payloads as audio_energy — exact int64 lag dots,
@@ -2295,6 +2307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": _embedding_covariance,
         "schema_union": _schema_union,
         "audio_autocorr": _audio_autocorr,
+        "video_scene_cuts": _video_scene_cuts,
     }
 
 
@@ -4213,4 +4226,20 @@ FROM documents WHERE doc_id % 2 = 1
         "JOIN allx b ON b.doc_id = a.doc_id AND b.i = a.i + lg.k\n"
         "GROUP BY a.doc_id, lg.k",
     )
+    # video_scene_cuts: replay the synth pixel formula
+    # (doc·7 + f·13 + i²) % 256 and the consecutive-frame L1 diff in SQL
+    oracles["video_scene_cuts"] = """
+WITH px AS (
+  SELECT doc_id, f, i, (doc_id * 7 + f * 13 + i * i) % 256 AS p
+  FROM documents, unnest(range(6)) AS a(f), unnest(range(1024)) AS b(i)
+), d AS (
+  SELECT a.doc_id, a.f AS frame_idx, SUM(ABS(a.p - b.p)) AS diff
+  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i AND b.f = a.f - 1
+  GROUP BY a.doc_id, a.f
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(diff AS BIGINT) AS diff,
+       CAST(CASE WHEN diff > 40000 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM d
+"""
     return oracles

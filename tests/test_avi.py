@@ -96,3 +96,55 @@ def test_sample_frames_container_parity():
         else:
             got = np.frombuffer(p, np.uint8).reshape(nf, -1)
         np.testing.assert_array_equal(got, expect)
+
+
+def test_video_scene_cuts_flags_planted_cut(ray_session):
+    """A clip whose third frame inverts flags exactly one cut, across
+    all three container arms (AVI, GIF, raw8)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.avi import avi_encode
+    from sanskrit_ocr_ray.stages.gif import gif_encode_anim
+    from sanskrit_ocr_ray.stages.multimodal import video_scene_cuts
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 40, size=(16, 16), dtype=np.uint8)
+    frames = np.stack([base, base, 255 - base, 255 - base])  # cut at idx 2
+    rows = []
+    for did, (mt, payload) in enumerate(
+        [
+            ("video/avi", avi_encode(frames, fps=25, codec="DIB ")),
+            ("video/gif", gif_encode_anim(frames)),
+            ("video/raw8", frames.tobytes()),
+        ]
+    ):
+        rows.append(
+            {
+                "doc_id": did,
+                "media_type": mt,
+                "n_frames": 4,
+                "width": 16,
+                "height": 16,
+                "payload": payload,
+            }
+        )
+    ds = rd.from_arrow(
+        pa.Table.from_pylist(rows)
+        .set_column(5, "payload", pa.array([r["payload"] for r in rows], pa.binary()))
+    )
+    out = (
+        video_scene_cuts(ds, threshold=1000)
+        .to_pandas()
+        .sort_values(["doc_id", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    exp_diff = np.abs(
+        frames[1:].astype(np.int64) - frames[:-1].astype(np.int64)
+    ).sum(axis=(1, 2))
+    for did in range(3):
+        sub = out[out["doc_id"] == did]
+        assert sub["frame_idx"].tolist() == [1, 2, 3]
+        assert sub["diff"].tolist() == exp_diff.tolist()
+        assert sub["is_cut"].tolist() == [0, 1, 0]
