@@ -652,6 +652,16 @@ def _embedding_moments(sf_dir: str):
     return embedding_moments(_tbl(sf_dir, "embeddings", ["embedding"]), q=1000)
 
 
+def _srp_sketch(sf_dir: str):
+    """Sign-random-projection cosine sketch: 32-bit signatures from
+    deterministic md5-parity hyperplanes; 8 bytes/vector output."""
+    from sanskrit_ocr_ray.stages.similarity import srp_sketch
+
+    return srp_sketch(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), planes=32, q=1000
+    )
+
+
 def _embedding_covariance(sf_dir: str):
     """Cross-dimension covariance sufficient statistics (PCA/whitening
     prereq): one XᵀX Gram matmul per batch → d(d+1)/2 mergeable integer
@@ -2308,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_union": _schema_union,
         "audio_autocorr": _audio_autocorr,
         "video_scene_cuts": _video_scene_cuts,
+        "srp_sketch": _srp_sketch,
     }
 
 
@@ -4241,5 +4252,25 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        CAST(diff AS BIGINT) AS diff,
        CAST(CASE WHEN diff > 40000 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
 FROM d
+"""
+    # srp_sketch: hyperplane signs from md5 parity (the md5_u64
+    # convention), projections on floor(x·1000) quantized elements
+    oracles["srp_sketch"] = """
+WITH r AS (
+  SELECT b, d,
+         CASE WHEN CAST(('0x' || substr(md5('srp:' || b || ':' || d), 1, 16))
+                   AS UBIGINT) % 2 = 0 THEN 1 ELSE -1 END AS rv
+  FROM unnest(range(32)) AS t1(b), unnest(range(64)) AS t2(d)
+), e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), p AS (
+  SELECT e.vec_id, r.b, SUM(r.rv * e.xq) AS proj
+  FROM e JOIN r ON r.d = e.d GROUP BY e.vec_id, r.b
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
+FROM p GROUP BY vec_id
 """
     return oracles

@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..util import md5_u64
+
 
 def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
@@ -977,3 +979,57 @@ def knn_join(
         )
 
     return probe_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def _srp_matrix(planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix for SRP: R[b,d] = +1 iff
+    md5_u64(f"srp:{b}:{d}") is even (DuckDB replays the same parity).
+    Memoized per (planes, dim) — built once per worker process, pennies
+    either way."""
+    key = (planes, dim)
+    cached = _srp_matrix.__dict__.get(key)
+    if cached is None:
+        cached = np.array(
+            [
+                [1.0 if md5_u64(f"srp:{b}:{d}") % 2 == 0 else -1.0 for d in range(dim)]
+                for b in range(planes)
+            ],
+            dtype=np.float64,
+        )
+        _srp_matrix.__dict__[key] = cached
+    return cached
+
+
+def srp_sketch(
+    ds, *, planes: int = 32, q: int = 1000, id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Sign-random-projection (SimHash-for-cosine, Charikar 2002)
+    signatures over an embedding column: bit b of a vector's signature
+    is ``1[Σ_d R[b,d]·xq_d ≥ 0]`` with the deterministic ±1 hyperplanes
+    of :func:`_srp_matrix` and the usual ``floor(x·q)`` quantization —
+    the compact sketch whose Hamming distance estimates cosine angle,
+    used to pre-bucket embedding dedup without shipping vectors.
+
+    Scale shape: shuffle-free map, one (batch × planes) float64 BLAS
+    matmul per batch (int-valued operands: exact while
+    dim·(q·max|x|)² < 2^53); output is 8 bytes per vector however wide
+    the embeddings are — THAT is the point of the sketch at 100 TB."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.floor(_batch_matrix(batch, col) * q)
+        r = _srp_matrix(planes, mat.shape[1])
+        proj = np.rint(mat @ r.T).astype(np.int64)
+        bits = (proj >= 0).astype(np.uint64)
+        sig = (bits << np.arange(planes, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sig": pa.array(sig.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

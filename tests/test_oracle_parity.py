@@ -114,6 +114,7 @@ SUBSET = [
     "schema_union",
     "audio_autocorr",
     "video_scene_cuts",
+    "srp_sketch",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -401,3 +401,31 @@ def test_knn_join_matches_numpy_over_multiple_tiles(ray_session):
     assert got.to_dict("list") == exp.to_dict("list")
     # the planted tie resolved to the SMALLER build id
     assert int(got.loc[got["probe_id"] == 50, "build_id"].iloc[0]) == 200
+
+
+def test_srp_sketch_hamming_tracks_cosine(ray_session):
+    """SRP signatures: identical vectors share a signature, an exact
+    negation flips every plane (Hamming = planes), and near-duplicates
+    land within a few bits — the Charikar angle bound."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import srp_sketch
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(size=64)
+    rows = [
+        {"vec_id": 0, "embedding": v.astype(np.float32).tolist()},
+        {"vec_id": 1, "embedding": v.astype(np.float32).tolist()},  # identical
+        {"vec_id": 2, "embedding": (-v).astype(np.float32).tolist()},  # negated
+        {"vec_id": 3, "embedding": (v + 0.01 * rng.normal(size=64)).astype(np.float32).tolist()},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = srp_sketch(ds, planes=32, q=1000).to_pandas().set_index("vec_id")["sig"]
+    assert out[0] == out[1]
+    ham = bin(int(out[0]) ^ int(out[2])).count("1")
+    # negation flips every plane except those whose projection is 0 or
+    # where floor() asymmetry flips a boundary; allow a 2-bit slack
+    assert ham >= 30
+    near = bin(int(out[0]) ^ int(out[3])).count("1")
+    assert near <= 6
