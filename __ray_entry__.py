@@ -1744,6 +1744,25 @@ def _token_doc_freq(sf_dir: str):
     return token_doc_freq(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _mad_outliers(sf_dir: str):
+    """Robust per-event-type outlier summary (median absolute deviation,
+    5×MAD gate) in integer cents — one bucketed histogram shuffle, both
+    weighted medians computed inside the bucket."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import mad_outliers
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return mad_outliers(ds, "event_type", "value_c", k=5)
+
+
 def _value_iqr_outliers(sf_dir: str):
     """Tukey-fence outliers (1.5×IQR, all-integer arithmetic): exact
     q25/q75 via the value histogram, bounds broadcast, one filter pass."""
@@ -2319,6 +2338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_autocorr": _audio_autocorr,
         "video_scene_cuts": _video_scene_cuts,
         "srp_sketch": _srp_sketch,
+        "mad_outliers": _mad_outliers,
     }
 
 
@@ -4272,5 +4292,37 @@ WITH r AS (
 SELECT vec_id,
        CAST(SUM(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sig
 FROM p GROUP BY vec_id
+"""
+    # mad_outliers: lower medians at 1-based position ceil(n/2) (the
+    # grouped_quantiles_exact convention) over integer cents
+    oracles["mad_outliers"] = """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT event_type, c AS med FROM (
+    SELECT event_type, c,
+           row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+  ) WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT v.event_type, ABS(v.c - m.med) AS a, m.med
+  FROM v JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, a AS mad FROM (
+    SELECT event_type, a,
+           row_number() OVER (PARTITION BY event_type ORDER BY a) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM d
+  ) WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(MIN(d.med) AS BIGINT) AS med_c,
+       CAST(MIN(md.mad) AS BIGINT) AS mad_c,
+       CAST(SUM(CASE WHEN d.a > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
 """
     return oracles

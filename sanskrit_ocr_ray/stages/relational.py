@@ -2472,3 +2472,80 @@ def late_order_priority_counts(orders_ds, lineitem_ds, *, grace_days: int = 60, 
         .groupby("o_orderpriority")
         .aggregate(Sum("n_late", alias_name="n_late"))
     )
+
+
+def mad_outliers(ds, key: str, column: str, *, k: int = 5, n_buckets: int = 32):
+    """Robust per-group outlier summary via the Median Absolute
+    Deviation: for each group, the lower median ``med`` of an integer
+    column (1-based sorted position ``ceil(n/2)`` — the
+    ``grouped_quantiles_exact`` convention), the lower median ``mad`` of
+    ``|x − med|``, and the count of rows with ``|x − med| > k·mad`` —
+    the outlier gate that, unlike Tukey/IQR z-scores, survives 50%
+    contamination. All-integer, so the SQL oracle matches exactly.
+
+    Scale shape: ONE bounded-bucket shuffle of per-batch (key, value)
+    histograms; both weighted medians and the outlier count are computed
+    from the histogram INSIDE each bucket with vectorized pandas groupby
+    passes — no medians broadcast, no driver state, group cardinality
+    unbounded. Histogram assumption as in ``grouped_quantiles_exact``:
+    per-group DISTINCT values ≪ rows.
+    """
+    from ..stages.dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, column]).to_pandas()
+        agg = df.groupby([key, column], as_index=False).size()
+        agg = agg.rename(columns={column: "v", "size": "n"})
+        agg["n"] = agg["n"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    sch = ds.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
+    # pandas-backed datasets report numpy dtypes here, Arrow ones DataTypes
+    if isinstance(key_type, pa.DataType):
+        key_is_int = pa.types.is_integer(key_type)
+    else:
+        key_is_int = np.issubdtype(np.dtype(key_type), np.integer)
+    key_dtype = np.int64 if key_is_int else object
+    empty = typed_empty(
+        **{key: key_dtype, "med_c": np.int64, "mad_c": np.int64,
+           "n_outliers": np.int64}
+    )
+
+    def _weighted_median(h: pd.DataFrame, vcol: str) -> pd.DataFrame:
+        # h: (key, vcol, n); lower median = first value whose cumulative
+        # count reaches ceil(tot/2), vectorized across all keys at once
+        h = h.sort_values([key, vcol], kind="mergesort").reset_index(drop=True)
+        cum = h.groupby(key)["n"].cumsum()
+        tot = h.groupby(key)["n"].transform("sum")
+        half = (tot + 1) // 2
+        sel = h[cum >= half].groupby(key, as_index=False).first()[[key, vcol]]
+        return sel.rename(columns={vcol: "med"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.groupby([key, "v"], as_index=False)["n"].sum()
+        med = _weighted_median(h, "v")
+        h = h.merge(med, on=key)
+        h["a"] = (h["v"] - h["med"]).abs()
+        # |v − med| histogram reuses the same counts; values may collide
+        # (v = med ± a), so re-fold before the second weighted median
+        ha = h.groupby([key, "a"], as_index=False)["n"].sum()
+        mad = _weighted_median(ha, "a").rename(columns={"med": "mad"})
+        h = h.merge(mad, on=key)
+        out_n = (
+            h[h["a"] > k * h["mad"]].groupby(key)["n"].sum()
+        )
+        res = med.rename(columns={"med": "med_c"}).merge(
+            mad.rename(columns={"mad": "mad_c"}), on=key
+        )
+        res["n_outliers"] = res[key].map(out_n).fillna(0).astype(np.int64)
+        return res.astype({"med_c": np.int64, "mad_c": np.int64})
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+    )

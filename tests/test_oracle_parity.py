@@ -115,6 +115,7 @@ SUBSET = [
     "audio_autocorr",
     "video_scene_cuts",
     "srp_sketch",
+    "mad_outliers",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

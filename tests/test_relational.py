@@ -986,3 +986,38 @@ def test_debounce_events_kept_chain(ray_session):
             .sort_values("event_id")
         )
         assert list(out.event_id) == [1, 3, 4]
+
+
+def test_mad_outliers_hand_computed(ray_session):
+    """Two groups with known lower medians, MADs and planted outliers;
+    partition-count invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import mad_outliers
+
+    # group 'a': values 1..9 plus outlier 1000 → n=10, med = 5th = 5;
+    # |x−5| = 4,3,2,1,0,1,2,3,4,995 → sorted 0..4,4,995 → mad = 5th of
+    # [0,1,1,2,2,3,3,4,4,995] = 2; outliers: |x−5| > 10 → just 1000
+    a_vals = list(range(1, 10)) + [1000]
+    # group 'b': constant 7 ×6 → med 7, mad 0, every dev > 0 is an
+    # outlier → plant two 8s: |8−7|=1 > 5·0 → 2 outliers
+    b_vals = [7] * 6 + [8, 8]
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(a_vals) + ["b"] * len(b_vals),
+            "v": np.array(a_vals + b_vals, dtype=np.int64),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            mad_outliers(rd.from_pandas(df).repartition(parts), "g", "v", k=5)
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out["g"].tolist() == ["a", "b"]
+        assert out["med_c"].tolist() == [5, 7]
+        assert out["mad_c"].tolist() == [2, 0]
+        assert out["n_outliers"].tolist() == [1, 2]
