@@ -1708,6 +1708,18 @@ def _user_event_paths(sf_dir: str):
     )
 
 
+def _pattern_counts(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: per-user count of 'view>(click>)*purchase'
+    occurrences over the ordered event path — one bucketed path
+    assembly, then a shuffle-free compiled-regex count."""
+    from sanskrit_ocr_ray.stages.relational import sequence_pattern_counts
+
+    return sequence_pattern_counts(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        r"view>(click>)*purchase",
+    )
+
+
 def _daily_active_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per UTC day — two bounded shuffles over
     distinct (day, user) pairs, never a co-located per-day set."""
@@ -2339,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_scene_cuts": _video_scene_cuts,
         "srp_sketch": _srp_sketch,
         "mad_outliers": _mad_outliers,
+        "pattern_counts": _pattern_counts,
     }
 
 
@@ -4324,5 +4337,17 @@ SELECT d.event_type,
          AS n_outliers
 FROM d JOIN md USING (event_type)
 GROUP BY d.event_type
+"""
+    # pattern_counts: same ordered-path assembly as user_event_paths;
+    # the pattern is greedy-unambiguous so RE2 and Python re agree
+    oracles["pattern_counts"] = """
+WITH p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(path, 'view>(click>)*purchase')) AS BIGINT)
+         AS n_matches
+FROM p
 """
     return oracles

@@ -2549,3 +2549,45 @@ def mad_outliers(ds, key: str, column: str, *, k: int = 5, n_buckets: int = 32):
         n_buckets=n_buckets,
         empty=empty,
     )
+
+
+def sequence_pattern_counts(
+    ds,
+    pattern: str,
+    *,
+    group: str = "user_id",
+    order: str = "ts",
+    id_col: str = "event_id",
+    token: str = "event_type",
+    n_buckets: int = 64,
+):
+    """MATCH_RECOGNIZE-lite: per group, the number of non-overlapping
+    occurrences of a regex ``pattern`` over the ordered
+    ``'>'``-separated token path (e.g. ``view>(click>)*purchase`` =
+    "a view, any clicks, then a purchase") — the sequence-pattern op
+    behind funnel mining and abuse-signature detection.
+
+    Scale shape: the one bucketed shuffle of :func:`grouped_concat`
+    builds the ordered paths; the match count is then a shuffle-free
+    vectorized map with the regex compiled ONCE per task (not per row).
+    Keep patterns unambiguous under greedy matching (no overlapping
+    alternatives) so any leftmost engine — Python ``re`` here, RE2 in
+    the DuckDB oracle — counts identically.
+    """
+    import re
+
+    paths = grouped_concat(
+        ds, group=group, order=order, id_col=id_col, token=token, sep=">",
+        n_buckets=n_buckets,
+    )
+
+    def count_matches(batch: pa.Table) -> pa.Table:
+        rx = re.compile(pattern)
+        n = np.fromiter(
+            (len(rx.findall(p)) for p in batch["path"].to_pylist()),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table({group: batch[group], "n_matches": pa.array(n)})
+
+    return paths.map_batches(count_matches, batch_format="pyarrow")

@@ -1021,3 +1021,48 @@ def test_mad_outliers_hand_computed(ray_session):
         assert out["med_c"].tolist() == [5, 7]
         assert out["mad_c"].tolist() == [2, 0]
         assert out["n_outliers"].tolist() == [1, 2]
+
+
+def test_sequence_pattern_counts_hand_computed(ray_session):
+    """Non-overlapping greedy counts over hand-built paths; partition
+    invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import sequence_pattern_counts
+
+    # user 1 path: view>click>click>purchase>view>purchase  → 2 matches
+    # user 2 path: view>click>error>purchase                → 0 (error breaks)
+    # user 3 path: purchase>view                             → 0
+    rows = []
+    seqs = {
+        1: ["view", "click", "click", "purchase", "view", "purchase"],
+        2: ["view", "click", "error", "purchase"],
+        3: ["purchase", "view"],
+    }
+    eid = 0
+    for u, seq in seqs.items():
+        for t_i, et in enumerate(seq):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=t_i),
+                    "user_id": u,
+                    "event_type": et,
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+    for parts in (1, 3):
+        out = (
+            sequence_pattern_counts(
+                rd.from_pandas(df).repartition(parts),
+                r"view>(click>)*purchase",
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 2, 3]
+        assert out["n_matches"].tolist() == [2, 0, 0]
