@@ -1708,6 +1708,43 @@ def _user_event_paths(sf_dir: str):
     )
 
 
+def _table_diff(sf_dir: str):
+    """Snapshot diff: documents vs a deterministically mutated second
+    version (doc_id%10==3 removed, %10==7 lang rewritten, %10==0 cloned
+    under doc_id+1e6) → (doc_id, added|removed|changed); only key+hash
+    cross the one full-outer shuffle."""
+    import pyarrow as _pa
+
+    from sanskrit_ocr_ray.stages.relational import table_diff
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    old = _tbl(sf_dir, "documents", cols)
+
+    def mutate(b: _pa.Table) -> _pa.Table:
+        import numpy as _np
+
+        mod10 = b["doc_id"].to_numpy(zero_copy_only=False) % 10
+        kept = b.filter(_pa.array(mod10 != 3))
+        lang = _pa.compute.if_else(
+            _pa.array(kept["doc_id"].to_numpy(zero_copy_only=False) % 10 == 7),
+            "xx",
+            kept["lang"],
+        )
+        kept = kept.set_column(kept.column_names.index("lang"), "lang", lang)
+        clones = b.filter(_pa.array(mod10 == 0))
+        clones = clones.set_column(
+            0,
+            "doc_id",
+            _pa.array(
+                clones["doc_id"].to_numpy(zero_copy_only=False) + _np.int64(1_000_000)
+            ),
+        )
+        return _pa.concat_tables([kept, clones])
+
+    new = _tbl(sf_dir, "documents", cols).map_batches(mutate, batch_format="pyarrow")
+    return table_diff(old, new, "doc_id", ["text", "lang", "source", "n_chars"])
+
+
 def _pattern_counts(sf_dir: str):
     """MATCH_RECOGNIZE-lite: per-user count of 'view>(click>)*purchase'
     occurrences over the ordered event path — one bucketed path
@@ -2352,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "srp_sketch": _srp_sketch,
         "mad_outliers": _mad_outliers,
         "pattern_counts": _pattern_counts,
+        "table_diff": _table_diff,
     }
 
 
@@ -4349,5 +4387,28 @@ SELECT user_id,
        CAST(len(regexp_extract_all(path, 'view>(click>)*purchase')) AS BIGINT)
          AS n_matches
 FROM p
+"""
+    # table_diff: the md5 rowhash equality on the Ray side reduces to
+    # column-wise IS DISTINCT FROM here (no collisions at these sizes)
+    oracles["table_diff"] = """
+WITH newt AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 10 = 7 THEN 'xx' ELSE lang END AS lang,
+         source, n_chars
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type
+FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.text IS DISTINCT FROM n.text
+   OR o.lang IS DISTINCT FROM n.lang
+   OR o.source IS DISTINCT FROM n.source
+   OR o.n_chars IS DISTINCT FROM n.n_chars
 """
     return oracles

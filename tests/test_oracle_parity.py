@@ -117,6 +117,7 @@ SUBSET = [
     "srp_sketch",
     "mad_outliers",
     "pattern_counts",
+    "table_diff",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

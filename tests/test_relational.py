@@ -1066,3 +1066,38 @@ def test_sequence_pattern_counts_hand_computed(ray_session):
         )
         assert out["user_id"].tolist() == [1, 2, 3]
         assert out["n_matches"].tolist() == [2, 0, 0]
+
+
+def test_table_diff_classifies_hand_built_snapshots(ray_session):
+    """added/removed/changed against hand-built snapshots; unchanged rows
+    never appear; null value columns hash stably."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import table_diff
+
+    old = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4],
+            "a": ["x", "y", None, "w"],
+            "b": pd.array([10, 20, 30, 40], dtype="Int64"),
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "k": [2, 3, 4, 5],          # 1 removed, 5 added
+            "a": ["y", None, "w2", "v"],  # 4 changed (a), 2/3 unchanged
+            "b": pd.array([20, 30, 40, 50], dtype="Int64"),
+        }
+    )
+    out = (
+        table_diff(rd.from_pandas(old), rd.from_pandas(new), "k", ["a", "b"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["k"].tolist(), out["change_type"].tolist())) == [
+        (1, "removed"),
+        (4, "changed"),
+        (5, "added"),
+    ]
