@@ -1708,6 +1708,40 @@ def _user_event_paths(sf_dir: str):
     )
 
 
+def _late_events(sf_dir: str):
+    """Watermark/allowed-lateness gate (Beam/Flink semantics) over
+    arrival order = event_id: two-phase distributed prefix-scan of the
+    running max event-time, 30-min lateness, 1-h tumbling windows. The
+    fixture's event times are monotone in arrival order, so a
+    deterministic ±1 h md5 'device clock skew' is applied first — the
+    out-of-orderness the watermark machinery exists for."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    from sanskrit_ocr_ray.stages.relational import late_events
+    from sanskrit_ocr_ray.util import md5_u64_many
+
+    def skew(b: _pa.Table) -> _pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(_np.int64)
+        us = b["ts"].cast(_pa.int64()).to_numpy(zero_copy_only=False)
+        jit = (
+            md5_u64_many([str(i) for i in ids.tolist()]) % _np.uint64(7_200_000_000)
+        ).astype(_np.int64) - 3_600_000_000
+        return _pa.table(
+            {"event_id": _pa.array(ids), "et_us": _pa.array(us + jit)}
+        )
+
+    ds = _tbl(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        skew, batch_format="pyarrow"
+    )
+    return late_events(
+        ds,
+        lateness_us=1_800_000_000,
+        window_us=3_600_000_000,
+        ts_col="et_us",
+    )
+
+
 def _table_diff(sf_dir: str):
     """Snapshot diff: documents vs a deterministically mutated second
     version (doc_id%10==3 removed, %10==7 lang rewritten, %10==0 cloned
@@ -2390,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _mad_outliers,
         "pattern_counts": _pattern_counts,
         "table_diff": _table_diff,
+        "late_events": _late_events,
     }
 
 
@@ -4410,5 +4445,28 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL
    OR o.lang IS DISTINCT FROM n.lang
    OR o.source IS DISTINCT FROM n.source
    OR o.n_chars IS DISTINCT FROM n.n_chars
+"""
+    # late_events: watermark = running max of event-time over earlier
+    # arrivals (event_id order) − 30 min; late when it passed the 1-h
+    # tumbling window end; the first arrival is never late
+    oracles["late_events"] = """
+WITH e AS (
+  SELECT event_id,
+         CAST(epoch_us(ts) AS BIGINT)
+         + CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                     AS UBIGINT) % 7200000000 AS BIGINT) - 3600000000 AS us
+  FROM events
+), p AS (
+  SELECT event_id, us,
+         MAX(us) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev
+  FROM e
+)
+SELECT event_id,
+       CAST(CASE WHEN prev IS NOT NULL
+                  AND prev - 1800000000 > (us // 3600000000 + 1) * 3600000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_late
+FROM p
 """
     return oracles

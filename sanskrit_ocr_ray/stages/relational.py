@@ -2644,3 +2644,88 @@ def table_diff(
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def late_events(
+    ds,
+    *,
+    lateness_us: int = 1_800_000_000,
+    window_us: int = 3_600_000_000,
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    n_ranges: int = 256,
+):
+    """Event-time watermark / late-data flagging (the Beam/Flink
+    allowed-lateness semantics): processing order is ``order_col``
+    (arrival proxy); the watermark after an event is
+    ``max(event-time of strictly earlier arrivals) − lateness``; an
+    event is LATE when the watermark has already passed the end of its
+    tumbling window. Emits ``(order_col, is_late)``.
+
+    Scale shape: a global running max is an associative SCAN, so it runs
+    as the classic two-phase prefix scan over VALUE-RANGE buckets of
+    ``order_col`` (the ``shard_assign`` ranking pattern): pass 1 folds
+    per-range max event-times into ≤ ``n_ranges`` driver rows and
+    prefix-maxes them (tiny); pass 2 co-locates each range with one
+    shuffle and computes the in-range exclusive cummax vectorized,
+    seeded by the broadcast carry. No global sort, no driver row data.
+    """
+    from ..util import typed_empty
+
+    max_id = int(ds.max(order_col))
+    w = max(1, (max_id + n_ranges) // n_ranges)
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        ids = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch[ts_col]
+        if not pa.types.is_integer(col.type):  # timestamp[us] → int64 µs
+            col = col.cast(pa.int64())
+        us = col.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                order_col: pa.array(ids),
+                "us": pa.array(us.astype(np.int64)),
+                "__rid": pa.array(ids // w),
+            }
+        )
+
+    tagged = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("__rid", as_index=False)["us"].max()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Max
+
+    hist = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("__rid")
+        .aggregate(Max("us", alias_name="us"))
+        .to_pandas()  # ≤ n_ranges + 1 tiny rows
+        .sort_values("__rid")
+    )
+    lo = np.int64(-(1 << 62))
+    seeds = {}  # rid -> max us over all STRICTLY EARLIER ranges
+    carry = lo
+    for rid, mx in zip(hist["__rid"], hist["us"]):
+        seeds[int(rid)] = int(carry)
+        carry = max(carry, int(mx))
+
+    empty = typed_empty(**{order_col: np.int64, "is_late": np.int64})
+
+    def flag_range(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group.sort_values(order_col, kind="mergesort")
+        us = g["us"].to_numpy()
+        prev = np.empty(len(us), dtype=np.int64)
+        prev[0] = seeds.get(int(g["__rid"].iloc[0]), lo)
+        if len(us) > 1:
+            np.maximum.accumulate(us[:-1], out=prev[1:])
+            np.maximum(prev[1:], prev[0], out=prev[1:])
+        wend = (us // window_us + 1) * window_us
+        late = ((prev - lateness_us) > wend).astype(np.int64)
+        return pd.DataFrame({order_col: g[order_col].to_numpy(), "is_late": late})
+
+    return tagged.groupby("__rid").map_groups(flag_range, batch_format="pandas")

@@ -118,6 +118,7 @@ SUBSET = [
     "mad_outliers",
     "pattern_counts",
     "table_diff",
+    "late_events",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

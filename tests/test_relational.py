@@ -1101,3 +1101,45 @@ def test_table_diff_classifies_hand_built_snapshots(ray_session):
         (4, "changed"),
         (5, "added"),
     ]
+
+
+def test_late_events_watermark_hand_computed(ray_session):
+    """Exclusive running-max watermark across range-bucket boundaries:
+    a tiny n_ranges forces the carry broadcast path; expected flags are
+    replayed with a naive driver loop."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import late_events
+
+    rng = np.random.default_rng(9)
+    n = 200
+    base = np.arange(n, dtype=np.int64) * 60_000_000  # 1/min
+    jitter = rng.integers(-3_600_000_000, 3_600_000_000, size=n)
+    us = base + jitter
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "et_us": us})
+
+    L, W = 1_800_000_000, 3_600_000_000
+    prev = -(1 << 62)
+    want = []
+    for t in us:  # arrival order = event_id order
+        wend = (t // W + 1) * W
+        want.append(1 if prev - L > wend else 0)
+        prev = max(prev, int(t))
+    assert 0 < sum(want) < n  # both classes present
+
+    for parts, ranges in ((1, 4), (7, 16)):
+        out = (
+            late_events(
+                rd.from_pandas(df).repartition(parts),
+                lateness_us=L,
+                window_us=W,
+                ts_col="et_us",
+                n_ranges=ranges,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["is_late"].tolist() == want
