@@ -149,6 +149,16 @@ def run_bench() -> dict:
         "snm_pairs",
         "value_ntile",
         "cms_registers",
+        "knn_join",
+        "embedding_covariance",
+        "srp_sketch",
+        "image_patches",
+        "audio_autocorr",
+        "video_scene_cuts",
+        "mad_outliers",
+        "pattern_counts",
+        "table_diff",
+        "late_events",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
