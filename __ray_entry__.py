@@ -2089,6 +2089,21 @@ def _item_triangles(sf_dir: str):
     return triangle_counts(item_transition_edges(ev))
 
 
+def _item_kcore(sf_dir: str):
+    """2-core of the undirected item-transition graph: iterated peel of
+    degree-<2 nodes until fixpoint (≤6 rounds, early exit) → surviving
+    (node, deg-within-core). The standard graph-densification gate
+    (drop whisker/chain items before community or embedding passes).
+    Scale shape in stages/graph.py: per round two SEMI hash_joins
+    (edges ⋉ alive on each endpoint) + one bounded degree shuffle;
+    alive set is object-store rows, never driver state; small graphs
+    take the one-task vectorized peel fast path."""
+    from sanskrit_ocr_ray.stages.graph import item_transition_edges, kcore
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    return kcore(item_transition_edges(ev), k=2, max_rounds=6)
+
+
 def _props_k_by_type(sf_dir: str):
     """Semi-structured projection + aggregate: extract integer ``$.k``
     from the JSON props blob (vectorized regex, no per-row json.loads),
@@ -2386,6 +2401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_components": _item_components,
         "item_pagerank": _item_pagerank,
         "item_triangles": _item_triangles,
+        "item_kcore": _item_kcore,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         "mktsegment_join_skew": _mktsegment_join_skew,
@@ -3795,6 +3811,45 @@ FROM (
 )
 GROUP BY node
 """
+    # item_kcore: six unrolled peel rounds of the same recurrence the
+    # Ray loop runs (alive_t = alive_{t-1} nodes with ≥2 neighbours in
+    # alive_{t-1}); the Ray side's fixpoint early-exit is safe because
+    # extra rounds past the fixpoint are the identity. Final select
+    # recomputes degrees within the last survivor set (GROUP BY drops
+    # degree-0 nodes on both sides).
+    _kc_parts = ["""ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM ev
+), und AS (
+  SELECT DISTINCT LEAST(pk, k) AS a, GREATEST(pk, k) AS b
+  FROM seq WHERE pk IS NOT NULL AND pk <> k
+), bi AS (
+  SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und
+), kc_a0 AS (
+  SELECT a AS v FROM und UNION SELECT b FROM und
+)"""]
+    for _i in range(1, 7):
+        _kc_parts.append(f"""kc_a{_i} AS (
+  SELECT e.v FROM bi e
+  JOIN kc_a{_i - 1} s ON s.v = e.v
+  JOIN kc_a{_i - 1} t ON t.v = e.w
+  GROUP BY e.v HAVING COUNT(*) >= 2
+)""")
+    oracles["item_kcore"] = (
+        "WITH "
+        + ",\n".join(_kc_parts)
+        + """
+SELECT e.v AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM bi e
+JOIN kc_a6 s ON s.v = e.v
+JOIN kc_a6 t ON t.v = e.w
+GROUP BY e.v
+"""
+    )
     # kmv_jaccard: same shingle/md5 conventions as kmv_distinct plus the
     # train_val_split hash rule; the estimator is a pure function of the
     # hash order so every integer matches

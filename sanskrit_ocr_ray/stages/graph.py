@@ -576,3 +576,223 @@ def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
         return pa.table({"node": batch["src"], "pr": batch["r"]})
 
     return ranks.map_batches(rename_out, batch_format="pyarrow")
+
+
+def kcore(edges, *, k: int = 2, max_rounds: int = 6, n_buckets: int = 16,
+          small_edges: int = 2_000_000):
+    """k-core decomposition by iterated peeling over an (src, dst, ...)
+    edge Dataset → ``(node, deg)`` for the nodes that survive, where
+    ``deg`` is the node's degree WITHIN the surviving set.
+
+    Semantics (mirrored exactly by the unrolled-CTE DuckDB oracle):
+    - the graph is the undirected SIMPLE graph of the input (self-loops
+      dropped, (min, max)-canonicalized, distinct — edge weights carry
+      no coreness signal);
+    - round t removes every node whose degree within round t−1's
+      survivor set is < ``k``; exactly ``max_rounds`` peels run (with an
+      early exit at the fixpoint, where further rounds are the
+      identity, so early exit never changes the answer);
+    - the output recomputes degrees within the final survivor set, so a
+      node whose surviving degree is 0 is absent (GROUP BY semantics,
+      same as the oracle's final aggregate).
+
+    Scale shape: canonical-distinct is one bounded pair-hash shuffle
+    (the :func:`triangle_counts` step); each peel round is two SEMI
+    :func:`relational.hash_join` passes (edges ⋉ alive on each endpoint
+    — only the key column of the small side ships) plus one bounded
+    degree shuffle, all keyed ``node % B``; the alive set between rounds
+    is one (node,) row per survivor, object-store-pinned, never on the
+    driver. Rounds are all-to-all barriers, so the same small-graph
+    escape hatch as :func:`pagerank` applies: at ≤ ``small_edges`` edge
+    rows ONE task peels the whole graph vectorized (bit-identical; the
+    distributed loop is pinned by tests at ``small_edges=0``).
+    """
+    import ray
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    edges = edges.materialize()
+    block_refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _n_rows(block) -> int:
+        return len(block)
+
+    out_empty = pa.table(
+        {"node": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}
+    )
+
+    @ray.remote
+    def _local_kcore(*blocks) -> pa.Table:
+        frames = []
+        for blk in blocks:
+            df = blk if isinstance(blk, pd.DataFrame) else blk.to_pandas()
+            if len(df) and "src" in df.columns:
+                frames.append(df[["src", "dst"]])
+        if not frames:
+            return out_empty
+        e = pd.concat(frames, ignore_index=True)
+        s = e["src"].to_numpy(np.int64)
+        d = e["dst"].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        und = (
+            pd.DataFrame({"a": np.minimum(s, d), "b": np.maximum(s, d)})
+            .drop_duplicates()
+        )
+        if und.empty:
+            return out_empty
+        nodes_u = np.unique(
+            np.concatenate([und["a"].to_numpy(), und["b"].to_numpy()])
+        )
+        ai = np.searchsorted(nodes_u, und["a"].to_numpy())
+        bi = np.searchsorted(nodes_u, und["b"].to_numpy())
+        alive = np.ones(len(nodes_u), dtype=bool)
+
+        def _deg(mask: np.ndarray) -> np.ndarray:
+            m = mask[ai] & mask[bi]
+            deg = np.zeros(len(nodes_u), np.int64)
+            np.add.at(deg, ai[m], 1)
+            np.add.at(deg, bi[m], 1)
+            return deg
+
+        for _ in range(max_rounds):
+            nxt = alive & (_deg(alive) >= k)
+            if nxt.sum() == alive.sum():
+                break
+            alive = nxt
+        deg = _deg(alive)
+        outm = deg > 0
+        return pa.table(
+            {
+                "node": pa.array(nodes_u[outm], pa.int64()),
+                "deg": pa.array(deg[outm], pa.int64()),
+            }
+        )
+
+    if block_refs and sum(
+        ray.get([_n_rows.remote(r) for r in block_refs])
+    ) <= small_edges:
+        return rd.from_arrow_refs([_local_kcore.remote(*block_refs)])
+
+    # --- distributed path: canonical distinct edges, then peel rounds ---
+    pair_empty = typed_empty(a=np.int64, b=np.int64)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+            np.uint64
+        )
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "__pb": pa.array((h % np.uint64(n_buckets)).astype(np.int32)),
+            }
+        )
+
+    def distinct_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pair_empty.copy()
+        return group[["a", "b"]].drop_duplicates()
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(distinct_per_bucket, batch_format="pandas")
+    )
+
+    # both orientations (v, w): the per-round degree source
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b]), pa.int64()),
+                "w": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    bi = und.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    nodes_empty = typed_empty(v=np.int64)
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["v"].to_numpy())
+        nb = (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(u, pa.int64()), "__nb": pa.array(nb)})
+
+    def uniq_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return nodes_empty.copy()
+        return pd.DataFrame({"v": np.unique(group["v"].to_numpy())})
+
+    alive = (
+        bi.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("__nb")
+        .map_groups(uniq_per_bucket, batch_format="pandas")
+        .materialize()
+    )
+    n_alive = alive.count()
+
+    deg_empty = typed_empty(v=np.int64, deg=np.int64)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"v": batch["v"].to_numpy()})
+        g = df.groupby("v", as_index=False).size().rename(columns={"size": "deg"})
+        g["__db"] = (
+            g["v"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def deg_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return deg_empty.copy()
+        out = group.groupby("v", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype(np.int64)
+        return out
+
+    def rename_w(batch: pa.Table) -> pa.Table:
+        return pa.table({"w": batch["v"]})
+
+    def _alive_degrees(alive_ds):
+        """degrees within the alive set: edges ⋉ alive on BOTH endpoints,
+        then a bounded per-node count shuffle → (v, deg)."""
+        e1 = hash_join(bi, alive_ds, key="v", how="semi", n_buckets=n_buckets)
+        e2 = hash_join(
+            e1,
+            alive_ds.map_batches(rename_w, batch_format="pyarrow"),
+            key="w",
+            how="semi",
+            n_buckets=n_buckets,
+        )
+        return (
+            e2.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("__db")
+            .map_groups(deg_per_bucket, batch_format="pandas")
+        )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["deg"], pa.scalar(k, pa.int64()))
+        return pa.table({"v": batch.filter(m)["v"]})
+
+    for _ in range(max_rounds):
+        nxt = (
+            _alive_degrees(alive)
+            .map_batches(survivors, batch_format="pyarrow")
+            .materialize()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            break
+        alive, n_alive = nxt, n_nxt
+
+    def rename_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["v"], "deg": batch["deg"]})
+
+    return _alive_degrees(alive).map_batches(rename_out, batch_format="pyarrow")

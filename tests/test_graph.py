@@ -236,3 +236,82 @@ def test_triangle_counts_triangle_free(ray_session):
     pairs = [(a, 100 + b) for a in range(5) for b in range(5)]
     got = triangle_counts(_edges_ds(rd, pairs), n_buckets=4).to_pandas()
     assert len(got) == 0
+
+
+def _ref_kcore(pairs, k, max_rounds=6):
+    """Driver-side reference peel: set-based, exact semantics."""
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    alive = {v for e in und for v in e}
+    for _ in range(max_rounds):
+        deg = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        nxt = {v for v in alive if deg.get(v, 0) >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    deg = {}
+    for a, b in und:
+        if a in alive and b in alive:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+    return {v: c for v, c in deg.items() if c > 0}
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_kcore_multi_round_peel(ray_session, n_buckets):
+    """A 4-cycle core with a 3-chain whisker: peeling the chain takes
+    THREE rounds (tip first, then each inner link), so this pins the
+    iterated-fixpoint semantics, not just one degree filter."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import kcore
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4), (4, 1),   # the 2-core
+        (4, 5), (5, 6), (6, 7),           # whisker: 7 peels, then 6, then 5
+        (8, 9),                           # isolated edge: dies round 1
+        (2, 2),                           # self-loop: dropped
+        (3, 2),                           # reverse duplicate of (2, 3)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in pairs], pa.int64()),
+                "dst": pa.array([b for _, b in pairs], pa.int64()),
+                "w": pa.array([1] * len(pairs), pa.int64()),
+            }
+        )
+    )
+    ref = _ref_kcore(pairs, k=2)
+    assert ref == {1: 2, 2: 2, 3: 2, 4: 2}  # the whisker is fully peeled
+    for thresh in (2_000_000, 0):
+        got = kcore(ds, k=2, n_buckets=n_buckets, small_edges=thresh).to_pandas()
+        assert dict(zip(got["node"], got["deg"])) == ref, thresh
+
+
+def test_kcore_random_graph_both_paths(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import kcore
+
+    rng = np.random.RandomState(7)
+    pairs = list(zip(rng.randint(0, 40, 300), rng.randint(0, 40, 300)))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([int(a) for a, _ in pairs], pa.int64()),
+                "dst": pa.array([int(b) for _, b in pairs], pa.int64()),
+                "w": pa.array([1] * len(pairs), pa.int64()),
+            }
+        )
+    )
+    for k in (2, 3, 5):
+        ref = _ref_kcore(pairs, k=k, max_rounds=12)
+        for thresh in (2_000_000, 0):
+            got = kcore(
+                ds, k=k, max_rounds=12, n_buckets=4, small_edges=thresh
+            ).to_pandas()
+            assert dict(zip(got["node"], got["deg"])) == ref, (k, thresh)

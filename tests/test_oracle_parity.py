@@ -119,6 +119,7 @@ SUBSET = [
     "pattern_counts",
     "table_diff",
     "late_events",
+    "item_kcore",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
