@@ -532,6 +532,22 @@ def _kmeans_lloyd(sf_dir: str):
     )
 
 
+def _embedding_pq(sf_dir: str):
+    """Product-quantization codes (Jégou et al. PQ): 4 subspaces × 16
+    dims, k=4 centroids each, 2 Lloyd passes per subspace — every
+    subspace trains in the SAME streaming passes (one m·k-row mergeable
+    partial per batch, centroids broadcast via ray.put), then one
+    shuffle-free pass emits per-vector codes + total squared integer
+    quantization error. The oracle unrolls the per-subspace Lloyd
+    recurrence four times and joins the final assignments."""
+    from sanskrit_ocr_ray.stages.similarity import pq_codes
+
+    return pq_codes(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        m=4, k=4, iters=2, q=1000,
+    )
+
+
 def _purchase_error_counts_full(sf_dir: str):
     """FULL OUTER join: per-user counts of high-value 'purchase' vs
     'error' events (value > 150, predicate pushed into the parquet
@@ -2331,6 +2347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _bpe_merges,
         "purchase_error_counts_full": _purchase_error_counts_full,
         "kmeans_lloyd": _kmeans_lloyd,
+        "embedding_pq": _embedding_pq,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -4087,6 +4104,64 @@ FROM h
         "WITH "
         + ",\n".join(_km_parts)
         + "\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM km_a3 WHERE rn = 1"
+    )
+    # embedding_pq (m=4 subspaces × 16 dims, k=4, 2 assignment passes,
+    # q=1000): the kmeans_lloyd recurrence unrolled once per subspace —
+    # same quantization, same k-smallest-ids seeding (subvector of the
+    # SAME seed rows), same lowest-cluster tie rule and floor(sum/count)
+    # update — with the final assignment's squared distance kept so the
+    # total quantization error is integer-comparable too.
+    _pq_parts = [
+        """pq_e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS xq
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), pq_init AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+)"""
+    ]
+    for _s in range(4):
+        _lo, _hi = _s * 16, (_s + 1) * 16
+        _pq_parts.append(f"""pq_c0_{_s} AS (
+  SELECT i.cl, e.d, e.xq AS cq FROM pq_e e JOIN pq_init i USING (vec_id)
+  WHERE e.d >= {_lo} AND e.d < {_hi}
+), pq_a1_{_s} AS (
+  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM (
+    SELECT e.vec_id, c.cl, SUM((e.xq - c.cq) * (e.xq - c.cq)) AS dist
+    FROM pq_e e JOIN pq_c0_{_s} c ON e.d = c.d
+    GROUP BY e.vec_id, c.cl
+  )
+), pq_c1_{_s} AS (
+  SELECT p.cl, p.d, COALESCE(u.cq, p.cq) AS cq
+  FROM pq_c0_{_s} p LEFT JOIN (
+    SELECT a.cl, e.d,
+           CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+    FROM pq_e e JOIN (SELECT vec_id, cl FROM pq_a1_{_s} WHERE rn = 1) a USING (vec_id)
+    WHERE e.d >= {_lo} AND e.d < {_hi}
+    GROUP BY a.cl, e.d
+  ) u ON u.cl = p.cl AND u.d = p.d
+), pq_a2_{_s} AS (
+  SELECT vec_id, cl, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+  FROM (
+    SELECT e.vec_id, c.cl, SUM((e.xq - c.cq) * (e.xq - c.cq)) AS dist
+    FROM pq_e e JOIN pq_c1_{_s} c ON e.d = c.d
+    GROUP BY e.vec_id, c.cl
+  )
+)""")
+    oracles["embedding_pq"] = (
+        "WITH "
+        + ",\n".join(_pq_parts)
+        + """
+SELECT a0.vec_id,
+       a0.cl AS code_0, a1.cl AS code_1, a2.cl AS code_2, a3.cl AS code_3,
+       CAST(a0.dist + a1.dist + a2.dist + a3.dist AS BIGINT) AS err
+FROM (SELECT * FROM pq_a2_0 WHERE rn = 1) a0
+JOIN (SELECT * FROM pq_a2_1 WHERE rn = 1) a1 USING (vec_id)
+JOIN (SELECT * FROM pq_a2_2 WHERE rn = 1) a2 USING (vec_id)
+JOIN (SELECT * FROM pq_a2_3 WHERE rn = 1) a3 USING (vec_id)
+"""
     )
     # embedding_outliers: both sides evaluate the pure integer predicate
     # D(v) > 9·T on floor(float64(x)·100) quantized elements (HUGEINT

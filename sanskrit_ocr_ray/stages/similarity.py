@@ -492,6 +492,146 @@ def kmeans_lloyd(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def pq_codes(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    q: int = 1000,
+):
+    """Product quantization (PQ) codes over an embedding column — the
+    classic ANN compression path (Jégou et al., TPAMI'11): split each
+    d-dim vector into ``m`` contiguous subspaces of d/m dims, run Lloyd
+    k-means independently per subspace, and emit per vector the ``m``
+    centroid indices plus the total squared quantization error. A
+    billion-vector index then stores m small codes per vector instead
+    of d floats (here 4 bytes vs 256).
+
+    Semantics per subspace are EXACTLY :func:`kmeans_lloyd`'s (quantize
+    ``floor(f64(x)·q)``, seed = k smallest ids' subvectors with cluster
+    = id rank, ties to the lowest cluster index, ``floor(sum/count)``
+    centroid updates, empty cluster keeps its previous centroid,
+    ``iters`` assignment passes) — so the DuckDB oracle unrolls the same
+    recurrence once per subspace and every code and error integer
+    matches. ``err`` is the sum over subspaces of the final assignment's
+    squared euclidean distance in the quantized integer space.
+
+    Scale shape: all m subspaces train in the SAME streaming passes —
+    per batch one (m·k) × d_sub partial of per-cluster (count, dim sums)
+    ships, never the vectors; centroids broadcast via ``ray.put``
+    (m·k·d_sub ints); the driver folds m·k rows per pass. The code
+    assignment pass is shuffle-free. Like kmeans_lloyd, each pass
+    re-reads the source — at 100 TB, materialize the quantized vectors
+    once and iterate over that table.
+    """
+    import ray
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
+        return np.floor(mat * q).astype(np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        xq = _quant(batch)[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "xq": pa.array(
+                    [r.tolist() for r in xq], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    seed = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .to_pandas()
+    )
+    full = np.stack([np.asarray(v, np.int64) for v in seed["xq"]])  # ≤k × d
+    d = full.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # cents[s]: k × dsub centroid table of subspace s
+    cents = [full[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+
+    def _assign_sub(xs: np.ndarray, c: np.ndarray):
+        """(codes, sqdist) of each row of xs against centroid table c —
+        exact int64 via f64 BLAS (products ≪ 2^53), first-min tie rule."""
+        dots = np.rint(xs.astype(np.float64) @ c.astype(np.float64).T).astype(
+            np.int64
+        )
+        n2c = (c * c).sum(axis=1)
+        scores = n2c[None, :] - 2 * dots
+        cl = np.argmin(scores, axis=1)
+        n2x = (xs * xs).sum(axis=1)
+        dist = n2x + scores[np.arange(len(xs)), cl]
+        return cl, dist
+
+    for _ in range(iters - 1):
+        ref = ray.put(cents)
+
+        def part(batch: pa.Table, _ref=ref) -> pa.Table:
+            cs = ray.get(_ref)
+            xq = _quant(batch)
+            rows_s, rows_cl, rows_n, rows_sum = [], [], [], []
+            for s in range(m):
+                xs = xq[:, s * dsub : (s + 1) * dsub]
+                cl, _ = _assign_sub(xs, cs[s])
+                sums = np.zeros((k, dsub), np.int64)
+                np.add.at(sums, cl, xs)
+                cnt = np.bincount(cl, minlength=k).astype(np.int64)
+                rows_s.append(np.full(k, s, np.int64))
+                rows_cl.append(np.arange(k, dtype=np.int64))
+                rows_n.append(cnt)
+                rows_sum.extend(r.tolist() for r in sums)
+            return pa.table(
+                {
+                    "s": pa.array(np.concatenate(rows_s)),
+                    "cl": pa.array(np.concatenate(rows_cl)),
+                    "n": pa.array(np.concatenate(rows_n)),
+                    "vsum": pa.array(rows_sum, type=pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        new_cents = [c.copy() for c in cents]
+        for s in range(m):
+            sums = np.zeros((k, dsub), np.int64)
+            cnt = np.zeros(k, np.int64)
+            sub = parts[parts["s"] == s]
+            for _, r in sub.iterrows():
+                sums[int(r["cl"])] += np.asarray(r["vsum"], np.int64)
+                cnt[int(r["cl"])] += int(r["n"])
+            upd = cnt > 0  # empty clusters keep their previous centroid
+            new_cents[s][upd] = np.floor_divide(sums[upd], cnt[upd, None])
+        cents = new_cents
+
+    final_ref = ray.put(cents)
+
+    def assign(batch: pa.Table, _ref=final_ref) -> pa.Table:
+        cs = ray.get(_ref)
+        xq = _quant(batch)
+        cols = {id_col: batch[id_col]}
+        err = np.zeros(len(xq), np.int64)
+        for s in range(m):
+            cl, dist = _assign_sub(xq[:, s * dsub : (s + 1) * dsub], cs[s])
+            cols[f"code_{s}"] = pa.array(cl.astype(np.int64))
+            err += dist
+        cols["err"] = pa.array(err)
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds,
     *,

@@ -429,3 +429,65 @@ def test_srp_sketch_hamming_tracks_cosine(ray_session):
     assert ham >= 30
     near = bin(int(out[0]) ^ int(out[3])).count("1")
     assert near <= 6
+
+
+def test_pq_codes_matches_reference_model(ray_session):
+    """PQ on a tiny synthetic set matches a local numpy replay of the
+    per-subspace Lloyd contract (same rules as kmeans_lloyd), and the
+    reported err equals the recomputed squared quantization error."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import pq_codes
+
+    rng = np.random.default_rng(11)
+    n, d, m, k, iters, q = 40, 8, 4, 3, 2, 1000
+    vecs = rng.normal(0, 0.5, (n, d))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    out = (
+        pq_codes(
+            rd.from_items(rows).repartition(5), m=m, k=k, iters=iters, q=q
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    xq = np.floor(vecs * q).astype(np.int64)
+    dsub = d // m
+
+    def assign(xs, c):
+        dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(dist, axis=1)  # first min = lowest cluster index
+        return cl, dist[np.arange(len(xs)), cl]
+
+    exp_codes = np.zeros((n, m), np.int64)
+    exp_err = np.zeros(n, np.int64)
+    for s in range(m):
+        xs = xq[:, s * dsub : (s + 1) * dsub]
+        cent = xs[:k].copy()  # ids 0..n-1 → rank-of-id = row order
+        for _ in range(iters - 1):
+            cl, _ = assign(xs, cent)
+            for c in range(k):
+                sel = xs[cl == c]
+                if len(sel):
+                    cent[c] = np.floor_divide(sel.sum(axis=0), len(sel))
+        cl, dist = assign(xs, cent)
+        exp_codes[:, s] = cl
+        exp_err += dist
+
+    for s in range(m):
+        assert (out[f"code_{s}"].to_numpy() == exp_codes[:, s]).all(), s
+    assert (out["err"].to_numpy() == exp_err).all()
+    # codes actually vary (the quantizer is not degenerate on this data)
+    assert len(set(map(tuple, exp_codes))) > 5
+
+
+def test_pq_codes_rejects_bad_split(ray_session):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import pq_codes
+
+    rows = [{"vec_id": 0, "embedding": [0.1] * 6}]
+    with __import__("pytest").raises(ValueError):
+        pq_codes(rd.from_items(rows), m=4, k=1, iters=1).to_pandas()
