@@ -532,6 +532,39 @@ def _kmeans_lloyd(sf_dir: str):
     )
 
 
+def _zone_map_prune(sf_dir: str):
+    """Zone-map stats + partition pruning over a ship-month layout: per
+    month-partition of lineitem, (row count, min/max ship-day, min/max
+    partkey) — the per-file skipping stats a Delta/Iceberg/Lance scan
+    consults — plus the prune verdict for the range predicate
+    l_shipdate ∈ [1995-03-01, 1995-09-30] (partitions whose day-range
+    misses it entirely are never opened). One shuffle-free keyed pass;
+    the stats table is #partitions rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import zone_map_prune
+
+    lo = int(np.datetime64("1995-03-01", "D").astype(np.int64))
+    hi = int(np.datetime64("1995-09-30", "D").astype(np.int64))
+    ds = _tbl(sf_dir, "lineitem", ["l_shipdate", "l_partkey"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch["l_shipdate"].to_numpy()  # datetime64[us]
+        return pa.table(
+            {
+                "part": pa.array(t.astype("datetime64[M]").astype(np.int64)),
+                "x": pa.array(t.astype("datetime64[D]").astype(np.int64)),
+                "y": batch["l_partkey"],
+            }
+        )
+
+    return zone_map_prune(
+        ds.map_batches(project, batch_format="pyarrow"),
+        "part", "x", "y", lo=lo, hi=hi,
+    )
+
+
 def _embedding_pq(sf_dir: str):
     """Product-quantization codes (Jégou et al. PQ): 4 subspaces × 16
     dims, k=4 centroids each, 2 Lloyd passes per subspace — every
@@ -2348,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_error_counts_full": _purchase_error_counts_full,
         "kmeans_lloyd": _kmeans_lloyd,
         "embedding_pq": _embedding_pq,
+        "zone_map_prune": _zone_map_prune,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -4105,6 +4139,26 @@ FROM h
         + ",\n".join(_km_parts)
         + "\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM km_a3 WHERE rn = 1"
     )
+    # zone_map_prune: month index = months since 1970-01, ship-day =
+    # days since 1970-01-01 (both sides integer); pruned iff the
+    # partition's day range misses [1995-03-01, 1995-09-30]
+    _zm_lo = 9190  # np.datetime64('1995-03-01','D') — fixed literal
+    _zm_hi = 9403  # np.datetime64('1995-09-30','D')
+    oracles["zone_map_prune"] = f"""
+WITH z AS (
+  SELECT ((EXTRACT(year FROM l_shipdate) - 1970) * 12
+          + EXTRACT(month FROM l_shipdate) - 1) AS shard,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS x,
+         l_partkey AS y
+  FROM lineitem
+)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+       CAST(CASE WHEN MAX(x) < {_zm_lo} OR MIN(x) > {_zm_hi}
+            THEN 1 ELSE 0 END AS BIGINT) AS pruned
+FROM z GROUP BY shard
+"""
     # embedding_pq (m=4 subspaces × 16 dims, k=4, 2 assignment passes,
     # q=1000): the kmeans_lloyd recurrence unrolled once per subspace —
     # same quantization, same k-smallest-ids seeding (subvector of the

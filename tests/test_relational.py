@@ -1143,3 +1143,37 @@ def test_late_events_watermark_hand_computed(ray_session):
             .reset_index(drop=True)
         )
         assert out["is_late"].tolist() == want
+
+
+def test_zone_map_prune_stats_and_verdict(ray_session):
+    """Per-partition min/max fold across many small blocks, and the
+    prune verdict: a partition prunes iff its x-range misses [lo, hi]."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import zone_map_prune
+
+    rng = np.random.RandomState(3)
+    part = rng.randint(0, 5, 400)
+    x = part * 100 + rng.randint(0, 100, 400)  # partition p covers [100p, 100p+99]
+    y = rng.randint(-50, 50, 400)
+    ds = rd.from_arrow(
+        pa.table({"p": pa.array(part, pa.int64()),
+                  "x": pa.array(x, pa.int64()),
+                  "y": pa.array(y, pa.int64())})
+    ).repartition(8)
+    out = (
+        zone_map_prune(ds, "p", "x", "y", lo=150, hi=310)
+        .to_pandas().sort_values("shard").reset_index(drop=True)
+    )
+    assert list(out["shard"]) == [0, 1, 2, 3, 4]
+    for _, r in out.iterrows():
+        p = int(r["shard"])
+        sel = part == p
+        assert r["n_rows"] == sel.sum()
+        assert r["min_x"] == x[sel].min() and r["max_x"] == x[sel].max()
+        assert r["min_y"] == y[sel].min() and r["max_y"] == y[sel].max()
+        assert r["pruned"] == int(x[sel].max() < 150 or x[sel].min() > 310)
+    # [150, 310] intersects partitions 1, 2, 3 only
+    assert list(out["pruned"]) == [1, 0, 0, 0, 1]
