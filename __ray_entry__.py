@@ -581,6 +581,23 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _knn_pq_adc(sf_dir: str):
+    """PQ asymmetric-distance (ADC) top-5 search for 8 query vectors:
+    base vectors live ONLY as 4 PQ codes; each query precomputes an
+    integer LUT of subvector↔centroid squared distances, and search is
+    4 lookups + adds per vector (broadcast LUTs, shuffle-free scan,
+    tiny per-query reduce) — the billion-vector ANN serving shape. The
+    oracle joins the unrolled per-subspace Lloyd CTEs into the explicit
+    Σ_s ‖q_s − cent_code_s‖² and replays the (dist, id) rank order."""
+    from sanskrit_ocr_ray.stages.similarity import pq_adc_topk
+
+    return pq_adc_topk(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        query_ids=list(range(8)),
+        m=4, k=4, iters=2, q=1000, k_top=5,
+    )
+
+
 def _purchase_error_counts_full(sf_dir: str):
     """FULL OUTER join: per-user counts of high-value 'purchase' vs
     'error' events (value > 150, predicate pushed into the parquet
@@ -2382,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_lloyd": _kmeans_lloyd,
         "embedding_pq": _embedding_pq,
         "zone_map_prune": _zone_map_prune,
+        "knn_pq_adc": _knn_pq_adc,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -4215,6 +4233,51 @@ FROM (SELECT * FROM pq_a2_0 WHERE rn = 1) a0
 JOIN (SELECT * FROM pq_a2_1 WHERE rn = 1) a1 USING (vec_id)
 JOIN (SELECT * FROM pq_a2_2 WHERE rn = 1) a2 USING (vec_id)
 JOIN (SELECT * FROM pq_a2_3 WHERE rn = 1) a3 USING (vec_id)
+"""
+    )
+    # knn_pq_adc: same unrolled PQ training CTEs, then the explicit ADC
+    # distance — for each (query, vector) pair, Σ over subspaces of the
+    # squared distance between the query's subvector and the centroid
+    # the vector's code points at — and the (dist, neighbor_id) top-5
+    _adc_dists = ",\n".join(
+        f"""pq_dist_{_s} AS (
+  SELECT q.qid, v.vec_id AS nid, SUM((q.xq - c.cq) * (q.xq - c.cq)) AS dist
+  FROM pq_codes_t v
+  JOIN pq_c1_{_s} c ON c.cl = v.c{_s}
+  JOIN pq_qd q ON q.d = c.d
+  GROUP BY 1, 2
+)"""
+        for _s in range(4)
+    )
+    oracles["knn_pq_adc"] = (
+        "WITH "
+        + ",\n".join(_pq_parts)
+        + """,
+pq_codes_t AS (
+  SELECT a0.vec_id, a0.cl AS c0, a1.cl AS c1, a2.cl AS c2, a3.cl AS c3
+  FROM (SELECT vec_id, cl FROM pq_a2_0 WHERE rn = 1) a0
+  JOIN (SELECT vec_id, cl FROM pq_a2_1 WHERE rn = 1) a1 USING (vec_id)
+  JOIN (SELECT vec_id, cl FROM pq_a2_2 WHERE rn = 1) a2 USING (vec_id)
+  JOIN (SELECT vec_id, cl FROM pq_a2_3 WHERE rn = 1) a3 USING (vec_id)
+), pq_qd AS (
+  SELECT vec_id AS qid, d, xq FROM pq_e WHERE vec_id IN (0,1,2,3,4,5,6,7)
+),
+"""
+        + _adc_dists
+        + """,
+pq_adc AS (
+  SELECT d0.qid, d0.nid, d0.dist + d1.dist + d2.dist + d3.dist AS dist
+  FROM pq_dist_0 d0
+  JOIN pq_dist_1 d1 ON d1.qid = d0.qid AND d1.nid = d0.nid
+  JOIN pq_dist_2 d2 ON d2.qid = d0.qid AND d2.nid = d0.nid
+  JOIN pq_dist_3 d3 ON d3.qid = d0.qid AND d3.nid = d0.nid
+  WHERE d0.nid <> d0.qid
+)
+SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank,
+       nid AS neighbor_id, CAST(dist AS BIGINT) AS adc_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+      FROM pq_adc)
+WHERE rn <= 5
 """
     )
     # embedding_outliers: both sides evaluate the pure integer predicate

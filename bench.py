@@ -159,6 +159,10 @@ def run_bench() -> dict:
         "pattern_counts",
         "table_diff",
         "late_events",
+        "item_kcore",
+        "embedding_pq",
+        "zone_map_prune",
+        "knn_pq_adc",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)

@@ -492,6 +492,212 @@ def kmeans_lloyd(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def _pq_quantizer(col: str, q: int):
+    """batch → floor(f64(x)·q) int64 matrix (the kmeans_lloyd rule)."""
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
+        return np.floor(mat * q).astype(np.int64)
+
+    return _quant
+
+
+def _pq_assign_sub(xs: np.ndarray, c: np.ndarray):
+    """(codes, sqdist) of each row of xs against centroid table c —
+    exact int64 via f64 BLAS (products ≪ 2^53), first-min tie rule."""
+    dots = np.rint(xs.astype(np.float64) @ c.astype(np.float64).T).astype(
+        np.int64
+    )
+    n2c = (c * c).sum(axis=1)
+    scores = n2c[None, :] - 2 * dots
+    cl = np.argmin(scores, axis=1)
+    n2x = (xs * xs).sum(axis=1)
+    dist = n2x + scores[np.arange(len(xs)), cl]
+    return cl, dist
+
+
+def _pq_train(ds, *, id_col: str, col: str, m: int, k: int, iters: int, q: int):
+    """Train the per-subspace Lloyd codebooks shared by :func:`pq_codes`
+    and :func:`pq_adc_topk` → (cents list of k×dsub int64 arrays, dsub).
+    Seeding/update/tie semantics are :func:`kmeans_lloyd`'s, applied per
+    subspace; all m subspaces train in the same streaming passes."""
+    import ray
+
+    _quant = _pq_quantizer(col, q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        xq = _quant(batch)[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep]),
+                "xq": pa.array(
+                    [r.tolist() for r in xq], type=pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    seed = (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(k)
+        .to_pandas()
+    )
+    full = np.stack([np.asarray(v, np.int64) for v in seed["xq"]])  # ≤k × d
+    d = full.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # cents[s]: k × dsub centroid table of subspace s
+    cents = [full[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+
+    for _ in range(iters - 1):
+        ref = ray.put(cents)
+
+        def part(batch: pa.Table, _ref=ref) -> pa.Table:
+            cs = ray.get(_ref)
+            xq = _quant(batch)
+            rows_s, rows_cl, rows_n, rows_sum = [], [], [], []
+            for s in range(m):
+                xs = xq[:, s * dsub : (s + 1) * dsub]
+                cl, _ = _pq_assign_sub(xs, cs[s])
+                sums = np.zeros((k, dsub), np.int64)
+                np.add.at(sums, cl, xs)
+                cnt = np.bincount(cl, minlength=k).astype(np.int64)
+                rows_s.append(np.full(k, s, np.int64))
+                rows_cl.append(np.arange(k, dtype=np.int64))
+                rows_n.append(cnt)
+                rows_sum.extend(r.tolist() for r in sums)
+            return pa.table(
+                {
+                    "s": pa.array(np.concatenate(rows_s)),
+                    "cl": pa.array(np.concatenate(rows_cl)),
+                    "n": pa.array(np.concatenate(rows_n)),
+                    "vsum": pa.array(rows_sum, type=pa.list_(pa.int64())),
+                }
+            )
+
+        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+        new_cents = [c.copy() for c in cents]
+        for s in range(m):
+            sums = np.zeros((k, dsub), np.int64)
+            cnt = np.zeros(k, np.int64)
+            sub = parts[parts["s"] == s]
+            for _, r in sub.iterrows():
+                sums[int(r["cl"])] += np.asarray(r["vsum"], np.int64)
+                cnt[int(r["cl"])] += int(r["n"])
+            upd = cnt > 0  # empty clusters keep their previous centroid
+            new_cents[s][upd] = np.floor_divide(sums[upd], cnt[upd, None])
+        cents = new_cents
+    return cents, dsub
+
+
+def pq_adc_topk(
+    ds,
+    query_ids,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    q: int = 1000,
+    k_top: int = 5,
+):
+    """PQ asymmetric-distance (ADC) top-k search — the billion-scale ANN
+    serving path (Jégou et al.): base vectors are represented ONLY by
+    their m PQ codes; each query precomputes an m×k lookup table of
+    exact squared distances from its subvectors to every codebook
+    centroid, and a vector's approximate distance is m table lookups +
+    adds, never a d-dim float op. Returns (query_id, rank, neighbor_id,
+    adc_dist), rank 1..k_top by (adc_dist, neighbor_id), self excluded.
+
+    Integer-exact end to end (quantized vectors, integer codebooks from
+    :func:`_pq_train`, integer LUTs), so the DuckDB oracle — the same
+    unrolled per-subspace Lloyd CTEs joined into an explicit
+    Σ_s ‖q_s − cent_{code_s}‖² — matches every distance and rank.
+
+    Scale shape: codebooks + LUTs broadcast via ``ray.put`` (m·k·dsub +
+    n_q·m·k ints); the search pass is shuffle-free (per-batch code
+    assign + LUT gather + local top-k per query), then one tiny
+    per-query reduce over ≤ #batches·k_top candidate rows.
+    """
+    import ray
+
+    _quant = _pq_quantizer(col, q)
+    cents, dsub = _pq_train(
+        ds, id_col=id_col, col=col, m=m, k=k, iters=iters, q=q
+    )
+
+    q_df = ds.map_batches(
+        lambda b: b.filter(
+            pa.compute.is_in(b[id_col], value_set=pa.array(query_ids))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()  # tiny: only the query rows
+    q_ids = q_df[id_col].to_numpy()
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    qq = np.floor(
+        np.stack([np.asarray(v, np.float64) for v in q_df[col]]) * q
+    ).astype(np.int64)[order]
+    # LUT[s]: n_q × k exact squared distances query-subvector ↔ centroid
+    luts = []
+    for s in range(m):
+        qs = qq[:, s * dsub : (s + 1) * dsub]
+        diff = qs[:, None, :] - cents[s][None, :, :]
+        luts.append((diff * diff).sum(axis=2).astype(np.int64))
+    ref = ray.put((q_ids, cents, luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, cs, lut = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        xq = _quant(batch)
+        dist = np.zeros((len(qids), len(ids)), np.int64)
+        for s in range(m):
+            cl, _ = _pq_assign_sub(xq[:, s * dsub : (s + 1) * dsub], cs[s])
+            dist += lut[s][:, cl]
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            mask = ids != qids[qi]
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            loc = cand[np.lexsort((ids[cand], dist[qi][cand]))][:k_top]
+            out_q.extend([qids[qi]] * len(loc))
+            out_n.extend(ids[loc].tolist())
+            out_d.extend(dist[qi][loc].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "adc_dist": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc_dist", "neighbor_id"]).head(k_top)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+                "neighbor_id": g["neighbor_id"],
+                "adc_dist": g["adc_dist"].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def pq_codes(
     ds,
     *,
@@ -529,92 +735,10 @@ def pq_codes(
     """
     import ray
 
-    def _quant(batch: pa.Table) -> np.ndarray:
-        arr = batch[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        mat = np.stack([np.asarray(v, np.float64) for v in arr.to_pylist()])
-        return np.floor(mat * q).astype(np.int64)
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy()
-        keep = np.argsort(ids, kind="stable")[:k]
-        xq = _quant(batch)[keep]
-        return pa.table(
-            {
-                id_col: pa.array(ids[keep]),
-                "xq": pa.array(
-                    [r.tolist() for r in xq], type=pa.list_(pa.int64())
-                ),
-            }
-        )
-
-    seed = (
-        ds.map_batches(local_topk, batch_format="pyarrow")
-        .sort(id_col)
-        .limit(k)
-        .to_pandas()
+    _quant = _pq_quantizer(col, q)
+    cents, dsub = _pq_train(
+        ds, id_col=id_col, col=col, m=m, k=k, iters=iters, q=q
     )
-    full = np.stack([np.asarray(v, np.int64) for v in seed["xq"]])  # ≤k × d
-    d = full.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
-    # cents[s]: k × dsub centroid table of subspace s
-    cents = [full[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
-
-    def _assign_sub(xs: np.ndarray, c: np.ndarray):
-        """(codes, sqdist) of each row of xs against centroid table c —
-        exact int64 via f64 BLAS (products ≪ 2^53), first-min tie rule."""
-        dots = np.rint(xs.astype(np.float64) @ c.astype(np.float64).T).astype(
-            np.int64
-        )
-        n2c = (c * c).sum(axis=1)
-        scores = n2c[None, :] - 2 * dots
-        cl = np.argmin(scores, axis=1)
-        n2x = (xs * xs).sum(axis=1)
-        dist = n2x + scores[np.arange(len(xs)), cl]
-        return cl, dist
-
-    for _ in range(iters - 1):
-        ref = ray.put(cents)
-
-        def part(batch: pa.Table, _ref=ref) -> pa.Table:
-            cs = ray.get(_ref)
-            xq = _quant(batch)
-            rows_s, rows_cl, rows_n, rows_sum = [], [], [], []
-            for s in range(m):
-                xs = xq[:, s * dsub : (s + 1) * dsub]
-                cl, _ = _assign_sub(xs, cs[s])
-                sums = np.zeros((k, dsub), np.int64)
-                np.add.at(sums, cl, xs)
-                cnt = np.bincount(cl, minlength=k).astype(np.int64)
-                rows_s.append(np.full(k, s, np.int64))
-                rows_cl.append(np.arange(k, dtype=np.int64))
-                rows_n.append(cnt)
-                rows_sum.extend(r.tolist() for r in sums)
-            return pa.table(
-                {
-                    "s": pa.array(np.concatenate(rows_s)),
-                    "cl": pa.array(np.concatenate(rows_cl)),
-                    "n": pa.array(np.concatenate(rows_n)),
-                    "vsum": pa.array(rows_sum, type=pa.list_(pa.int64())),
-                }
-            )
-
-        parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
-        new_cents = [c.copy() for c in cents]
-        for s in range(m):
-            sums = np.zeros((k, dsub), np.int64)
-            cnt = np.zeros(k, np.int64)
-            sub = parts[parts["s"] == s]
-            for _, r in sub.iterrows():
-                sums[int(r["cl"])] += np.asarray(r["vsum"], np.int64)
-                cnt[int(r["cl"])] += int(r["n"])
-            upd = cnt > 0  # empty clusters keep their previous centroid
-            new_cents[s][upd] = np.floor_divide(sums[upd], cnt[upd, None])
-        cents = new_cents
-
     final_ref = ray.put(cents)
 
     def assign(batch: pa.Table, _ref=final_ref) -> pa.Table:
@@ -623,7 +747,7 @@ def pq_codes(
         cols = {id_col: batch[id_col]}
         err = np.zeros(len(xq), np.int64)
         for s in range(m):
-            cl, dist = _assign_sub(xq[:, s * dsub : (s + 1) * dsub], cs[s])
+            cl, dist = _pq_assign_sub(xq[:, s * dsub : (s + 1) * dsub], cs[s])
             cols[f"code_{s}"] = pa.array(cl.astype(np.int64))
             err += dist
         cols["err"] = pa.array(err)

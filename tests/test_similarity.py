@@ -491,3 +491,65 @@ def test_pq_codes_rejects_bad_split(ray_session):
     rows = [{"vec_id": 0, "embedding": [0.1] * 6}]
     with __import__("pytest").raises(ValueError):
         pq_codes(rd.from_items(rows), m=4, k=1, iters=1).to_pandas()
+
+
+def test_pq_adc_topk_matches_reference_model(ray_session):
+    """ADC top-k equals a local replay: train codebooks per the PQ
+    contract, code every vector, dist = Σ_s LUT[q, code_s], rank by
+    (dist, neighbor_id) with self excluded."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(5)
+    n, d, m, k, iters, q, k_top = 60, 8, 4, 3, 2, 1000, 4
+    vecs = rng.normal(0, 0.5, (n, d))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    qids = [0, 7, 33]
+    out = (
+        pq_adc_topk(
+            rd.from_items(rows).repartition(6), qids,
+            m=m, k=k, iters=iters, q=q, k_top=k_top,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    xq = np.floor(vecs * q).astype(np.int64)
+    dsub = d // m
+
+    def assign(xs, c):
+        dist = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(dist, axis=1)
+
+    codes = np.zeros((n, m), np.int64)
+    cents = []
+    for s in range(m):
+        xs = xq[:, s * dsub : (s + 1) * dsub]
+        cent = xs[:k].copy()
+        for _ in range(iters - 1):
+            cl = assign(xs, cent)
+            for c in range(k):
+                sel = xs[cl == c]
+                if len(sel):
+                    cent[c] = np.floor_divide(sel.sum(axis=0), len(sel))
+        codes[:, s] = assign(xs, cent)
+        cents.append(cent)
+
+    got_rows = list(
+        zip(out["query_id"], out["rank"], out["neighbor_id"], out["adc_dist"])
+    )
+    exp_rows = []
+    for qid in qids:
+        dist = np.zeros(n, np.int64)
+        for s in range(m):
+            qs = xq[qid, s * dsub : (s + 1) * dsub]
+            lut = ((qs[None, :] - cents[s]) ** 2).sum(axis=1)
+            dist += lut[codes[:, s]]
+        order = [i for i in np.lexsort((np.arange(n), dist)) if i != qid][:k_top]
+        exp_rows.extend(
+            (qid, r + 1, int(i), int(dist[i])) for r, i in enumerate(order)
+        )
+    assert got_rows == exp_rows
