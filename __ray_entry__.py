@@ -581,6 +581,17 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle: users grouped by first-active
+    week, distinct-user counts at each week offset. ONE user-bucketed
+    shuffle (distinct (user, week) partials; cohorts derived per bucket
+    — additive because a user lives in exactly one bucket), tiny
+    (cohort, offset) fold."""
+    from sanskrit_ocr_ray.stages.relational import cohort_retention
+
+    return cohort_retention(_tbl(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _knn_pq_adc(sf_dir: str):
     """PQ asymmetric-distance (ADC) top-5 search for 8 query vectors:
     base vectors live ONLY as 4 PQ codes; each query precomputes an
@@ -2400,6 +2411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pq": _embedding_pq,
         "zone_map_prune": _zone_map_prune,
         "knn_pq_adc": _knn_pq_adc,
+        "cohort_retention": _cohort_retention,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3726,6 +3738,19 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        "cohort_retention": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+  FROM events
+), fw AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw u JOIN fw f USING (user_id)
+GROUP BY 1, 2
 """,
         "dod_retention": """
 WITH du AS (

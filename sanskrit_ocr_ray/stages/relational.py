@@ -2305,6 +2305,80 @@ def zone_map_prune(
     )
 
 
+def cohort_retention(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 604800,
+    n_buckets: int = 64,
+):
+    """Cohort retention matrix: bucket users by their FIRST active
+    period (the cohort), then count how many of each cohort's users are
+    active again k periods later → ``(cohort_week, week_offset,
+    n_users)`` — the standard growth-analytics triangle (rows =
+    acquisition cohorts, columns = age), exact distinct users.
+
+    Scale shape: one user-bucketed shuffle. Per batch, distinct
+    (user, period) pairs ride ``hash(user) % B``; per bucket one
+    vectorized pass derives each user's min period (cohort) and emits
+    PARTIAL (cohort, offset) counts — additive across buckets because a
+    user lives in exactly one bucket, so no global distinct pass is
+    needed. The final fold groups ≤ #periods² tiny rows. No per-user
+    dispatch, no driver state.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    p_us = np.int64(period_s) * np.int64(1_000_000)
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        period = us.to_numpy() // p_us
+        u = batch[user_col].to_numpy()
+        df = pd.DataFrame({"u": u, "p": period}).drop_duplicates()
+        df["__ub"] = (
+            fast_hash_u64(df["u"].to_numpy()) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    part_empty = typed_empty(
+        cohort_week=np.int64, week_offset=np.int64, n_users=np.int64
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return part_empty.copy()
+        g = group[["u", "p"]].drop_duplicates()
+        cohort = g.groupby("u")["p"].transform("min")
+        out = (
+            pd.DataFrame(
+                {"cohort_week": cohort, "week_offset": g["p"] - cohort}
+            )
+            .groupby(["cohort_week", "week_offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return part_empty.copy()
+        out = group.groupby(
+            ["cohort_week", "week_offset"], as_index=False
+        )["n_users"].sum()
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("cohort_week")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def debounce_events(
     ds,
     *,

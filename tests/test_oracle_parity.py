@@ -123,6 +123,7 @@ SUBSET = [
     "embedding_pq",
     "zone_map_prune",
     "knn_pq_adc",
+    "cohort_retention",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -1177,3 +1177,49 @@ def test_zone_map_prune_stats_and_verdict(ray_session):
         assert r["pruned"] == int(x[sel].max() < 150 or x[sel].min() > 310)
     # [150, 310] intersects partitions 1, 2, 3 only
     assert list(out["pruned"]) == [1, 0, 0, 0, 1]
+
+
+def test_cohort_retention_matrix(ray_session):
+    """Staggered cohorts: users joining in different weeks, churning at
+    different ages — counts equal a set-based local replay, and a user
+    absent in a middle week is still counted at later offsets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import cohort_retention
+
+    week = 7 * 86400
+    rows = []  # (user, week_index) activity, with gaps
+    acts = {
+        1: [0, 1, 2], 2: [0, 2], 3: [0],          # cohort week 0
+        4: [1, 2, 3], 5: [1, 3],                  # cohort week 1
+        6: [3],                                   # cohort week 3
+    }
+    eid = 0
+    for u, weeks in acts.items():
+        for w in weeks:
+            for rep in range(2):  # duplicate events inside a week
+                rows.append({"user_id": u,
+                             "ts": np.datetime64((w * week + 3600 * (1 + rep)) * 10**6, "us")})
+                eid += 1
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows))).repartition(4)
+    out = (
+        cohort_retention(ds, period_s=week)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (int(r["cohort_week"]), int(r["week_offset"])): int(r["n_users"])
+        for _, r in out.iterrows()
+    }
+    exp = {}
+    for u, weeks in acts.items():
+        c = min(weeks)
+        for w in set(weeks):
+            key = (c, w - c)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
+    assert got[(0, 2)] == 2  # user 2's gap week does not erase offset 2
