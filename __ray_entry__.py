@@ -581,6 +581,33 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _impute_values(sf_dir: str):
+    """Missing-value repair: value cents NULLed on a deterministic mask
+    (event_id % 13 == 0), then imputed with the per-event-type integer
+    floor-mean of the surviving values. Two streaming passes: tiny
+    per-type (sum, n) partials folded and broadcast, then a
+    shuffle-free vectorized fill."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import impute_group_mean
+
+    ds = _tbl(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        vc = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "value_c": pa.array(vc, mask=(eid % 13 == 0)),
+            }
+        )
+
+    return impute_group_mean(ds.map_batches(mask, batch_format="pyarrow"))
+
+
 def _cohort_retention(sf_dir: str):
     """Weekly cohort retention triangle: users grouped by first-active
     week, distinct-user counts at each week offset. ONE user-bucketed
@@ -2412,6 +2439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_map_prune": _zone_map_prune,
         "knn_pq_adc": _knn_pq_adc,
         "cohort_retention": _cohort_retention,
+        "impute_values": _impute_values,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3738,6 +3766,22 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        "impute_values": """
+WITH v AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL
+              ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS value_c
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(floor(CAST(SUM(value_c) AS DOUBLE) / COUNT(value_c)) AS BIGINT)
+           AS mean_c
+  FROM v GROUP BY 1
+)
+SELECT v.event_id, COALESCE(v.value_c, m.mean_c) AS value_c,
+       CAST(CASE WHEN v.value_c IS NULL THEN 1 ELSE 0 END AS BIGINT) AS imputed
+FROM v JOIN m USING (event_type)
 """,
         "cohort_retention": """
 WITH uw AS (

@@ -2305,6 +2305,75 @@ def zone_map_prune(
     )
 
 
+def impute_group_mean(
+    ds,
+    *,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value_c",
+):
+    """Missing-value repair: fill NULLs in an integer value column with
+    the column's per-group floor-mean — the standard imputation step of
+    feature hygiene (group mean beats global mean when groups have
+    different scales). Returns ``(id_col, value_c, imputed)`` with
+    ``imputed = 1`` on filled rows.
+
+    Integer contract (mirrored by the oracle): the fill value is
+    ``floor(sum / count)`` over the group's NON-null values, computed
+    in int64 — identical on both sides regardless of summation order.
+
+    Scale shape: two streaming passes. Pass 1 emits per-batch partial
+    (group, sum, n) rows — ≤ #groups·#batches tiny rows folded on the
+    driver (group cardinality is assumed small, the broadcast-dim
+    regime; use a bucketed join instead if groups ~ row count). The
+    fold broadcasts one dict via ``ray.put``; pass 2 is a shuffle-free
+    vectorized fill.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_numpy(zero_copy_only=False),
+            }
+        ).dropna(subset=["v"])
+        df["v"] = df["v"].astype(np.int64)  # exact int sums after the NaN drop
+        agg = df.groupby("g", as_index=False)["v"].agg(["sum", "count"])
+        return pa.table(
+            {
+                "g": pa.array(agg["g"]),
+                "s": pa.array(agg["sum"].to_numpy(np.int64)),
+                "n": pa.array(agg["count"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fold = parts.groupby("g", as_index=False)[["s", "n"]].sum()
+    means = {
+        g: int(s) // int(n)  # floor division — n > 0 by construction
+        for g, s, n in zip(fold["g"], fold["s"], fold["n"])
+    }
+    ref = ray.put(means)
+
+    def fill(batch: pa.Table, _ref=ref) -> pa.Table:
+        m = ray.get(_ref)
+        g = batch[group_col].to_pandas()
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        miss = np.isnan(v)
+        fillv = g.map(m).to_numpy(np.float64)
+        out = np.where(miss, fillv, v).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "value_c": pa.array(out),
+                "imputed": pa.array(miss.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
 def cohort_retention(
     ds,
     *,

@@ -124,6 +124,7 @@ SUBSET = [
     "zone_map_prune",
     "knn_pq_adc",
     "cohort_retention",
+    "impute_values",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -1223,3 +1223,38 @@ def test_cohort_retention_matrix(ray_session):
             exp[key] = exp.get(key, 0) + 1
     assert got == exp
     assert got[(0, 2)] == 2  # user 2's gap week does not erase offset 2
+
+
+def test_impute_group_mean(ray_session):
+    """NULLs fill with the per-group floor-mean of surviving values;
+    non-null rows pass through unchanged with imputed=0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import impute_group_mean
+
+    ids = np.arange(12, dtype=np.int64)
+    grp = ["a", "a", "a", "b", "b", "b", "a", "b", "a", "b", "a", "b"]
+    val = np.array([10, 20, 31, 5, 7, 0, 0, 0, 40, 9, 0, 0], np.int64)
+    missing = np.array([0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 1, 1], bool)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(ids),
+                "event_type": pa.array(grp),
+                "value_c": pa.array(val, mask=missing),
+            }
+        )
+    ).repartition(3)
+    out = (
+        impute_group_mean(ds)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    mean_a = (10 + 20 + 31 + 40) // 4  # 25
+    mean_b = (5 + 7 + 9) // 3          # 7
+    exp = [10, 20, 31, 5, 7, mean_b, mean_a, mean_b, 40, 9, mean_a, mean_b]
+    assert list(out["value_c"]) == exp
+    assert list(out["imputed"]) == list(missing.astype(int))
