@@ -1345,6 +1345,23 @@ def _html_strip(sf_dir: str):
     return _html_pages(sf_dir).map_batches(strip_html_batch, batch_format="pyarrow")
 
 
+def _inlink_counts(sf_dir: str):
+    """Link-graph census: parse internal /doc/<id> hrefs out of
+    synthesized pages (doc-dependent outlinks; external links must not
+    match) and count inlinks per target — the crawl-frontier signal.
+    Shuffle-free regex extraction with per-batch partial counts, one
+    bounded hash(dst) census shuffle."""
+    from sanskrit_ocr_ray.stages.webdoc import (
+        extract_doc_links,
+        synth_link_html_batch,
+    )
+
+    pages = _tbl(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth_link_html_batch, batch_format="pyarrow"
+    )
+    return extract_doc_links(pages)
+
+
 def _html_main(sf_dir: str):
     from sanskrit_ocr_ray.stages.webdoc import main_content_batch
 
@@ -2485,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-document main-content extraction (north rule's parenthetical)
         "html_strip": _html_strip,
         "html_main_content": _html_main,
+        "inlink_counts": _inlink_counts,
         "html_spans": _html_spans,
         "layout_reading_order": _layout_reading_order,
         # as-of / range joins over events (custom operators — Ray Data has none)
@@ -3948,6 +3966,26 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node
+"""
+    # inlink_counts: verbatim SQL mirror of webdoc.synth_link_html_batch,
+    # then the SAME href regex both sides (external links must not match)
+    oracles["inlink_counts"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><body><div><a href="/">Home</a></div>'
+         || '<a href="/doc/' || ((7 * doc_id + 1) % 10000) || '">next</a> '
+         || '<a href="/doc/' || ((13 * doc_id + 5) % 10000) || '">related</a>'
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' <a href="https://ext.example.com/p' || (doc_id % 7) || '">src</a>'
+                 ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+), l AS (
+  SELECT CAST(x AS BIGINT) AS dst
+  FROM h, unnest(regexp_extract_all(html, 'href="/doc/(\d+)"', 1)) AS t(x)
+)
+SELECT dst AS dst_doc, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+FROM l GROUP BY 1
 """
     # item_kcore: six unrolled peel rounds of the same recurrence the
     # Ray loop runs (alive_t = alive_{t-1} nodes with ≥2 neighbours in

@@ -289,3 +289,75 @@ def reading_order(tokens_ds, n_buckets: int = 16):
         .groupby("bucket")
         .map_groups(reading_order_bucket, batch_format="pandas")
     )
+
+
+# --- link-graph extraction (crawl-frontier census) ---------------------
+
+RE_DOC_LINK = re.compile(r'href="/doc/(\d+)"')
+
+
+def synth_link_html_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id,) → (doc_id, html): a page whose OUTLINKS depend on the
+    doc — two internal /doc/<id> links (affine maps of doc_id, so the
+    inlink distribution is non-uniform) and, for every fifth doc, one
+    external link the internal-link regex must NOT match. Pure function
+    of the row, mirrored verbatim in the DuckDB oracle."""
+    ids = batch["doc_id"].to_pylist()
+    pages = []
+    for d in ids:
+        ext = (
+            f' <a href="https://ext.example.com/p{d % 7}">src</a>'
+            if d % 5 == 0
+            else ""
+        )
+        pages.append(
+            '<html><body><div><a href="/">Home</a></div>'
+            f'<a href="/doc/{(7 * d + 1) % 10000}">next</a> '
+            f'<a href="/doc/{(13 * d + 5) % 10000}">related</a>'
+            f"{ext}</body></html>"
+        )
+    return pa.table(
+        {"doc_id": batch["doc_id"], "html": pa.array(pages, type=pa.string())}
+    )
+
+
+def extract_doc_links(ds, *, n_buckets: int = 64):
+    """(doc_id, html) → (dst_doc, n_inlinks): parse internal
+    ``/doc/<id>`` hrefs with a compiled regex and count inlinks per
+    target — the crawl-frontier / link-graph-census op (which pages get
+    linked, the seed signal for PageRank and crawl prioritization).
+
+    Scale shape: extraction is shuffle-free (compiled regex per page,
+    per-batch PARTIAL counts per dst); the census is one bounded
+    ``hash(dst) % B`` shuffle over partial rows — never one row per
+    link occurrence."""
+    part_empty = typed_empty(dst_doc=np.int64, n_inlinks=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dsts = []
+        for h in batch["html"].to_pylist():
+            dsts.extend(int(x) for x in RE_DOC_LINK.findall(h or ""))
+        if not dsts:
+            out = part_empty.copy()
+            out["__b"] = pd.Series([], dtype=np.int32)
+            return pa.Table.from_pandas(out, preserve_index=False)
+        arr = np.asarray(dsts, np.int64)
+        v, c = np.unique(arr, return_counts=True)
+        df = pd.DataFrame({"dst_doc": v, "n_inlinks": c.astype(np.int64)})
+        df["__b"] = (v.astype(np.uint64) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return part_empty.copy()
+        out = group.groupby("dst_doc", as_index=False)["n_inlinks"].sum()
+        out["n_inlinks"] = out["n_inlinks"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fold, batch_format="pandas")
+    )

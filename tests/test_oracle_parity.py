@@ -125,6 +125,7 @@ SUBSET = [
     "knn_pq_adc",
     "cohort_retention",
     "impute_values",
+    "inlink_counts",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -91,3 +91,31 @@ def test_layout_jitter_stays_within_recoverable_bounds():
     assert not np.any((x > 258 + 3) & (x < 300 + 10 - 3))
     # line quantization: every y within ±2 of a 12 px line center
     assert np.all(np.abs((y - 20) - np.round((y - 20) / 12) * 12) <= 2)
+
+
+def test_extract_doc_links_census(ray_session):
+    """Internal /doc/<id> hrefs are counted per target across batches;
+    external hrefs and the home link never match the internal regex."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.webdoc import (
+        extract_doc_links,
+        synth_link_html_batch,
+    )
+
+    ids = list(range(20))
+    ds = (
+        rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        .repartition(4)
+        .map_batches(synth_link_html_batch, batch_format="pyarrow")
+    )
+    out = extract_doc_links(ds, n_buckets=4).to_pandas()
+    got = dict(zip(out["dst_doc"], out["n_inlinks"]))
+    exp = {}
+    for d in ids:
+        for dst in ((7 * d + 1) % 10000, (13 * d + 5) % 10000):
+            exp[dst] = exp.get(dst, 0) + 1
+    assert got == exp
+    # every fifth page has an external link; none leak into the census
+    assert sum(got.values()) == 2 * len(ids)
