@@ -1449,6 +1449,26 @@ def _value_quantiles(sf_dir: str):
     return quantiles_exact(ds, "value_c")
 
 
+def _value_quantiles_cont(sf_dir: str):
+    """ANSI PERCENTILE_CONT over value cents: linear interpolation
+    between the two bracketing order stats, reported ×1000 so both
+    sides compare in exact int64 (no float interpolation slack). Same
+    mergeable-histogram shuffle as value_quantiles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_cont
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return quantiles_cont(ds, "value_c")
+
+
 def _top2_events_per_user(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -2510,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "views_before_purchase_1h": _views_before_purchase_1h,
         "customers_no_orders": _customers_no_orders,
         "value_quantiles": _value_quantiles,
+        "value_quantiles_cont": _value_quantiles_cont,
         "value_quantiles_binned": _value_quantiles_binned,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
@@ -3245,6 +3266,26 @@ s AS (SELECT value_c, row_number() OVER (ORDER BY value_c) AS rn,
 SELECT CAST(q.q_pm AS BIGINT) AS q_pm, s.value_c AS value_c
 FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
 JOIN s ON s.rn = CAST(ceil(q.q_pm * s.n / 1000.0) AS BIGINT)
+""",
+        # PERCENTILE_CONT ×1000: i = (n−1)·q // 1000, f = (n−1)·q % 1000,
+        # out = v_i·1000 + (v_{i+1} − v_i)·f, top edge clamped — the same
+        # integer recurrence the Ray side runs, no float interpolation
+        "value_quantiles_cont": """
+WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+s AS (SELECT c, row_number() OVER (ORDER BY c) - 1 AS r FROM v),
+meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+p AS (
+  SELECT q.q_pm,
+         ((SELECT n FROM meta) - 1) * q.q_pm // 1000 AS i,
+         ((SELECT n FROM meta) - 1) * q.q_pm % 1000 AS f
+  FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+)
+SELECT CAST(p.q_pm AS BIGINT) AS q_pm,
+       CAST(lo.c * 1000 + (COALESCE(hi.c, lo.c) - lo.c) * p.f AS BIGINT)
+         AS value_x1000
+FROM p
+JOIN s lo ON lo.r = p.i
+LEFT JOIN s hi ON hi.r = p.i + 1
 """,
         "latest_order_per_customer": """
 SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_date_us FROM (

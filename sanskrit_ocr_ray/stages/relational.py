@@ -653,6 +653,64 @@ def quantiles_exact(ds, column: str, *, q_pm: list[int] | None = None):
     )
 
 
+def quantiles_cont(ds, column: str, *, q_pm: list[int] | None = None):
+    """ANSI PERCENTILE_CONT (linear interpolation between order stats),
+    integer-exact: for per-mille q over n rows, the fractional 0-based
+    position is ``pos = (n−1)·q / 1000``; with ``i = floor(pos)`` and
+    ``f = (n−1)·q mod 1000``, the result ×1000 is exactly
+    ``v_i·1000 + (v_{i+1} − v_i)·f`` (v = sorted values, v_{i+1}
+    clamped to v_i at the top edge) — so both sides compare in int64
+    with no float interpolation slack. Returns ``(q_pm, value_x1000)``.
+
+    Same distributed shape and scale assumption as
+    :func:`quantiles_exact`: mergeable per-batch value histograms, one
+    O(#distinct) shuffle, driver-side cumsum; the two order stats per
+    quantile come from searchsorted on the cumulative counts."""
+    from ray.data.aggregate import Sum
+
+    q_pm = q_pm or [250, 500, 750, 900, 990]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy()
+        vals, counts = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(vals), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(#distinct) rows only
+    )
+    empty = pd.DataFrame(
+        {"q_pm": np.asarray([], np.int64),
+         "value_x1000": np.asarray([], np.int64)}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("v")
+    cum = np.cumsum(hist["n"].to_numpy())
+    vals = hist["v"].to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return empty
+    out_q: list[int] = []
+    out_v: list[int] = []
+    for q in q_pm:
+        pos = (n - 1) * q
+        i, f = pos // 1000, pos % 1000
+        lo = int(vals[int(np.searchsorted(cum, i + 1, side="left"))])
+        hi_rank = min(i + 1, n - 1)
+        hi = int(vals[int(np.searchsorted(cum, hi_rank + 1, side="left"))])
+        out_q.append(q)
+        out_v.append(lo * 1000 + (hi - lo) * f)
+    return pd.DataFrame(
+        {"q_pm": np.asarray(out_q, np.int64),
+         "value_x1000": np.asarray(out_v, np.int64)}
+    )
+
+
 def quantiles_binned(ds, column: str, *, scale: int = 10, q_pm: list[int] | None = None):
     """Approximate quantiles for CONTINUOUS / unbounded-cardinality
     columns — the sketch path :func:`quantiles_exact` documents: quantize

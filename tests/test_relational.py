@@ -1258,3 +1258,30 @@ def test_impute_group_mean(ray_session):
     exp = [10, 20, 31, 5, 7, mean_b, mean_a, mean_b, 40, 9, mean_a, mean_b]
     assert list(out["value_c"]) == exp
     assert list(out["imputed"]) == list(missing.astype(int))
+
+
+def test_quantiles_cont_interpolation(ray_session):
+    """PERCENTILE_CONT ×1000 equals the integer recurrence on a small
+    set with duplicates, including a fractional position and the top
+    edge clamp."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import quantiles_cont
+
+    vals = np.array([10, 10, 20, 30, 30, 30, 40, 100], np.int64)  # n=8
+    ds = rd.from_arrow(pa.table({"c": pa.array(vals)})).repartition(3)
+    out = quantiles_cont(ds, "c", q_pm=[0, 250, 500, 900, 1000])
+    got = dict(zip(out["q_pm"], out["value_x1000"]))
+    sv = np.sort(vals)
+    exp = {}
+    for q in [0, 250, 500, 900, 1000]:
+        pos = (len(sv) - 1) * q
+        i, f = pos // 1000, pos % 1000
+        hi = sv[min(i + 1, len(sv) - 1)]
+        exp[q] = int(sv[i]) * 1000 + (int(hi) - int(sv[i])) * f
+    assert got == exp
+    # spot-check the classic: median of n=8 interpolates ranks 3..4
+    assert got[500] == 30 * 1000  # sv[3]=30, sv[4]=30
+    assert got[250] == 10 * 1000 + (20 - 10) * 750  # pos=1.75
