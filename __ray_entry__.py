@@ -608,6 +608,21 @@ def _impute_values(sf_dir: str):
     return impute_group_mean(ds.map_batches(mask, batch_format="pyarrow"))
 
 
+def _ppjoin_pairs(sf_dir: str):
+    """Set-similarity join with prefix filtering (PPJoin): doc pairs
+    with 4-gram-set Jaccard ≥ 0.5. Only each doc's rarest
+    |d|−ceil(t·|d|)+1 shingles generate candidates (completeness
+    guaranteed by the prefix property), with a length filter before the
+    exact integer verify — the scale technique that makes similarity
+    joins feasible where all-shared-shingle expansion would blow up."""
+    from sanskrit_ocr_ray.stages.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        n=4, threshold_pm=500,
+    )
+
+
 def _cohort_retention(sf_dir: str):
     """Weekly cohort retention triangle: users grouped by first-active
     week, distinct-user counts at each week offset. ONE user-bucketed
@@ -2477,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq_adc": _knn_pq_adc,
         "cohort_retention": _cohort_retention,
         "impute_values": _impute_values,
+        "ppjoin_pairs": _ppjoin_pairs,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -4007,6 +4023,29 @@ FROM (
   UNION ALL SELECT z FROM tri
 )
 GROUP BY node
+"""
+    # ppjoin_pairs: the quadratic ground truth the prefix filter avoids —
+    # distinct word 4-grams per doc, pairwise intersection, integer
+    # per-mille Jaccard at threshold 500 (same arithmetic as the Ray side)
+    oracles["ppjoin_pairs"] = """
+WITH tokl AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id,
+         ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS g
+  FROM tokl, unnest(range(1, len(ts) - 2)) r(i)
+  WHERE i + 3 <= len(ts)
+), sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+i AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a AS doc_a, i.b AS doc_b,
+       CAST((1000 * i.i) // (sa.n + sb.n - i.i) AS BIGINT) AS jacc_pm
+FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE 1000 * i.i >= 500 * (sa.n + sb.n - i.i)
 """
     # inlink_counts: verbatim SQL mirror of webdoc.synth_link_html_batch,
     # then the SAME href regex both sides (external links must not match)

@@ -817,6 +817,223 @@ def ngram_jaccard_pairs(
     return inter.map_batches(finish, batch_format="pyarrow")
 
 
+def ppjoin_pairs(
+    ds,
+    *,
+    n: int = 4,
+    threshold_pm: int = 500,
+    column: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    max_docs_per_prefix: int = 4096,
+):
+    """Set-similarity join with PREFIX FILTERING (PPJoin-lite, Xiao et
+    al. WWW'08): pairs of docs whose DISTINCT word-n-gram sets have
+    Jaccard ≥ ``threshold_pm``/1000 → (doc_a, doc_b, jacc_pm). Unlike
+    :func:`ngram_jaccard_pairs` (which expands candidates at EVERY
+    shared shingle), only a doc's ``p = |d| − ceil(t·|d|) + 1`` RAREST
+    shingles (global (df, hash) order) generate candidates — the
+    standard completeness guarantee: two sets with J ≥ t must share at
+    least one token inside both prefixes, so no qualifying pair is
+    missed while near-miss pairs mostly never meet. A length filter
+    (``1000·max(|A|,|B|) · t ≤ 1000·min``) prunes survivors before the
+    exact verify.
+
+    Shuffle plan (all bounded):
+    1. shingle rows keyed ``gh % B`` — df census AND attach in the same
+       bucket (a shingle's rows co-locate, no separate join);
+    2. doc-keyed bucket: one vectorized (sort + np.split) pass derives
+       each doc's global-order prefix; prefix rows carry the doc's full
+       sorted u64 shingle-hash array (the LSH-verify payload pattern —
+       shuffle bytes ∝ prefix fraction × set bytes);
+    3. prefix-token bucket: candidate pairs per shared prefix token,
+       in-bucket pair dedupe + length filter, exact sorted-array
+       intersection (same integer predicate as the oracle, modulo the
+       documented md5-u64 collision budget);
+    4. one tiny pair-keyed dedupe across buckets (verified pairs only).
+
+    ``max_docs_per_prefix`` caps a degenerate hot prefix token (keep it
+    above the corpus duplicate multiplicity when comparing exactly —
+    prefix tokens are each doc's RAREST, so this only fires on
+    pathological skew).
+    """
+    dtypes = _pd_dtypes(ds)
+    id_dtype = dtypes[id_col]
+    t = threshold_pm
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        cache = tok_hash_cache()
+        ids = batch[id_col].to_pylist()
+        texts = batch[column].to_pylist()
+        rows_id, rows_gh, rows_n = [], [], []
+        for d, txt in zip(ids, texts):
+            toks = [w for w in (txt or "").split(" ") if w]
+            if len(toks) < n:
+                continue
+            grams = {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+            hs = np.unique(
+                np.fromiter((cache[g] for g in grams), np.uint64, len(grams))
+            )
+            rows_id.extend([d] * len(hs))
+            rows_gh.append(hs)
+            rows_n.extend([len(hs)] * len(hs))
+        gh = (
+            np.concatenate(rows_gh) if rows_gh else np.asarray([], np.uint64)
+        )
+        out = pa.table(
+            {
+                id_col: pa.array(rows_id, type=batch[id_col].type),
+                "gh": pa.array(gh.astype(np.int64)),
+                "n": pa.array(np.asarray(rows_n, np.int64)),
+            }
+        )
+        return out.append_column(
+            "__gb", pa.array((gh % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    df_empty = typed_empty(
+        **{id_col: id_dtype, "gh": np.int64, "n": np.int64, "df": np.int64}
+    )
+
+    def attach_df(group: pd.DataFrame) -> pd.DataFrame:
+        """df census + attach inside the shingle bucket (co-located)."""
+        if group.empty:
+            return df_empty.copy()
+        g = group[[id_col, "gh", "n"]].copy()
+        g["df"] = g.groupby("gh")["gh"].transform("size").astype(np.int64)
+        return g
+
+    with_df = ds.map_batches(shingles, batch_format="pyarrow").groupby(
+        "__gb"
+    ).map_groups(attach_df, batch_format="pandas")
+
+    def prefix_rows(group: pd.DataFrame) -> pd.DataFrame:
+        """per-doc prefix under the global (df, gh) order; one sort +
+        np.split pass, no per-doc Python loop on the hot path."""
+        if group.empty:
+            return pd.DataFrame(
+                {
+                    "gh": pd.Series([], dtype=np.int64),
+                    "doc": pd.Series([], dtype=id_dtype),
+                    "n": pd.Series([], dtype=np.int64),
+                    "set": pd.Series([], dtype=object),
+                }
+            )
+        g = group.sort_values(
+            [id_col, "df", "gh"], kind="mergesort"
+        ).reset_index(drop=True)
+        docs = g[id_col].to_numpy()
+        gh = g["gh"].to_numpy()
+        sizes = g["n"].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, docs[1:] != docs[:-1]]
+        )
+        pos = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        # p = |d| − ceil(t·|d|/1000) + 1
+        p = sizes - (-(-(t * sizes) // 1000)) + 1
+        keep = pos < p
+        # the doc's FULL set, sorted by hash (for the exact verify)
+        sets = {}
+        for s, e in zip(starts, np.r_[starts[1:], len(g)]):
+            sets[docs[s]] = np.sort(gh[s:e].astype(np.uint64))
+        out = pd.DataFrame(
+            {
+                "gh": gh[keep],
+                "doc": docs[keep],
+                "n": sizes[keep],
+            }
+        )
+        out["set"] = [sets[d] for d in out["doc"]]
+        return out
+
+    pref = (
+        with_df.map_batches(
+            lambda b: b.append_column(
+                "__db",
+                pa.array(
+                    (
+                        fast_hash_u64(b[id_col].to_numpy(zero_copy_only=False))
+                        % np.uint64(n_buckets)
+                    ).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__db")
+        .map_groups(prefix_rows, batch_format="pandas")
+    )
+
+    pair_empty = typed_empty(
+        doc_a=id_dtype, doc_b=id_dtype, jacc_pm=np.int64
+    )
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pair_empty.copy()
+        g = group
+        vc = g["gh"].value_counts()
+        hot = vc[vc > max_docs_per_prefix].index
+        if len(hot):
+            g = g[~g["gh"].isin(hot)]
+        m = g.merge(g, on="gh", suffixes=("_x", "_y"))
+        m = m[m["doc_x"] < m["doc_y"]]
+        if m.empty:
+            return pair_empty.copy()
+        # length filter: J ≥ t needs t·max(|A|,|B|) ≤ 1000·min(|A|,|B|)
+        nx, ny = m["n_x"].to_numpy(), m["n_y"].to_numpy()
+        ok = t * np.maximum(nx, ny) <= 1000 * np.minimum(nx, ny)
+        m = m[ok].drop_duplicates(subset=["doc_x", "doc_y"])
+        if m.empty:
+            return pair_empty.copy()
+        out_a, out_b, out_j = [], [], []
+        for ax, bx, sx, sy, na, nb in zip(
+            m["doc_x"], m["doc_y"], m["set_x"], m["set_y"],
+            m["n_x"], m["n_y"],
+        ):
+            i = np.intersect1d(
+                np.asarray(sx, np.uint64),
+                np.asarray(sy, np.uint64),
+                assume_unique=True,
+            ).size
+            uni = int(na) + int(nb) - i
+            if uni > 0 and 1000 * i >= t * uni:
+                out_a.append(ax)
+                out_b.append(bx)
+                out_j.append((1000 * i) // uni)
+        if not out_a:
+            return pair_empty.copy()
+        return pd.DataFrame(
+            {
+                "doc_a": np.asarray(out_a),
+                "doc_b": np.asarray(out_b),
+                "jacc_pm": np.asarray(out_j, np.int64),
+            }
+        )
+
+    def tag_prefix_bucket(batch: pa.Table) -> pa.Table:
+        gh = batch["gh"].to_numpy().astype(np.uint64)
+        return batch.append_column(
+            "__pb", pa.array((gh % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    verified = (
+        pref.map_batches(tag_prefix_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(verify_bucket, batch_format="pandas")
+    )
+
+    # a pair can share prefix tokens in several buckets → one tiny dedupe
+    return bucketed_aggregate(
+        verified,
+        ["doc_a", "doc_b"],
+        lambda df: df.drop_duplicates(subset=["doc_a", "doc_b"]),
+        n_buckets=n_buckets,
+        empty=pair_empty,
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact duplicated-substring spans (k-token windows)
 # ---------------------------------------------------------------------------

@@ -304,3 +304,53 @@ def test_snm_pairs_empty_docs_no_division(ray_session):
         ds, window=2, threshold_pm=500, n_buckets=2
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_ppjoin_pairs_matches_bruteforce(ray_session):
+    """Prefix-filtered join finds EXACTLY the brute-force Jaccard ≥ t
+    pairs on a corpus with planted near-dups (no pair missed by the
+    prefix/length filters, none invented, jacc_pm equal)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import ppjoin_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = {}
+    for d in range(30):
+        docs[d] = [vocab[i] for i in rng.randint(0, len(vocab), 30)]
+    for d in range(30, 40):  # planted near-dup of doc d-30 with 2 edits
+        base = list(docs[d - 30])
+        for pos in rng.randint(0, len(base), 2):
+            base[pos] = vocab[int(rng.randint(0, len(vocab)))]
+        docs[d] = base
+    rows = [
+        {"doc_id": d, "text": " ".join(toks)} for d, toks in docs.items()
+    ]
+    n, t = 3, 400
+
+    def gramset(toks):
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    exp = {}
+    for a in docs:
+        for b in docs:
+            if a < b:
+                A, B = gramset(docs[a]), gramset(docs[b])
+                i = len(A & B)
+                u = len(A | B)
+                if u and 1000 * i >= t * u:
+                    exp[(a, b)] = (1000 * i) // u
+    assert len(exp) >= 8  # the planted dups actually qualify
+
+    out = ppjoin_pairs(
+        rd.from_items(rows).repartition(5),
+        n=n, threshold_pm=t, n_buckets=8,
+    ).to_pandas()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["jacc_pm"])
+        for _, r in out.iterrows()
+    }
+    assert got == exp
