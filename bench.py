@@ -163,6 +163,11 @@ def run_bench() -> dict:
         "embedding_pq",
         "zone_map_prune",
         "knn_pq_adc",
+        "cohort_retention",
+        "impute_values",
+        "inlink_counts",
+        "value_quantiles_cont",
+        "ppjoin_pairs",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
