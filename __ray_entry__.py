@@ -581,6 +581,17 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _user_rolling_median(sf_dir: str):
+    """Per-user rolling MEDIAN over the last 4 events (order-statistic
+    window, ×2-integer midpoint) — one user-bucket shuffle, per-bucket
+    lag-matrix sort vectorized across all users."""
+    from sanskrit_ocr_ray.stages.relational import rolling_median_by_user
+
+    return rolling_median_by_user(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
 def _impute_values(sf_dir: str):
     """Missing-value repair: value cents NULLed on a deterministic mask
     (event_id % 13 == 0), then imputed with the per-event-type integer
@@ -2493,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _cohort_retention,
         "impute_values": _impute_values,
         "ppjoin_pairs": _ppjoin_pairs,
+        "user_rolling_median": _user_rolling_median,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3841,6 +3853,20 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        # rolling median ×2: DuckDB's windowed median returns k or k+0.5
+        # (double, exact < 2^52), so 2·median is integer-comparable
+        "user_rolling_median": """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id,
+       CAST(2 * median(c) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS med_x2
+FROM v
 """,
         "impute_values": """
 WITH v AS (

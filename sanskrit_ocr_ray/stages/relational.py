@@ -2363,6 +2363,81 @@ def zone_map_prune(
     )
 
 
+def rolling_median_by_user(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 4,
+    n_buckets: int = 64,
+):
+    """Order-statistic window: per-user rolling MEDIAN over the last
+    ``window`` rows (``ROWS BETWEEN window−1 PRECEDING AND CURRENT
+    ROW``), the robust complement to the rolling SUM — reported ×2 so
+    the even-count midpoint stays integer (``med_x2 = v_lo + v_hi`` of
+    the two middle order stats; ×2 of the middle when odd). Returns
+    ``(event_id, med_x2)``; values are cents ``floor(value·100+0.5)``.
+
+    Scale shape: the :func:`ewma_by_user` shape — ONE ``hash(user) % B``
+    bucket shuffle, then a per-bucket pass that is vectorized across
+    ALL users at once: a (rows × window) lag matrix (+inf pads row
+    starts, user boundaries respected via cumcount), one axis-1 sort,
+    two fancy-indexed gathers. Python cost is O(window) loop iterations
+    per bucket, never per user or per row.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    empty = typed_empty(**{id_col: np.int64, "med_x2": np.int64})
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")), pa.int64())
+        c = np.floor(
+            batch[value_col].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        u = batch[user_col].to_numpy()
+        return pa.table(
+            {
+                "u": batch[user_col],
+                "ts_us": us,
+                id_col: batch[id_col],
+                "c": pa.array(c),
+                "__ub": pa.array(
+                    (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        g = df.sort_values(["u", "ts_us", id_col], kind="mergesort")
+        v = g["c"].to_numpy(np.int64).astype(np.float64)
+        cc = g.groupby("u").cumcount().to_numpy()
+        m = len(g)
+        arr = np.full((m, window), np.inf)
+        for j in range(window):
+            ok = cc >= j
+            arr[ok, j] = v[np.flatnonzero(ok) - j]
+        arr.sort(axis=1)
+        cnt = np.minimum(cc + 1, window)
+        rows = np.arange(m)
+        med2 = arr[rows, (cnt - 1) // 2] + arr[rows, cnt // 2]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "med_x2": med2.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def impute_group_mean(
     ds,
     *,

@@ -128,6 +128,7 @@ SUBSET = [
     "inlink_counts",
     "value_quantiles_cont",
     "ppjoin_pairs",
+    "user_rolling_median",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

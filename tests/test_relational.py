@@ -1285,3 +1285,40 @@ def test_quantiles_cont_interpolation(ray_session):
     # spot-check the classic: median of n=8 interpolates ranks 3..4
     assert got[500] == 30 * 1000  # sv[3]=30, sv[4]=30
     assert got[250] == 10 * 1000 + (20 - 10) * 750  # pos=1.75
+
+
+def test_rolling_median_by_user(ray_session):
+    """Rolling 4-row median ×2 equals a per-user pandas replay,
+    including the growing-window starts and odd/even midpoints."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import rolling_median_by_user
+
+    rng = np.random.RandomState(9)
+    m = 200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(m, dtype=np.int64),
+            "user_id": rng.randint(0, 7, m).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, m), unit="s"),
+            "value": rng.uniform(0, 50, m).round(2),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = rolling_median_by_user(ds, window=4, n_buckets=4).to_pandas()
+    got = dict(zip(out["event_id"], out["med_x2"]))
+
+    c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.assign(c=c)
+    exp = {}
+    for _, gr in df.groupby("user_id"):
+        gr = gr.sort_values(["ts", "event_id"])
+        vals = gr["c"].tolist()
+        for i, eid in enumerate(gr["event_id"]):
+            w = sorted(vals[max(0, i - 3) : i + 1])
+            k = len(w)
+            exp[int(eid)] = w[(k - 1) // 2] + w[k // 2]
+    assert got == exp
