@@ -2495,12 +2495,15 @@ def impute_group_mean(
         v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         miss = np.isnan(v)
         fillv = g.map(m).to_numpy(np.float64)
-        out = np.where(miss, fillv, v).astype(np.int64)
+        # a group with NO surviving value has no mean — its null rows are
+        # unrepairable and drop (the oracle's inner join does the same)
+        keep = ~(miss & np.isnan(fillv))
+        out = np.where(miss, fillv, v)[keep].astype(np.int64)
         return pa.table(
             {
-                id_col: batch[id_col],
+                id_col: batch[id_col].filter(pa.array(keep)),
                 "value_c": pa.array(out),
-                "imputed": pa.array(miss.astype(np.int64)),
+                "imputed": pa.array(miss[keep].astype(np.int64)),
             }
         )
 

@@ -1322,3 +1322,30 @@ def test_rolling_median_by_user(ray_session):
             k = len(w)
             exp[int(eid)] = w[(k - 1) // 2] + w[k // 2]
     assert got == exp
+
+
+def test_impute_group_mean_all_null_group_drops(ray_session):
+    """A group whose values are ALL null has no mean; its rows drop
+    (mirror of the oracle's inner join) instead of crashing on NaN."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import impute_group_mean
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "event_type": pa.array(["a", "a", "z", "z"]),
+                "value_c": pa.array(
+                    np.asarray([10, 0, 0, 0], np.int64),
+                    mask=np.array([False, True, True, True]),
+                ),
+            }
+        )
+    )
+    out = impute_group_mean(ds).to_pandas().sort_values("event_id")
+    assert list(out["event_id"]) == [0, 1]
+    assert list(out["value_c"]) == [10, 10]
+    assert list(out["imputed"]) == [0, 1]
