@@ -581,6 +581,18 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _hll_users_by_type(sf_dir: str):
+    """Per-event-type HLL register sketches of distinct users (the
+    dashboard shape: one mergeable 64-register sketch per group, all
+    built in one streaming pass). Output is the integer registers, so
+    the oracle replays bucket/rho bit-for-bit."""
+    from sanskrit_ocr_ray.stages.sketch import hll_registers_by_group
+
+    return hll_registers_by_group(
+        _tbl(sf_dir, "events", ["event_type", "user_id"]), p=6
+    )
+
+
 def _user_rolling_median(sf_dir: str):
     """Per-user rolling MEDIAN over the last 4 events (order-statistic
     window, ×2-integer midpoint) — one user-bucket shuffle, per-bucket
@@ -2505,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_values": _impute_values,
         "ppjoin_pairs": _ppjoin_pairs,
         "user_rolling_median": _user_rolling_median,
+        "hll_users_by_type": _hll_users_by_type,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -4704,6 +4717,20 @@ WITH tok AS (
 )
 SELECT bucket, CAST(MAX(59 - ({_blen})) AS BIGINT) AS rho
 FROM hw GROUP BY bucket
+"""
+    # hll_users_by_type: the per-group sketch — same bucket/rho bit rules,
+    # value hash = md5(str(user_id)) (the shard_assign convention)
+    oracles["hll_users_by_type"] = f"""
+WITH uv AS (SELECT DISTINCT event_type, user_id FROM events),
+hw AS (
+  SELECT event_type, CAST(hv >> 58 AS BIGINT) AS bucket,
+         CAST(hv % CAST({1 << 58} AS UBIGINT) AS BIGINT) AS w
+  FROM (SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+        FROM uv)
+)
+SELECT event_type, bucket, CAST(MAX(59 - ({_blen})) AS BIGINT) AS rho
+FROM hw GROUP BY 1, 2
 """
     oracles["item_pagerank"] = (
         """

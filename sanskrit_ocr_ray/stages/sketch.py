@@ -369,3 +369,78 @@ def cms_point_estimate(registers: pd.DataFrame, token: str, *, depth: int = 4, w
     return min(
         int(lut.get((r, md5_u64(f"{r}:{token}") % width), 0)) for r in range(depth)
     )
+
+
+def hll_registers_by_group(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 6,
+):
+    """Per-GROUP HyperLogLog registers — the dashboard shape of
+    :func:`hll_registers` (approximate distinct users per event type,
+    distinct queries per day, …): one 2^p-register sketch per group,
+    all built in the same streaming pass → (group, bucket, rho).
+    Registers merge by max, so per-group sketches from different data
+    slices (days, shards) can later be unioned without rescanning —
+    the property that makes sketch tables a storage primitive.
+
+    Integer contract: value hash = md5_u64(str(value)) (the
+    shard_assign convention); bucket/rho exactly as the global HLL.
+    Scale shape: per-batch partial = distinct (group, bucket) max-rho
+    rows (≤ #groups·2^p); one bounded groupby(group) fold, per-group
+    combine vectorized."""
+    from ..util import md5_u64
+
+    m = 1 << p
+    wbits = 64 - p
+    mask = np.uint64((1 << wbits) - 1)
+    assert m <= 4096  # p ≤ 12: partials stay tiny
+
+    reg_empty = pd.DataFrame(
+        {
+            "grp": pd.Series([], dtype=object),
+            "bucket": np.array([], np.int64),
+            "rho": np.array([], np.int64),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "grp": batch[group_col].to_pandas(),
+                "v": batch[value_col].to_pandas(),
+            }
+        ).drop_duplicates()
+        if df.empty:
+            return pa.Table.from_pandas(reg_empty, preserve_index=False)
+        hv = np.fromiter(
+            (md5_u64(str(x)) for x in df["v"]), np.uint64, len(df)
+        )
+        bucket = (hv >> np.uint64(wbits)).astype(np.int64)
+        w = hv & mask
+        rho = wbits + 1 - _bit_length_u64(w)
+        out = (
+            pd.DataFrame({"grp": df["grp"].to_numpy(), "bucket": bucket, "rho": rho})
+            .groupby(["grp", "bucket"], as_index=False)["rho"]
+            .max()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return reg_empty.copy()
+        out = group.groupby(["grp", "bucket"], as_index=False)["rho"].max()
+        out["rho"] = out["rho"].astype(np.int64)
+        return out
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns([group_col, "bucket", "rho"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(fold, batch_format="pandas")
+        .map_batches(rename, batch_format="pyarrow")
+    )

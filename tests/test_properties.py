@@ -119,3 +119,52 @@ def test_priority_sample_subset_invariance(ray_session):
     ds_sub = rd.from_items(survivors).repartition(4)
     picked2 = priority_sample(ds_sub, k=15).to_pandas()
     assert picked2.doc_id.tolist() == picked.doc_id.tolist()
+
+
+def test_hll_by_group_matches_global_per_slice(ray_session):
+    """Per-group registers equal running the global HLL rule on each
+    group's values separately, and merging two disjoint data slices by
+    max reproduces the whole-data sketch (mergeability)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import hll_registers_by_group
+    from sanskrit_ocr_ray.util import md5_u64
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c"], 500),
+            "user_id": rng.randint(0, 200, 500).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    out = hll_registers_by_group(ds, p=6).to_pandas()
+    got = {
+        (r["event_type"], int(r["bucket"])): int(r["rho"])
+        for _, r in out.iterrows()
+    }
+
+    def ref_regs(users):
+        regs = {}
+        for u in set(users):
+            hv = md5_u64(str(u))
+            b, w = hv >> 58, hv & ((1 << 58) - 1)
+            rho = 59 - w.bit_length() if w else 59
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    exp = {}
+    for g, gr in df.groupby("event_type"):
+        for b, rho in ref_regs(gr["user_id"]).items():
+            exp[(g, int(b))] = rho
+    assert got == exp
+    # mergeability: slice-wise max == whole-data registers
+    half = len(df) // 2
+    r1 = ref_regs(df["user_id"][:half][df["event_type"][:half] == "a"])
+    r2 = ref_regs(df["user_id"][half:][df["event_type"][half:] == "a"])
+    merged = {b: max(r1.get(b, 0), r2.get(b, 0)) for b in set(r1) | set(r2)}
+    whole = ref_regs(df["user_id"][df["event_type"] == "a"])
+    assert merged == whole
