@@ -837,6 +837,23 @@ def _basket_pairs(sf_dir: str):
     )
 
 
+def _association_rules(sf_dir: str):
+    """Apriori rule step over the basket-pair supports: both directions
+    of every surviving pair with integer per-mille confidence and lift,
+    all statistics over the same 2..64-item basket population. Item
+    counts attach via bucketed hash_joins (never an item-dictionary
+    broadcast); the basket total N rides a reserved sentinel key."""
+    from sanskrit_ocr_ray.stages.basket import association_rules
+
+    return association_rules(
+        _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        minsup=2,
+        max_basket=64,
+    )
+
+
 def _heavy_hitters(sf_dir: str):
     """Exact φ-heavy hitters (count·32 > N) via the candidate/verify
     two-pass — shuffle bounded by c·#batches, never the vocabulary."""
@@ -2518,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_pairs": _ppjoin_pairs,
         "user_rolling_median": _user_rolling_median,
         "hll_users_by_type": _hll_users_by_type,
+        "association_rules": _association_rules,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -4673,6 +4691,32 @@ p AS (
 )
 SELECT item_a, item_b, COUNT(*) AS support
 FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+    # association_rules: same basket population (2..64 distinct items)
+    # for supports, item counts AND N; integer per-mille conf/lift with
+    # the same floor divisions as the Ray side
+    oracles["association_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+ok AS (SELECT bk FROM b GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 64),
+bb AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM bb GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ok),
+p AS (
+  SELECT a.it AS ia, c.it AS ib, CAST(COUNT(*) AS BIGINT) AS s
+  FROM bb a JOIN bb c ON a.bk = c.bk AND a.it < c.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+bd AS (
+  SELECT ia AS ante, ib AS cons, s FROM p
+  UNION ALL SELECT ib, ia, s FROM p
+)
+SELECT bd.ante, bd.cons, bd.s AS support,
+       CAST((1000 * bd.s) // ca.c AS BIGINT) AS conf_pm,
+       CAST((1000 * nt.n * bd.s) // (ca.c * cb.c) AS BIGINT) AS lift_pm
+FROM bd
+JOIN ic ca ON ca.it = bd.ante
+JOIN ic cb ON cb.it = bd.cons
+CROSS JOIN nt
 """
     # heavy_hitters: the candidate/verify pipeline is exact by the
     # pigeonhole superset guarantee, so the oracle is the plain census

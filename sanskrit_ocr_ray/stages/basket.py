@@ -32,7 +32,7 @@ import pandas as pd
 from ..util import typed_empty
 from .dedup import DEFAULT_BUCKETS, bucketed_aggregate
 
-__all__ = ["basket_pairs"]
+__all__ = ["basket_pairs", "association_rules"]
 
 
 def _expand_pairs(d: pd.DataFrame, basket_col: str, item_col: str) -> pd.DataFrame:
@@ -109,3 +109,142 @@ def basket_pairs(
         empty=sup_empty,
         coalesce_first=False,
     )
+
+
+def association_rules(
+    ds,
+    *,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    minsup: int = 2,
+    max_basket: int = 64,
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Association rules over the :func:`basket_pairs` supports — the
+    Apriori rule step: for every surviving pair and BOTH directions
+    a→b, emit ``(ante, cons, support, conf_pm, lift_pm)`` with integer
+    per-mille confidence ``1000·sup // n(ante)`` and lift
+    ``1000·N·sup // (n(ante)·n(cons))``.
+
+    Contract (mirrored in the oracle): every statistic — pair support,
+    per-item basket counts n(i), and the basket total N — is computed
+    over the SAME basket population: baskets with 2..max_basket
+    distinct items (singleton baskets can pair with nothing; oversize
+    baskets are the deterministic bot rule). Integer bound: needs
+    ``1000·N·sup < 2^63`` (N·sup < 9.2e15 — at larger scale, drop the
+    ×1000 or compute lift in per-cent).
+
+    Scale shape: pair supports ride :func:`basket_pairs`'s two bounded
+    shuffles; item counts + N come from ONE more basket-bucketed pass
+    (distinct items per basket are additive across basket buckets; N
+    partials ride the same rows under a reserved ``item = −1`` key and
+    only those ≤ #buckets sentinel rows reach the driver); the two
+    count attachments are bucketed ``hash_join``s, never a broadcast of
+    the item dictionary.
+    """
+    import pyarrow as pa
+
+    from .relational import hash_join
+
+    cnt_empty = typed_empty(item=np.int64, c=np.int64)
+
+    def counts_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([basket_col, item_col])
+        sizes = d.groupby(basket_col, sort=False)[item_col].transform("size")
+        d = d[(sizes.to_numpy() >= 2) & (sizes.to_numpy() <= max_basket)]
+        if d.empty:
+            return cnt_empty.copy()
+        g = (
+            d.groupby(item_col, as_index=False)
+            .size()
+            .rename(columns={item_col: "item", "size": "c"})
+        )
+        n_b = d[basket_col].nunique()
+        g = pd.concat(
+            [g, pd.DataFrame({"item": [-1], "c": [n_b]})], ignore_index=True
+        )
+        return g.astype(np.int64)
+
+    def fold_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("item", as_index=False)["c"].sum()
+        return g.astype(np.int64) if len(g) else cnt_empty.copy()
+
+    counts = bucketed_aggregate(
+        bucketed_aggregate(
+            ds, [basket_col], counts_in_bucket,
+            n_buckets=n_buckets, empty=cnt_empty, coalesce_first=False,
+        ),
+        ["item"],
+        fold_counts,
+        n_buckets=n_buckets,
+        empty=cnt_empty,
+        coalesce_first=False,
+    ).materialize()
+
+    # N: only the ≤ #buckets sentinel rows reach the driver
+    n_total = int(
+        counts.filter(lambda r: r["item"] == -1).to_pandas()["c"].iloc[0]
+    )
+
+    def drop_sentinel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.not_equal(batch["item"], pa.scalar(-1)))
+
+    item_counts = counts.map_batches(drop_sentinel, batch_format="pyarrow")
+
+    pairs = basket_pairs(
+        ds,
+        basket_col=basket_col,
+        item_col=item_col,
+        minsup=minsup,
+        max_basket=max_basket,
+        n_buckets=n_buckets,
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch["item_a"].to_numpy()
+        b = batch["item_b"].to_numpy()
+        s = batch["support"].to_numpy()
+        return pa.table(
+            {
+                "ante": pa.array(np.concatenate([a, b]), pa.int64()),
+                "cons": pa.array(np.concatenate([b, a]), pa.int64()),
+                "support": pa.array(np.concatenate([s, s]), pa.int64()),
+            }
+        )
+
+    rules = pairs.map_batches(both_dirs, batch_format="pyarrow")
+
+    def as_ante(batch: pa.Table) -> pa.Table:
+        return pa.table({"ante": batch["item"], "ca": batch["c"]})
+
+    def as_cons(batch: pa.Table) -> pa.Table:
+        return pa.table({"cons": batch["item"], "cb": batch["c"]})
+
+    j1 = hash_join(
+        rules, item_counts.map_batches(as_ante, batch_format="pyarrow"),
+        key="ante", n_buckets=n_buckets,
+    )
+    j2 = hash_join(
+        j1, item_counts.map_batches(as_cons, batch_format="pyarrow"),
+        key="cons", n_buckets=n_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["support"].to_numpy().astype(np.int64)
+        ca = batch["ca"].to_numpy().astype(np.int64)
+        cb = batch["cb"].to_numpy().astype(np.int64)
+        conf = (1000 * s) // ca
+        lift = (1000 * n_total * s) // (ca * cb)
+        return pa.table(
+            {
+                "ante": batch["ante"],
+                "cons": batch["cons"],
+                "support": batch["support"],
+                "conf_pm": pa.array(conf),
+                "lift_pm": pa.array(lift),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")

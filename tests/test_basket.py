@@ -64,3 +64,61 @@ def test_basket_pairs_max_basket_drops_oversized(ray_session):
     got = sorted(zip(out["item_a"], out["item_b"], out["support"]))
     assert got == _naive(df, 2, 5)
     assert all(s == 2 for _, _, s in got) and len(got) == 10  # C(5,2)
+
+
+def test_association_rules_reference(ray_session):
+    """conf/lift equal a set-based local replay; singleton and oversize
+    baskets are excluded from supports, item counts AND N alike."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.basket import association_rules
+
+    baskets = {
+        1: [10, 20, 30],
+        2: [10, 20],
+        3: [10, 30],
+        4: [20, 30],
+        5: [10, 20, 30],
+        6: [99],              # singleton: excluded everywhere
+        7: list(range(200)),  # oversize (>64): excluded everywhere
+    }
+    rows = [
+        {"l_orderkey": b, "l_partkey": i}
+        for b, items in baskets.items()
+        for i in items
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows))).repartition(4)
+    out = association_rules(ds, minsup=2, max_basket=64, n_buckets=8).to_pandas()
+    got = {
+        (int(r["ante"]), int(r["cons"])): (
+            int(r["support"]), int(r["conf_pm"]), int(r["lift_pm"])
+        )
+        for _, r in out.iterrows()
+    }
+
+    pop = {b: set(v) for b, v in baskets.items() if 2 <= len(set(v)) <= 64}
+    n = len(pop)
+    cnt = {}
+    for items in pop.values():
+        for i in items:
+            cnt[i] = cnt.get(i, 0) + 1
+    sup = {}
+    for items in pop.values():
+        s = sorted(items)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                sup[(s[x], s[y])] = sup.get((s[x], s[y]), 0) + 1
+    exp = {}
+    for (a, b), s in sup.items():
+        if s >= 2:
+            for ante, cons in ((a, b), (b, a)):
+                exp[(ante, cons)] = (
+                    s,
+                    (1000 * s) // cnt[ante],
+                    (1000 * n * s) // (cnt[ante] * cnt[cons]),
+                )
+    assert got == exp
+    assert len(exp) == 6  # all three pairs qualify, both directions
