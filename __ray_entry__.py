@@ -581,6 +581,18 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _cusum_flags(sf_dir: str):
+    """Per-user one-sided CUSUM change-point flags (k=80.00,
+    h=300.00 cents): the streaming level-shift monitor as an exact
+    integer recurrence — one user-bucket shuffle + step scan; the
+    oracle replays the recurrence with a recursive CTE."""
+    from sanskrit_ocr_ray.stages.relational import cusum_flags
+
+    return cusum_flags(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    )
+
+
 def _hll_users_by_type(sf_dir: str):
     """Per-event-type HLL register sketches of distinct users (the
     dashboard shape: one mergeable 64-register sketch per group, all
@@ -2536,6 +2548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_median": _user_rolling_median,
         "hll_users_by_type": _hll_users_by_type,
         "association_rules": _association_rules,
+        "cusum_flags": _cusum_flags,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3884,6 +3897,26 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        # CUSUM: the exact integer recurrence replayed per user by a
+        # recursive CTE (the ewma/debounce pattern)
+        "cusum_flags": """
+WITH RECURSIVE v AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec(user_id, rn, event_id, s) AS (
+  SELECT user_id, rn, event_id, GREATEST(CAST(0 AS BIGINT), c - 8000)
+  FROM v WHERE rn = 1
+  UNION ALL
+  SELECT v.user_id, v.rn, v.event_id,
+         GREATEST(CAST(0 AS BIGINT), r.s + v.c - 8000)
+  FROM rec r JOIN v ON v.user_id = r.user_id AND v.rn = r.rn + 1
+)
+SELECT event_id, s AS cusum,
+       CAST(CASE WHEN s > 30000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM rec
 """,
         # rolling median ×2: DuckDB's windowed median returns k or k+0.5
         # (double, exact < 2^52), so 2·median is integer-comparable

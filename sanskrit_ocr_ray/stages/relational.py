@@ -2241,6 +2241,71 @@ def ewma_by_user(
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
 
 
+def cusum_flags(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    drift_c: int = 8000,
+    threshold_c: int = 30000,
+    n_buckets: int = 64,
+):
+    """Per-user one-sided CUSUM change-point detection (Page 1954):
+    ``s₀ = max(0, v₀ − k);  sᵢ = max(0, sᵢ₋₁ + vᵢ − k)`` over the
+    (ts, id)-ordered stream, ``v = floor(value·100 + 0.5)`` cents,
+    ``k = drift_c`` — flag rows where the cumulative positive drift
+    exceeds ``threshold_c``. The standard streaming anomaly /
+    level-shift monitor, as an EXACT integer recurrence; the DuckDB
+    oracle replays it with a recursive CTE. Returns
+    ``(id_col, cusum, flagged)`` for every event.
+
+    Scale shape: identical to :func:`ewma_by_user` — one
+    ``hash(user) % B`` bucket shuffle, then a step scan whose k-th step
+    updates ALL users' k-th events vectorized (Python loop = bucket max
+    events-per-user, never row count).
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    empty = typed_empty(
+        **{id_col: np.int64, "cusum": np.int64, "flagged": np.int64}
+    )
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        v = np.floor(df[value_col].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        u = df[user_col].to_numpy()
+        ids = df[id_col].to_numpy()
+        cc = df.groupby(user_col).cumcount().to_numpy()
+        order = np.lexsort((u, cc))  # (position k, then user)
+        u_s, v_s, cc_s = u[order], v[order], cc[order]
+        s = np.empty_like(v_s)
+        kmax = int(cc_s.max())
+        starts = np.searchsorted(cc_s, np.arange(kmax + 2))
+        s[: starts[1]] = np.maximum(0, v_s[: starts[1]] - drift_c)
+        for k in range(1, kmax + 1):
+            a, b = starts[k], starts[k + 1]
+            pa_, pb = starts[k - 1], starts[k]
+            idx = np.searchsorted(u_s[pa_:pb], u_s[a:b])
+            sp = s[pa_:pb][idx]
+            s[a:b] = np.maximum(0, sp + v_s[a:b] - drift_c)
+        return pd.DataFrame(
+            {
+                id_col: ids[order],
+                "cusum": s.astype(np.int64),
+                "flagged": (s > threshold_c).astype(np.int64),
+            }
+        )
+
+    return bucketed_aggregate(
+        ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty
+    )
+
+
 def zorder_keys(
     ds,
     x_col: str,

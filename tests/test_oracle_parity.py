@@ -131,6 +131,7 @@ SUBSET = [
     "user_rolling_median",
     "hll_users_by_type",
     "association_rules",
+    "cusum_flags",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

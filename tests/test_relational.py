@@ -1349,3 +1349,43 @@ def test_impute_group_mean_all_null_group_drops(ray_session):
     assert list(out["event_id"]) == [0, 1]
     assert list(out["value_c"]) == [10, 10]
     assert list(out["imputed"]) == [0, 1]
+
+
+def test_cusum_flags_recurrence(ray_session):
+    """CUSUM equals a per-user local replay: resets at zero, accumulates
+    positive drift, flags only above threshold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import cusum_flags
+
+    rng = np.random.RandomState(4)
+    m = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(m, dtype=np.int64),
+            "user_id": rng.randint(0, 6, m).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, m), unit="s"),
+            "value": rng.uniform(0, 200, m).round(2),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    k, h = 9000, 25000
+    out = cusum_flags(ds, drift_c=k, threshold_c=h, n_buckets=4).to_pandas()
+    got = {
+        int(r["event_id"]): (int(r["cusum"]), int(r["flagged"]))
+        for _, r in out.iterrows()
+    }
+    c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    exp = {}
+    for _, gr in df.assign(c=c).groupby("user_id"):
+        gr = gr.sort_values(["ts", "event_id"])
+        s = 0
+        for _, r in gr.iterrows():
+            s = max(0, s + int(r["c"]) - k)
+            exp[int(r["event_id"])] = (s, int(s > h))
+    assert got == exp
+    flags = sum(f for _, f in exp.values())
+    assert 0 < flags < m  # both flagged and unflagged rows exercised
