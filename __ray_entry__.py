@@ -581,6 +581,28 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _trimmed_mean_by_type(sf_dir: str):
+    """Robust aggregate: per-event-type 10%-trimmed mean of value cents
+    (drop floor(n/10) order stats each side, integer floor-mean of the
+    rest) — computed from a (group, value) histogram whose cardinality
+    is bounded by the value domain, two bounded shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import trimmed_mean_by_group
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"event_type": batch["event_type"], "value_c": pa.array(c)}
+        )
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    return trimmed_mean_by_group(ds, trim_pm=100)
+
+
 def _cusum_flags(sf_dir: str):
     """Per-user one-sided CUSUM change-point flags (k=80.00,
     h=300.00 cents): the streaming level-shift monitor as an exact
@@ -2549,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _hll_users_by_type,
         "association_rules": _association_rules,
         "cusum_flags": _cusum_flags,
+        "trimmed_mean_by_type": _trimmed_mean_by_type,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3897,6 +3920,23 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        # trimmed mean: rank-window formulation — keep 1-based ranks
+        # (k, n−k], k = n//10; floor mean in int64, same as the Ray fold
+        "trimmed_mean_by_type": """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(c) // COUNT(*) AS BIGINT) AS tmean_c
+FROM r
+WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY 1
 """,
         # CUSUM: the exact integer recurrence replayed per user by a
         # recursive CTE (the ewma/debounce pattern)

@@ -2241,6 +2241,92 @@ def ewma_by_user(
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
 
 
+def trimmed_mean_by_group(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value_c",
+    trim_pm: int = 100,
+    n_buckets: int = 64,
+):
+    """Robust aggregation: per-group TRIMMED MEAN — drop the bottom and
+    top ``floor(trim_pm·n/1000)`` order statistics, integer floor-mean
+    of the rest → ``(group, n_kept, tmean_c)``. The outlier-resistant
+    mean of metric dashboards (a 10% trim survives fat tails that wreck
+    the plain mean), exactly computable from a value histogram, so the
+    SQL oracle's window-rank formulation matches integer-for-integer.
+
+    Scale shape: per-batch (group, value) count partials, one bounded
+    ``hash(group, value) % B`` shuffle folds the histogram (cardinality
+    = #groups × #distinct values — bounded by the value DOMAIN, not the
+    row count; pre-bin continuous data first, the quantiles_exact
+    rule), then per-GROUP buckets compute kept-rank overlaps with one
+    vectorized cumsum pass.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    hist_empty = typed_empty(
+        **{group_col: object, value_col: np.int64, "cnt": np.int64}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: batch[group_col].to_pandas(),
+                value_col: batch[value_col].to_numpy(),
+            }
+        )
+        g = df.groupby([group_col, value_col], as_index=False).size()
+        g = g.rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col, value_col],
+        lambda df: df.groupby([group_col, value_col], as_index=False)["cnt"]
+        .sum()
+        .astype({"cnt": np.int64}),
+        n_buckets=n_buckets,
+        empty=hist_empty,
+        coalesce_first=False,
+    )
+
+    out_empty = typed_empty(
+        **{group_col: object, "n_kept": np.int64, "tmean_c": np.int64}
+    )
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return out_empty.copy()
+        rows = []
+        for grp, sub in df.groupby(group_col):
+            sub = sub.sort_values(value_col)
+            c = sub["cnt"].to_numpy(np.int64)
+            v = sub[value_col].to_numpy(np.int64)
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            k = (trim_pm * n) // 1000
+            lo_rank, hi_rank = k, n - k  # keep ranks (k, n−k], 1-based
+            prev = cum - c
+            kept = np.minimum(cum, hi_rank) - np.maximum(prev, lo_rank)
+            kept = np.maximum(kept, 0)
+            n_kept = int(kept.sum())
+            if n_kept == 0:
+                continue
+            rows.append((grp, n_kept, int((v * kept).sum()) // n_kept))
+        if not rows:
+            return out_empty.copy()
+        return pd.DataFrame(
+            rows, columns=[group_col, "n_kept", "tmean_c"]
+        ).astype({"n_kept": np.int64, "tmean_c": np.int64})
+
+    return bucketed_aggregate(
+        hist, [group_col], per_group, n_buckets=n_buckets, empty=out_empty
+    )
+
+
 def cusum_flags(
     ds,
     *,

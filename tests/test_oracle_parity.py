@@ -132,6 +132,7 @@ SUBSET = [
     "hll_users_by_type",
     "association_rules",
     "cusum_flags",
+    "trimmed_mean_by_type",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -1389,3 +1389,38 @@ def test_cusum_flags_recurrence(ray_session):
     assert got == exp
     flags = sum(f for _, f in exp.values())
     assert 0 < flags < m  # both flagged and unflagged rows exercised
+
+
+def test_trimmed_mean_by_group(ray_session):
+    """Histogram-derived trimmed mean equals a sort-based local replay,
+    including duplicate values straddling the trim boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import trimmed_mean_by_group
+
+    rng = np.random.RandomState(6)
+    m = 400
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b", "c"], m),
+            # heavy duplication so trim boundaries cut inside value runs
+            "value_c": rng.randint(0, 25, m).astype(np.int64) * 100,
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    out = trimmed_mean_by_group(ds, trim_pm=100, n_buckets=4).to_pandas()
+    got = {
+        r["event_type"]: (int(r["n_kept"]), int(r["tmean_c"]))
+        for _, r in out.iterrows()
+    }
+    exp = {}
+    for g, gr in df.groupby("event_type"):
+        v = np.sort(gr["value_c"].to_numpy())
+        n = len(v)
+        k = n // 10
+        kept = v[k : n - k]
+        exp[g] = (len(kept), int(kept.sum()) // len(kept))
+    assert got == exp
