@@ -168,6 +168,11 @@ def run_bench() -> dict:
         "inlink_counts",
         "value_quantiles_cont",
         "ppjoin_pairs",
+        "user_rolling_median",
+        "hll_users_by_type",
+        "association_rules",
+        "cusum_flags",
+        "trimmed_mean_by_type",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)

@@ -118,11 +118,11 @@ def association_rules(
     item_col: str = "l_partkey",
     minsup: int = 2,
     max_basket: int = 64,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: int = 64,
 ):
-    """Association rules over the :func:`basket_pairs` supports — the
-    Apriori rule step: for every surviving pair and BOTH directions
-    a→b, emit ``(ante, cons, support, conf_pm, lift_pm)`` with integer
+    """Association rules (the Apriori rule step): for every pair of
+    items co-occurring in ``≥ minsup`` baskets and BOTH directions a→b,
+    emit ``(ante, cons, support, conf_pm, lift_pm)`` with integer
     per-mille confidence ``1000·sup // n(ante)`` and lift
     ``1000·N·sup // (n(ante)·n(cons))``.
 
@@ -134,73 +134,101 @@ def association_rules(
     ``1000·N·sup < 2^63`` (N·sup < 9.2e15 — at larger scale, drop the
     ×1000 or compute lift in per-cent).
 
-    Scale shape: pair supports ride :func:`basket_pairs`'s two bounded
-    shuffles; item counts + N come from ONE more basket-bucketed pass
-    (distinct items per basket are additive across basket buckets; N
-    partials ride the same rows under a reserved ``item = −1`` key and
-    only those ≤ #buckets sentinel rows reach the driver); the two
-    count attachments are bucketed ``hash_join``s, never a broadcast of
-    the item dictionary.
+    Scale shape — FOUR bounded shuffles total: the basket-bucketed pass
+    emits pair partials AND item-count partials AND the N partial as
+    tagged rows of ONE stream (counts are additive across basket
+    buckets; the reserved keys ``kb = −1`` / ``ka = −1`` tag them), one
+    (ka, kb)-bucketed fold finalizes all three kinds, then the two
+    count attachments are bucketed ``hash_join``s — never a broadcast
+    of the item dictionary; only the single N row reaches the driver.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from .relational import hash_join
 
-    cnt_empty = typed_empty(item=np.int64, c=np.int64)
+    part_empty = typed_empty(ka=np.int64, kb=np.int64, cnt=np.int64)
 
-    def counts_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.drop_duplicates([basket_col, item_col])
+    def partials_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([basket_col, item_col]).sort_values(
+            [basket_col, item_col]
+        )
+        if d.empty:
+            return part_empty.copy()
         sizes = d.groupby(basket_col, sort=False)[item_col].transform("size")
         d = d[(sizes.to_numpy() >= 2) & (sizes.to_numpy() <= max_basket)]
         if d.empty:
-            return cnt_empty.copy()
-        g = (
-            d.groupby(item_col, as_index=False)
-            .size()
-            .rename(columns={item_col: "item", "size": "c"})
+            return part_empty.copy()
+        pairs = _expand_pairs(d, basket_col, item_col)
+        p = pairs.groupby(["item_a", "item_b"], as_index=False).size()
+        ic = d.groupby(item_col, as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "ka": np.concatenate(
+                    [p["item_a"].to_numpy(), ic[item_col].to_numpy(), [-1]]
+                ),
+                "kb": np.concatenate(
+                    [p["item_b"].to_numpy(), np.full(len(ic), -1), [-1]]
+                ),
+                "cnt": np.concatenate(
+                    [
+                        p["size"].to_numpy(),
+                        ic["size"].to_numpy(),
+                        [d[basket_col].nunique()],
+                    ]
+                ),
+            }
         )
-        n_b = d[basket_col].nunique()
-        g = pd.concat(
-            [g, pd.DataFrame({"item": [-1], "c": [n_b]})], ignore_index=True
-        )
-        return g.astype(np.int64)
+        return out.astype(np.int64)
 
-    def fold_counts(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("item", as_index=False)["c"].sum()
-        return g.astype(np.int64) if len(g) else cnt_empty.copy()
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["ka", "kb"], as_index=False)["cnt"].sum()
+        keep = (g["kb"].to_numpy() < 0) | (g["cnt"].to_numpy() >= minsup)
+        g = g[keep]
+        return g.astype(np.int64) if len(g) else part_empty.copy()
 
-    counts = bucketed_aggregate(
+    folded = bucketed_aggregate(
         bucketed_aggregate(
-            ds, [basket_col], counts_in_bucket,
-            n_buckets=n_buckets, empty=cnt_empty, coalesce_first=False,
+            ds, [basket_col], partials_in_bucket,
+            n_buckets=n_buckets, empty=part_empty, coalesce_first=False,
         ),
-        ["item"],
-        fold_counts,
+        ["ka", "kb"],
+        fold,
         n_buckets=n_buckets,
-        empty=cnt_empty,
+        empty=part_empty,
         coalesce_first=False,
     ).materialize()
 
-    # N: only the ≤ #buckets sentinel rows reach the driver
+    def take_pairs(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["kb"], pa.scalar(0)),
+            pc.greater_equal(batch["ka"], pa.scalar(0)),
+        )
+        t = batch.filter(m)
+        return pa.table(
+            {"item_a": t["ka"], "item_b": t["kb"], "support": t["cnt"]}
+        )
+
+    def take_counts(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["ka"], pa.scalar(0)),
+            pc.equal(batch["kb"], pa.scalar(-1)),
+        )
+        t = batch.filter(m)
+        return pa.table({"item": t["ka"], "c": t["cnt"]})
+
+    def take_n(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["ka"], pa.scalar(-1))
+        t = batch.filter(m)
+        return pa.table({"c": t["cnt"]})
+
+    # N: exactly one folded row reaches the driver
     n_total = int(
-        counts.filter(lambda r: r["item"] == -1).to_pandas()["c"].iloc[0]
+        folded.map_batches(take_n, batch_format="pyarrow")
+        .to_pandas()["c"].iloc[0]
     )
-
-    def drop_sentinel(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.not_equal(batch["item"], pa.scalar(-1)))
-
-    item_counts = counts.map_batches(drop_sentinel, batch_format="pyarrow")
-
-    pairs = basket_pairs(
-        ds,
-        basket_col=basket_col,
-        item_col=item_col,
-        minsup=minsup,
-        max_basket=max_basket,
-        n_buckets=n_buckets,
-    )
+    item_counts = folded.map_batches(take_counts, batch_format="pyarrow")
+    pairs = folded.map_batches(take_pairs, batch_format="pyarrow")
 
     def both_dirs(batch: pa.Table) -> pa.Table:
         a = batch["item_a"].to_numpy()
