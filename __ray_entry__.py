@@ -581,6 +581,18 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _user_running_distinct(sf_dir: str):
+    """Per-user running distinct event-type count (novelty breadth) —
+    a window SQL can't express (no COUNT(DISTINCT) OVER): one
+    user-bucket shuffle, first-occurrence flag + per-user cumsum; the
+    oracle resorts to a quadratic self-join."""
+    from sanskrit_ocr_ray.stages.relational import running_distinct_by_user
+
+    return running_distinct_by_user(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 def _trimmed_mean_by_type(sf_dir: str):
     """Robust aggregate: per-event-type 10%-trimmed mean of value cents
     (drop floor(n/10) order stats each side, integer floor-mean of the
@@ -2572,6 +2584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": _association_rules,
         "cusum_flags": _cusum_flags,
         "trimmed_mean_by_type": _trimmed_mean_by_type,
+        "user_running_distinct": _user_running_distinct,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3920,6 +3933,16 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        # running distinct: no COUNT(DISTINCT) OVER in SQL — the oracle
+        # is the quadratic self-join over the same (ts, id) order
+        "user_running_distinct": """
+SELECT a.event_id,
+       CAST(COUNT(DISTINCT b.event_type) AS BIGINT) AS n_kinds
+FROM events a
+JOIN events b ON b.user_id = a.user_id
+  AND (b.ts < a.ts OR (b.ts = a.ts AND b.event_id <= a.event_id))
+GROUP BY a.event_id
 """,
         # trimmed mean: rank-window formulation — keep 1-based ranks
         # (k, n−k], k = n//10; floor mean in int64, same as the Ray fold

@@ -2241,6 +2241,49 @@ def ewma_by_user(
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
 
 
+def running_distinct_by_user(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    kind_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Per-user RUNNING DISTINCT count: for every event, how many
+    distinct ``kind_col`` values the user has seen up to and including
+    it ((ts, id) order) → ``(event_id, n_kinds)`` — the novelty /
+    exploration-breadth feature SQL cannot express as a plain window
+    (COUNT(DISTINCT) OVER an ordered frame is unsupported; the oracle
+    resorts to a quadratic self-join).
+
+    Scale shape: one ``hash(user) % B`` bucket shuffle; per bucket one
+    sort + a first-occurrence flag (``duplicated(keep='first')`` on
+    (user, kind) in stream order) + per-user cumsum — no per-user
+    dispatch, no quadratic work.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    empty = typed_empty(**{id_col: np.int64, "n_kinds": np.int64})
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        g = df.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        first = ~g.duplicated([user_col, kind_col], keep="first")
+        n = first.astype(np.int64).groupby(
+            g[user_col].to_numpy()
+        ).cumsum()
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), "n_kinds": n.to_numpy(np.int64)}
+        )
+
+    return bucketed_aggregate(
+        ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty
+    )
+
+
 def trimmed_mean_by_group(
     ds,
     *,

@@ -133,6 +133,7 @@ SUBSET = [
     "association_rules",
     "cusum_flags",
     "trimmed_mean_by_type",
+    "user_running_distinct",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

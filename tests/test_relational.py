@@ -1424,3 +1424,36 @@ def test_trimmed_mean_by_group(ray_session):
         kept = v[k : n - k]
         exp[g] = (len(kept), int(kept.sum()) // len(kept))
     assert got == exp
+
+
+def test_running_distinct_by_user(ray_session):
+    """Running distinct equals a per-user set replay, including repeats
+    that must NOT bump the count and ts ties broken by event_id."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import running_distinct_by_user
+
+    rng = np.random.RandomState(12)
+    m = 250
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(m, dtype=np.int64),
+            "user_id": rng.randint(0, 5, m).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 50, m), unit="s"),  # many ties
+            "event_type": rng.choice(["v", "c", "p", "e"], m),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    out = running_distinct_by_user(ds, n_buckets=4).to_pandas()
+    got = dict(zip(out["event_id"], out["n_kinds"]))
+    exp = {}
+    for _, gr in df.groupby("user_id"):
+        gr = gr.sort_values(["ts", "event_id"])
+        seen = set()
+        for _, r in gr.iterrows():
+            seen.add(r["event_type"])
+            exp[int(r["event_id"])] = len(seen)
+    assert got == exp
