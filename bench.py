@@ -173,6 +173,7 @@ def run_bench() -> dict:
         "association_rules",
         "cusum_flags",
         "trimmed_mean_by_type",
+        "user_running_distinct",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
