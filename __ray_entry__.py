@@ -581,6 +581,18 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _partkey_skew_histogram(sf_dir: str):
+    """Counts-of-counts join-skew diagnosis for l_partkey: how many
+    distinct parts appear in exactly k lineitems. The per-key census
+    never leaves its hash bucket — only the tiny frequency histogram
+    ships — the stat a planner consults before salting a hot key."""
+    from sanskrit_ocr_ray.stages.relational import key_count_histogram
+
+    return key_count_histogram(
+        _tbl(sf_dir, "lineitem", ["l_partkey"]), "l_partkey"
+    )
+
+
 def _user_running_distinct(sf_dir: str):
     """Per-user running distinct event-type count (novelty breadth) —
     a window SQL can't express (no COUNT(DISTINCT) OVER): one
@@ -2585,6 +2597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_flags": _cusum_flags,
         "trimmed_mean_by_type": _trimmed_mean_by_type,
         "user_running_distinct": _user_running_distinct,
+        "partkey_skew_histogram": _partkey_skew_histogram,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3933,6 +3946,13 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        "partkey_skew_histogram": """
+WITH c AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS k FROM lineitem GROUP BY 1
+)
+SELECT k AS n_occurrences, CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM c GROUP BY 1
 """,
         # running distinct: no COUNT(DISTINCT) OVER in SQL — the oracle
         # is the quadratic self-join over the same (ts, id) order

@@ -2241,6 +2241,76 @@ def ewma_by_user(
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
 
 
+def key_count_histogram(
+    ds,
+    key_col: str,
+    *,
+    n_buckets: int = 64,
+):
+    """Counts-of-counts skew diagnosis: how many distinct keys occur
+    exactly k times → ``(n_occurrences, n_keys)`` — the histogram a
+    planner reads before choosing a join strategy (a fat tail at high k
+    means salt-the-hot-keys; all mass at k=1 means plain hash join).
+    The full key census never materializes anywhere: per-key counts
+    live only inside their hash bucket, and only the tiny
+    counts-of-counts (domain = distinct frequencies, not keys) leaves.
+
+    Scale shape: per-batch (key, n) partials → one ``hash(key) % B``
+    bucketed fold finalizes per-key counts INSIDE the bucket and
+    immediately collapses them to per-bucket (k, n_keys) partials →
+    one bounded groupby over the tiny frequency domain.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import fast_hash_u64, typed_empty
+
+    part_empty = typed_empty(k=np.int64, n=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[key_col].to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(v, return_counts=True)
+        b = (fast_hash_u64(keys) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "n": pa.array(counts.astype(np.int64)),
+                "__kb": pa.array(b),
+            }
+        )
+
+    def fold_keys_to_cofc(group: pd.DataFrame) -> pd.DataFrame:
+        """per-key totals within the bucket, collapsed to (k, n_keys)
+        partials before anything leaves the task."""
+        if group.empty:
+            return part_empty.copy()
+        per_key = group.groupby("key")["n"].sum()
+        k, n = np.unique(per_key.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"k": k, "n": n.astype(np.int64)})
+
+    cofc = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(fold_keys_to_cofc, batch_format="pandas")
+    )
+
+    out_empty = typed_empty(n_occurrences=np.int64, n_keys=np.int64)
+
+    def fold_final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return out_empty.copy()
+        g = df.groupby("k", as_index=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "n_occurrences": g["k"].to_numpy(np.int64),
+                "n_keys": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_aggregate(
+        cofc, ["k"], fold_final, n_buckets=min(n_buckets, 16),
+        empty=out_empty,
+    )
+
+
 def running_distinct_by_user(
     ds,
     *,

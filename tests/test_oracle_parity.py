@@ -134,6 +134,7 @@ SUBSET = [
     "cusum_flags",
     "trimmed_mean_by_type",
     "user_running_distinct",
+    "partkey_skew_histogram",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

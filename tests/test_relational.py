@@ -1457,3 +1457,26 @@ def test_running_distinct_by_user(ray_session):
             seen.add(r["event_type"])
             exp[int(r["event_id"])] = len(seen)
     assert got == exp
+
+
+def test_key_count_histogram(ray_session):
+    """Counts-of-counts equals a local census, with keys split across
+    many blocks so per-key partial counts must fold across batches."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import key_count_histogram
+
+    rng = np.random.RandomState(8)
+    keys = np.concatenate(
+        [np.repeat(1, 50), np.repeat(2, 50), rng.randint(100, 200, 300)]
+    ).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(7)
+    out = key_count_histogram(ds, "k", n_buckets=4).to_pandas()
+    got = dict(zip(out["n_occurrences"], out["n_keys"]))
+    census = pd.Series(keys).value_counts()
+    exp = census.value_counts().to_dict()
+    assert got == {int(k): int(v) for k, v in exp.items()}
+    assert got[50] == 2  # the two planted hot keys fold across blocks
