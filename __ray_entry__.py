@@ -581,6 +581,16 @@ def _embedding_pq(sf_dir: str):
     )
 
 
+def _audience_overlap(sf_dir: str):
+    """Exact distinct-user overlap between every pair of event types
+    (segment INTERSECT matrix) — one user-bucket shuffle, per-user kind
+    sets expand to pairs with the basket kernel, bucket-additive
+    counts, no audience set ever materialized."""
+    from sanskrit_ocr_ray.stages.relational import audience_overlap
+
+    return audience_overlap(_tbl(sf_dir, "events", ["user_id", "event_type"]))
+
+
 def _partkey_skew_histogram(sf_dir: str):
     """Counts-of-counts join-skew diagnosis for l_partkey: how many
     distinct parts appear in exactly k lineitems. The per-key census
@@ -2598,6 +2608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_by_type": _trimmed_mean_by_type,
         "user_running_distinct": _user_running_distinct,
         "partkey_skew_histogram": _partkey_skew_histogram,
+        "audience_overlap": _audience_overlap,
         "shard_assign": _shard_assign,
         "merge_scd1_docs": _merge_scd1_docs,
         "fk_integrity": _fk_integrity,
@@ -3946,6 +3957,14 @@ WITH x AS (
 )
 SELECT window_start_s, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM w GROUP BY window_start_s
+""",
+        "audience_overlap": """
+WITH uk AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS kind_a, b.event_type AS kind_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uk a JOIN uk b
+  ON b.user_id = a.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
 """,
         "partkey_skew_histogram": """
 WITH c AS (

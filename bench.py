@@ -175,6 +175,7 @@ def run_bench() -> dict:
         "trimmed_mean_by_type",
         "user_running_distinct",
         "partkey_skew_histogram",
+        "audience_overlap",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)

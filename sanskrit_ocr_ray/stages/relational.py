@@ -2241,6 +2241,70 @@ def ewma_by_user(
     return bucketed_aggregate(ds, [user_col], scan_bucket, n_buckets=n_buckets, empty=empty)
 
 
+def audience_overlap(
+    ds,
+    *,
+    user_col: str = "user_id",
+    kind_col: str = "event_type",
+    n_buckets: int = 64,
+):
+    """Audience-overlap matrix: for every ordered pair of kinds
+    (a < b), the EXACT number of distinct users who did both →
+    ``(kind_a, kind_b, n_users)`` — the segment-intersection readout
+    (INTERSECT of per-kind audiences) without materializing any
+    audience set.
+
+    Scale shape: one ``hash(user) % B`` bucket shuffle of distinct
+    (user, kind) pairs; inside a bucket each user's kind set expands to
+    its C(k,2) pairs with the basket repeat/arange kernel (k ≤ #kinds,
+    tiny) and collapses to per-bucket pair counts — additive across
+    buckets because a user lives in exactly one — then a tiny
+    ≤ #kinds² fold.
+    """
+    from .basket import _expand_pairs
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    pair_empty = typed_empty(kind_a=object, kind_b=object, n_users=np.int64)
+
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates([user_col, kind_col]).sort_values(
+            [user_col, kind_col]
+        )
+        if d.empty:
+            return pair_empty.copy()
+        pairs = _expand_pairs(d, user_col, kind_col)
+        out = (
+            pairs.groupby(["item_a", "item_b"], as_index=False)
+            .size()
+            .rename(
+                columns={"item_a": "kind_a", "item_b": "kind_b",
+                         "size": "n_users"}
+            )
+        )
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pair_empty.copy()
+        g = df.groupby(["kind_a", "kind_b"], as_index=False)["n_users"].sum()
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return bucketed_aggregate(
+        bucketed_aggregate(
+            ds, [user_col], pairs_in_bucket,
+            n_buckets=n_buckets, empty=pair_empty, coalesce_first=False,
+        ),
+        ["kind_a", "kind_b"],
+        fold,
+        n_buckets=min(n_buckets, 16),
+        empty=pair_empty,
+        coalesce_first=False,
+    )
+
+
 def key_count_histogram(
     ds,
     key_col: str,

@@ -135,6 +135,7 @@ SUBSET = [
     "trimmed_mean_by_type",
     "user_running_distinct",
     "partkey_skew_histogram",
+    "audience_overlap",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -1480,3 +1480,39 @@ def test_key_count_histogram(ray_session):
     exp = census.value_counts().to_dict()
     assert got == {int(k): int(v) for k, v in exp.items()}
     assert got[50] == 2  # the two planted hot keys fold across blocks
+
+
+def test_audience_overlap(ray_session):
+    """Pairwise distinct-user overlap equals a set replay; duplicate
+    events don't double-count and users split across blocks fold."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import audience_overlap
+
+    acts = {
+        1: ["v", "c", "p"], 2: ["v", "c"], 3: ["v"], 4: ["c", "p"],
+        5: ["v", "p", "v", "p"],  # duplicates within a user
+    }
+    rows = [
+        {"user_id": u, "event_type": k}
+        for u, kinds in acts.items()
+        for k in kinds
+    ]
+    ds = rd.from_arrow(pa.Table.from_pandas(pd.DataFrame(rows))).repartition(4)
+    out = audience_overlap(ds, n_buckets=4).to_pandas()
+    got = {
+        (r["kind_a"], r["kind_b"]): int(r["n_users"])
+        for _, r in out.iterrows()
+    }
+    sets = {u: set(k) for u, k in acts.items()}
+    exp = {}
+    for kinds in sets.values():
+        s = sorted(kinds)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                exp[(s[i], s[j])] = exp.get((s[i], s[j]), 0) + 1
+    assert got == exp
+    assert got[("c", "v")] == 2 and got[("p", "v")] == 2
