@@ -2368,6 +2368,23 @@ def _item_kcore(sf_dir: str):
     return kcore(item_transition_edges(ev), k=2, max_rounds=6)
 
 
+def _item_bfs_hops(sf_dir: str):
+    """Hub-distance BFS over the undirected item-transition graph:
+    unweighted shortest hop count from the hub item (largest weighted
+    degree, min-id ties) for every item within 4 hops — the crawl-
+    frontier / reachability-from-seed primitive. Scale shape in
+    stages/graph.py: symmetrized edges pinned once, hub = bucketed
+    argmax (≤ n_buckets rows on the driver), each round ONE frontier
+    semi-join against the static edge blocks + a bounded distinct + an
+    ANTI join against the visited set; small graphs take the one-task
+    vectorized BFS fast path (distributed loop pinned by tests at
+    small_edges=0)."""
+    from sanskrit_ocr_ray.stages.graph import bfs_hops, item_transition_edges
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    return bfs_hops(item_transition_edges(ev), max_hops=4)
+
+
 def _props_k_by_type(sf_dir: str):
     """Semi-structured projection + aggregate: extract integer ``$.k``
     from the JSON props blob (vectorized regex, no per-row json.loads),
@@ -2682,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_pagerank": _item_pagerank,
         "item_triangles": _item_triangles,
         "item_kcore": _item_kcore,
+        "item_bfs_hops": _item_bfs_hops,
         "props_k_by_type": _props_k_by_type,
         "top2_events_per_user": _top2_events_per_user,
         "mktsegment_join_skew": _mktsegment_join_skew,
@@ -4298,6 +4316,38 @@ JOIN kc_a6 t ON t.v = e.w
 GROUP BY e.v
 """
     )
+    # item_bfs_hops: recursive-CTE BFS with the hop bound in the
+    # recursive member (UNION dedups rows, so the walk terminates);
+    # seed = max weighted undirected degree, min node id on ties —
+    # exactly the Ray side's bucketed-argmax hub rule
+    oracles["item_bfs_hops"] = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM ev
+), edges0 AS (
+  SELECT pk AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w FROM seq
+  WHERE pk IS NOT NULL AND pk <> k GROUP BY 1, 2
+), sym AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst, src, w FROM edges0
+  ) GROUP BY 1, 2
+), seed AS (
+  SELECT src AS node FROM sym GROUP BY src
+  ORDER BY SUM(w) DESC, src LIMIT 1
+), walk(node, hops) AS (
+  SELECT node, 0 FROM seed
+  UNION
+  SELECT s.dst, w.hops + 1 FROM walk w JOIN sym s ON s.src = w.node
+  WHERE w.hops < 4
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
     # kmv_jaccard: same shingle/md5 conventions as kmv_distinct plus the
     # train_val_split hash rule; the estimator is a pure function of the
     # hash order so every integer matches

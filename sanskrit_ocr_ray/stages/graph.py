@@ -796,3 +796,238 @@ def kcore(edges, *, k: int = 2, max_rounds: int = 6, n_buckets: int = 16,
         return pa.table({"node": batch["v"], "deg": batch["deg"]})
 
     return _alive_degrees(alive).map_batches(rename_out, batch_format="pyarrow")
+
+
+def bfs_hops(edges, *, max_hops: int = 4, n_buckets: int = 16,
+             small_edges: int = 2_000_000):
+    """Hub-distance BFS over an (src, dst, w) edge Dataset → ``(node,
+    hops)`` for every node within ``max_hops`` undirected hops of the
+    graph's hub node. The crawl-frontier / reachability primitive: how
+    far is each item from the catalog's dominant item (the analogue of
+    hop-distance-from-seed-set ranking in crawl schedulers).
+
+    Semantics (mirrored exactly by the recursive-CTE DuckDB oracle):
+    - the graph is symmetrized: und(u, v) carries weight
+      ``w(u→v) + w(v→u)`` (self-loops were already dropped upstream);
+    - the seed (hops = 0) is the node with the LARGEST weighted
+      undirected degree ``Σ und-weights incident``, ties broken by MIN
+      node id — a pure function of the edge multiset;
+    - ``hops`` is the unweighted shortest-path hop count from the seed;
+      nodes farther than ``max_hops`` (or unreachable) emit no row.
+
+    Scale shape: the symmetrized edge table is materialized ONCE as
+    object-store blocks; the hub is a bucketed argmax (per-batch
+    partials → per-bucket (wdeg, -node) max → a ≤ ``n_buckets``-row
+    driver fold — never a node census on the driver). Each BFS round is
+    ONE :func:`relational.hash_join` of the frontier against the static
+    edge blocks (only frontier keys + neighbor ids ship) + a bounded
+    per-bucket distinct + one ANTI join against the visited set, i.e.
+    the textbook BSP frontier expansion. The visited set lives in the
+    object store as (node, hops) rows, re-pinned per round to keep the
+    lazy plan shallow; an empty frontier exits early (identity after,
+    so the early exit never changes the answer). Rounds are all-to-all
+    barriers, so the same small-graph escape hatch as :func:`pagerank`
+    applies: at ≤ ``small_edges`` edge rows ONE task runs the identical
+    BFS vectorized over numpy index arrays (bit-exact — hop counts are
+    integers and min-plus rounds are order-independent); the
+    distributed loop is pinned by tests at ``small_edges=0``.
+    """
+    import ray
+    import ray.data as rd
+
+    from .relational import hash_join
+
+    edges = edges.materialize()
+    block_refs = edges.to_arrow_refs()
+
+    @ray.remote
+    def _n_rows(block) -> int:
+        return len(block)
+
+    out_empty = pa.table(
+        {"node": pa.array([], pa.int64()), "hops": pa.array([], pa.int64())}
+    )
+
+    @ray.remote
+    def _local_bfs(*blocks) -> pa.Table:
+        frames = []
+        for blk in blocks:
+            df = blk if isinstance(blk, pd.DataFrame) else blk.to_pandas()
+            if len(df) and "src" in df.columns:
+                frames.append(df[["src", "dst", "w"]])
+        if not frames:
+            return out_empty
+        e = pd.concat(frames, ignore_index=True)
+        s = e["src"].to_numpy(np.int64)
+        d = e["dst"].to_numpy(np.int64)
+        w = e["w"].to_numpy(np.int64)
+        nodes_u = np.unique(np.concatenate([s, d]))
+        n = len(nodes_u)
+        si = np.searchsorted(nodes_u, s)
+        di = np.searchsorted(nodes_u, d)
+        # weighted undirected degree (each directed edge counts at both ends)
+        wdeg = np.zeros(n, np.int64)
+        np.add.at(wdeg, si, w)
+        np.add.at(wdeg, di, w)
+        # hub: max wdeg, tie-break min node id (nodes_u is sorted, so the
+        # FIRST argmax position is the smallest id among the ties)
+        seed = int(np.argmax(wdeg))
+        hops = np.full(n, -1, np.int64)
+        hops[seed] = 0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[seed] = True
+        for h in range(1, max_hops + 1):
+            nxt = np.zeros(n, dtype=bool)
+            nxt[di[frontier[si]]] = True
+            nxt[si[frontier[di]]] = True
+            nxt &= hops < 0
+            if not nxt.any():
+                break
+            hops[nxt] = h
+            frontier = nxt
+        m = hops >= 0
+        return pa.table(
+            {
+                "node": pa.array(nodes_u[m], pa.int64()),
+                "hops": pa.array(hops[m], pa.int64()),
+            }
+        )
+
+    if block_refs and sum(
+        ray.get([_n_rows.remote(r) for r in block_refs])
+    ) <= small_edges:
+        return rd.from_arrow_refs([_local_bfs.remote(*block_refs)])
+
+    # --- distributed path -------------------------------------------------
+    sym_empty = typed_empty(src=np.int64, dst=np.int64, w=np.int64)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        w = batch["w"].to_numpy()
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        ww = np.concatenate([w, w])
+        b = (src.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "w": pa.array(ww, pa.int64()),
+                "__sb": pa.array(b),
+            }
+        )
+
+    def sum_sym(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return sym_empty.copy()
+        out = group.groupby(["src", "dst"], as_index=False)["w"].sum()
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    # symmetrized weighted edges, pinned once, read every round
+    sym = (
+        edges.map_batches(both_dirs, batch_format="pyarrow")
+        .groupby("__sb")
+        .map_groups(sum_sym, batch_format="pandas")
+        .materialize()
+    )
+
+    # --- hub seed: bucketed argmax of weighted degree ----------------------
+    cand_empty = typed_empty(v=np.int64, wdeg=np.int64)
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"v": batch["src"].to_numpy(), "wdeg": batch["w"].to_numpy()}
+        )
+        g = df.groupby("v", as_index=False)["wdeg"].sum()
+        g["__db"] = (
+            g["v"].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
+        ).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def deg_top_per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return cand_empty.copy()
+        g = group.groupby("v", as_index=False)["wdeg"].sum()
+        g = g.sort_values(["wdeg", "v"], ascending=[False, True], kind="mergesort")
+        out = g.head(1).copy()
+        out["wdeg"] = out["wdeg"].astype(np.int64)
+        return out[["v", "wdeg"]]
+
+    cands = (
+        sym.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("__db")
+        .map_groups(deg_top_per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets rows — the one tiny driver fold
+    )
+    if cands.empty:
+        return rd.from_arrow(out_empty)
+    cands = cands.sort_values(
+        ["wdeg", "v"], ascending=[False, True], kind="mergesort"
+    )
+    seed = int(cands["v"].iloc[0])
+
+    visited = rd.from_arrow(
+        pa.table(
+            {"v": pa.array([seed], pa.int64()),
+             "hops": pa.array([0], pa.int64())}
+        )
+    ).materialize()
+    frontier = visited
+
+    nbr_empty = typed_empty(v=np.int64)
+
+    def nbrs(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["dst"].to_numpy())
+        b = (u.astype(np.uint64) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"v": pa.array(u, pa.int64()), "__fb": pa.array(b)})
+
+    def uniq_nbrs(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return nbr_empty.copy()
+        return pd.DataFrame({"v": np.unique(group["v"].to_numpy())})
+
+    def key_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"v": batch["v"]})
+
+    for h in range(1, max_hops + 1):
+        # frontier ⋈ sym on src: only frontier keys ship into the edge buckets
+        reached = hash_join(
+            sym,
+            frontier.map_batches(
+                lambda b: pa.table({"src": b["v"]}), batch_format="pyarrow"
+            ),
+            key="src",
+            how="semi",
+            n_buckets=n_buckets,
+        )
+        cand = (
+            reached.map_batches(nbrs, batch_format="pyarrow")
+            .groupby("__fb")
+            .map_groups(uniq_nbrs, batch_format="pandas")
+        )
+        new = hash_join(
+            cand,
+            visited.map_batches(key_only, batch_format="pyarrow"),
+            key="v",
+            how="anti",
+            n_buckets=n_buckets,
+        ).map_batches(
+            lambda b, _h=h: pa.table(
+                {
+                    "v": b["v"],
+                    "hops": pa.array(np.full(b.num_rows, _h, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+
+    def rename_out(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["v"], "hops": batch["hops"]})
+
+    return visited.map_batches(rename_out, batch_format="pyarrow")

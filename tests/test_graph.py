@@ -315,3 +315,97 @@ def test_kcore_random_graph_both_paths(ray_session):
                 ds, k=k, max_rounds=12, n_buckets=4, small_edges=thresh
             ).to_pandas()
             assert dict(zip(got["node"], got["deg"])) == ref, (k, thresh)
+
+
+def _ref_bfs(edges, max_hops=4):
+    """Driver-side reference: hub seed (max weighted undirected degree,
+    min id ties) + plain BFS."""
+    wdeg: dict = {}
+    adj: dict = {}
+    for s, d, w in edges:
+        wdeg[s] = wdeg.get(s, 0) + w
+        wdeg[d] = wdeg.get(d, 0) + w
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    seed = min(wdeg, key=lambda v: (-wdeg[v], v))
+    hops = {seed: 0}
+    frontier = [seed]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for v in frontier:
+            for u in adj.get(v, ()):
+                if u not in hops:
+                    hops[u] = h
+                    nxt.append(u)
+        if not nxt:
+            break
+        frontier = nxt
+    return hops
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_bfs_hops_random_graph_both_paths(ray_session, n_buckets):
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 60, 400)
+    dst = rng.integers(0, 60, 400)
+    keep = src != dst
+    df = (
+        pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+        .groupby(["src", "dst"], as_index=False)
+        .size()
+        .rename(columns={"size": "w"})
+    )
+    edges = list(df.itertuples(index=False, name=None))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(df["src"].to_numpy(), pa.int64()),
+                "dst": pa.array(df["dst"].to_numpy(), pa.int64()),
+                "w": pa.array(df["w"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+    ref = _ref_bfs(edges, max_hops=3)
+    for thresh in (2_000_000, 0):
+        got = bfs_hops(
+            ds, max_hops=3, n_buckets=n_buckets, small_edges=thresh
+        ).to_pandas()
+        assert dict(zip(got["node"], got["hops"])) == ref, (thresh, n_buckets)
+
+
+def test_bfs_hops_seed_tie_break_and_unreachable(ray_session):
+    """Two hubs with equal weighted degree → min id wins; a disconnected
+    component emits no rows; hop cap truncates a long chain."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.graph import bfs_hops
+
+    # 10-11 and 20-21 both have wdeg 6 per endpoint; chain off node 11;
+    # 90-91 is a separate component
+    rows = [(10, 11, 3), (11, 10, 3), (20, 21, 3), (21, 20, 3),
+            (11, 30, 1), (30, 31, 1), (31, 32, 1), (32, 33, 1),
+            (90, 91, 2)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([r[0] for r in rows], pa.int64()),
+                "dst": pa.array([r[1] for r in rows], pa.int64()),
+                "w": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+    for thresh in (2_000_000, 0):
+        got = bfs_hops(ds, max_hops=3, small_edges=thresh).to_pandas()
+        m = dict(zip(got["node"], got["hops"]))
+        # weighted degrees: wdeg(11) = 6 (sym 10-11) + 1 (chain) = 7,
+        # wdeg(10) = 6, wdeg(20) = wdeg(21) = 6 → node 11 is the hub
+        assert m[11] == 0  # highest weighted degree
+        assert m[10] == 1 and m[30] == 1
+        assert m[31] == 2 and m[32] == 3
+        assert 33 not in m  # beyond the hop cap
+        assert 90 not in m and 91 not in m  # disconnected
+        assert 20 not in m and 21 not in m  # disconnected from hub

@@ -136,6 +136,7 @@ SUBSET = [
     "user_running_distinct",
     "partkey_skew_histogram",
     "audience_overlap",
+    "item_bfs_hops",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
