@@ -335,6 +335,18 @@ def _kr_fingerprint(sf_dir: str):
     )
 
 
+def _winnow_fingerprints(sf_dir: str):
+    """Winnowing (MOSS) local fingerprints: k-shingle hashes → sliding
+    w-window minima, leftmost ties — guarantees any shared token run of
+    ≥ w+k-1 tokens shares a fingerprint while keeping ~1/w of shingles.
+    Shuffle-free map (stages/text_analysis.winnow_batch)."""
+    from sanskrit_ocr_ray.stages.text_analysis import winnow_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnow_batch, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-corpus assembly operators (stages/corpus.py)
 # ---------------------------------------------------------------------------
@@ -1297,6 +1309,23 @@ def _rarity_score(sf_dir: str):
     from sanskrit_ocr_ray.stages.hygiene import rarity_score
 
     return rarity_score(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _token_chi2(sf_dir: str):
+    """χ² token↔class feature selection: top-50 tokens whose PRESENCE
+    is most associated with lang='en' (the filter-method vocabulary
+    ranking before a classifier / contrastive quality filter). Integer
+    score 10^6·N·(ad−bc)²//((a+b)(c+d)(a+c)(b+d)) in Python ints; one
+    bounded token-bucket shuffle + per-bucket top-k, class totals a
+    2-int scalar fold (stages/hygiene.token_chi2)."""
+    from sanskrit_ocr_ray.stages.hygiene import token_chi2
+
+    return token_chi2(
+        _tbl(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        pos_lang="en",
+        min_df=5,
+        k=50,
+    )
 
 
 def _dedup_spans(sf_dir: str):
@@ -2592,6 +2621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _quality,
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
+        "winnow_fingerprints": _winnow_fingerprints,
         "repetition_scores": _repetition_scores,
         # training-corpus assembly
         "train_val_split": _train_val_split,
@@ -2640,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": _incremental_dedup,
         "bloom_new_docs": _bloom_new_docs,
         "rarity_score": _rarity_score,
+        "token_chi2": _token_chi2,
         "dedup_spans": _dedup_spans,
         "bigram_surprisal": _bigram_surprisal,
         "value_ntile": _value_ntile,
@@ -2847,6 +2878,28 @@ SELECT doc_id,
                       list_transform(str_split(text, ''), c -> ascii(c))),
          (h, c) -> (h * 257 + c) % 2305843009213693951))), 16, '0') AS kr_fingerprint
 FROM documents
+""",
+        # winnowing: first-16-md5-hex shingle hashes (lexicographic
+        # string order ≡ numeric u64 order), leftmost window min via
+        # list_position's first-occurrence semantics; a doc with fewer
+        # than w shingles is one truncated window (list_slice clamps)
+        "winnow_fingerprints": """
+WITH toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS t FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS h
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+  WHERE len(t) >= 3
+), hl AS (
+  SELECT doc_id, list(h ORDER BY pos) AS hs FROM g GROUP BY doc_id
+), win AS (
+  SELECT doc_id, j, list_slice(hs, j, j + 3) AS ws
+  FROM hl, UNNEST(range(1, greatest(len(hs) - 3, 1) + 1)) AS r(j)
+)
+SELECT DISTINCT doc_id,
+       CAST(j - 1 + list_position(ws, list_min(ws)) AS BIGINT) AS pos,
+       list_min(ws) AS fp
+FROM win
 """,
         # LSH candidates (4 bands × 2 perms) → integer-exact Jaccard verify
         # → connected components via recursive transitive closure; docs with
@@ -3575,6 +3628,38 @@ WITH tok AS (
 )
 SELECT d.doc_id AS doc_id, CAST(SUM(d.c * (1000000000 // tf.n)) AS BIGINT) AS rarity
 FROM d JOIN tf USING (t) GROUP BY d.doc_id
+""",
+        # token_chi2: 2×2 presence table per token vs lang='en'; HUGEINT
+        # keeps 10^6·N·(ad−bc)² exact (the impl scores in Python ints);
+        # df bounds exclude the undefined everywhere/nowhere columns
+        "token_chi2": """
+WITH dt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS token
+    FROM documents
+  )
+), cls AS (
+  SELECT doc_id, (lang = 'en') AS pos FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS HUGEINT) AS np
+  FROM cls
+), tc AS (
+  SELECT token,
+         CAST(SUM(CASE WHEN c.pos THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+         CAST(COUNT(*) AS HUGEINT) AS df
+  FROM dt JOIN cls c USING (doc_id)
+  GROUP BY token
+)
+SELECT token, CAST(df AS BIGINT) AS df,
+       CAST((1000000 * n
+             * (a * ((n - np) - (df - a)) - (df - a) * (np - a))
+             * (a * ((n - np) - (df - a)) - (df - a) * (np - a)))
+            // (df * (n - df) * np * (n - np)) AS BIGINT) AS chi2_x1m
+FROM tc, tot
+WHERE df >= 5 AND df < n AND np > 0 AND np < n
+ORDER BY chi2_x1m DESC, token
+LIMIT 50
 """,
         "dedup_spans": """
 WITH toks AS (

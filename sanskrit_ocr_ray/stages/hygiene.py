@@ -865,3 +865,122 @@ def bigram_surprisal(
         partial, [id_col], sum_doc, n_buckets=n_buckets, empty=empty_out,
         coalesce_first=False,
     )
+
+
+def token_chi2(
+    ds,
+    *,
+    pos_lang: str = "en",
+    min_df: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 64,
+):
+    """χ² feature selection between token PRESENCE and a binary document
+    class (``lang == pos_lang``) — the classic filter-method ranking of
+    which vocabulary items are most class-discriminative (language /
+    domain markers before training a classifier or a contrastive
+    filter). Top-``k`` tokens by
+
+        ``chi2_x1m = 10^6 · N · (a·d − b·c)² // ((a+b)(c+d)(a+c)(b+d))``
+
+    over the 2×2 presence table (a = positive docs containing the token,
+    b = negative docs containing it, c/d = the complements; N = total
+    docs). Ties break by token ascending. Only tokens with
+    ``min_df ≤ df < N`` score (df = a+b; a token in every document has a
+    zero-variance column — undefined χ², excluded by contract). Scoring
+    runs in PYTHON ints: N·(ad−bc)² overflows int64 exactly where
+    corpora get interesting (the oracle uses HUGEINT).
+
+    Scale shape: per-batch partial counts (per-doc DISTINCT tokens →
+    (token, a_partial, df_partial) dict per batch — never a row per
+    occurrence); ONE bounded ``hash(token) % n_buckets`` shuffle
+    finalizes a and df and scores inside the bucket; each bucket emits
+    only its top-``k`` (a+b ≥ min_df pre-filter), so the driver folds
+    ≤ ``n_buckets × k`` rows. Class totals (N, N_pos) are a 2-int scalar
+    aggregate. No vocabulary census ever reaches the driver.
+    """
+    from .dedup import bucketed_aggregate
+
+    # ---- class totals: one tiny scalar fold --------------------------------
+    def cls_partial(batch: pa.Table) -> pa.Table:
+        pos = pc.sum(
+            pc.cast(pc.equal(batch[lang_col], pos_lang), pa.int64())
+        ).as_py() or 0
+        return pa.table(
+            {
+                "n_pos": pa.array([pos], pa.int64()),
+                "n_all": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    totals = ds.map_batches(cls_partial, batch_format="pyarrow")
+    n_pos = int(totals.sum("n_pos") or 0)
+    n_all = int(totals.sum("n_all") or 0)
+
+    empty = typed_empty(token=object, df=np.int64, chi2_x1m=np.int64)
+    if n_pos == 0 or n_pos == n_all:
+        import ray.data as rd
+
+        return rd.from_pandas(empty.copy())
+
+    # ---- per-batch partial presence counts ---------------------------------
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        a_cnt: dict[str, int] = {}
+        df_cnt: dict[str, int] = {}
+        for t, lg in zip(
+            batch[text_col].to_pylist(), batch[lang_col].to_pylist()
+        ):
+            is_pos = lg == pos_lang
+            for w in set(_tokens(t)):
+                df_cnt[w] = df_cnt.get(w, 0) + 1
+                if is_pos:
+                    a_cnt[w] = a_cnt.get(w, 0) + 1
+        toks = list(df_cnt.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "a": pa.array([a_cnt.get(w, 0) for w in toks], pa.int64()),
+                "df": pa.array([df_cnt[w] for w in toks], pa.int64()),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("token", as_index=False)[["a", "df"]].sum()
+        agg = agg[(agg["df"] >= min_df) & (agg["df"] < n_all)]
+        if agg.empty:
+            return empty.copy()
+        scores = []
+        for a, df_ in zip(agg["a"].tolist(), agg["df"].tolist()):
+            b = df_ - a
+            c = n_pos - a
+            d = (n_all - n_pos) - b
+            num = 1_000_000 * n_all * (a * d - b * c) ** 2  # Python ints
+            den = df_ * (n_all - df_) * n_pos * (n_all - n_pos)
+            scores.append(num // den)
+        out = pd.DataFrame(
+            {"token": agg["token"].to_numpy(), "df": agg["df"].to_numpy(),
+             "chi2_x1m": np.array(scores, dtype=np.int64)}
+        )
+        out = out.sort_values(
+            ["chi2_x1m", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    per_bucket = bucketed_aggregate(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["token"],
+        score_bucket,
+        n_buckets=n_buckets,
+        empty=empty,
+    )
+    top = per_bucket.to_pandas()  # ≤ n_buckets × k tiny rows
+    top = top.sort_values(
+        ["chi2_x1m", "token"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(top if len(top) else empty.copy())

@@ -308,3 +308,76 @@ def hash_embed_batch(
     for k in keep_cols:
         cols[k] = pa.array(out_keep[k])
     return pa.table(cols)
+
+
+def winnow_batch(
+    batch: pa.Table,
+    *,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting scheme): hash every ``k``-token shingle,
+    slide a ``w``-hash window over the sequence, and keep each window's
+    minimal hash — selection is position-local, so two documents sharing
+    any run of ≥ ``w + k - 1`` tokens are guaranteed to share a
+    fingerprint, while only ~1/w of the shingles are kept. The standard
+    near-dup/plagiarism index between whole-doc md5 (``fingerprint_md5``)
+    and full MinHash signatures.
+
+    Contract (mirrored exactly by the DuckDB oracle):
+    - tokens are SPACE-split, empties dropped; docs with < ``k`` tokens
+      emit nothing;
+    - shingle ``pos`` is 1-based; its hash is ``md5_u64`` of the
+      space-joined shingle (= first 16 md5 hex chars, so lexicographic
+      string order ≡ numeric u64 order);
+    - windows cover positions ``j .. j+w-1``; a doc with fewer than
+      ``w`` shingles is one truncated window;
+    - each window selects its LEFTMOST minimal hash (numpy ``argmin``
+      first-occurrence ≡ DuckDB ``list_position``); selections dedupe
+      per document.
+
+    Output: one row per selected (doc_id, pos, fp-hex16). Shuffle-free
+    ``map_batches`` — per-doc numpy sliding-window argmin, one md5 per
+    DISTINCT shingle per batch (memoized)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_pylist()
+    out_id: list = []
+    out_pos: list[np.ndarray] = []
+    out_fp: list[str] = []
+    memo: dict[str, int] = {}
+    for d, t in zip(ids, texts):
+        toks = [x for x in (t or "").split(" ") if x]
+        if len(toks) < k:
+            continue
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = np.fromiter(
+            (
+                memo[g] if g in memo else memo.setdefault(g, md5_u64(g))
+                for g in grams
+            ),
+            dtype=np.uint64,
+            count=len(grams),
+        )
+        if len(hs) >= w:
+            sw = np.lib.stride_tricks.sliding_window_view(hs, w)
+            sel = sw.argmin(axis=1) + np.arange(len(hs) - w + 1)
+        else:
+            sel = np.array([int(hs.argmin())])
+        sel = np.unique(sel)
+        for p in sel:
+            out_id.append(d)
+            out_fp.append(f"{int(hs[p]):016x}")
+        out_pos.append(sel + 1)
+    pos = (
+        np.concatenate(out_pos) if out_pos else np.array([], np.int64)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(out_id, type=batch[id_col].type),
+            "pos": pa.array(pos),
+            "fp": pa.array(out_fp, type=pa.string()),
+        }
+    )

@@ -330,3 +330,42 @@ def test_bigram_surprisal_hand_computed(ray_session):
         (1, 2 * 1_500_000 + 1_000_000),
         (2, 3_000_000),
     ]
+
+
+def test_token_chi2_hand_table(ray_session):
+    """Hand-checkable 2×2: token 'x' in all positive docs only, token
+    'c' in every doc (excluded: zero-variance), rare token below the df
+    floor excluded."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import token_chi2
+
+    rows = []
+    # 6 positive docs with 'x c', 6 negative docs with 'y c'
+    for i in range(6):
+        rows.append({"doc_id": i, "text": "x c", "lang": "en"})
+    for i in range(6, 12):
+        rows.append({"doc_id": i, "text": "y c", "lang": "de"})
+    rows.append({"doc_id": 12, "text": "rare c", "lang": "en"})
+    ds = rd.from_items(rows)
+    out = (
+        token_chi2(ds, pos_lang="en", min_df=5, k=50)
+        .to_pandas()
+        .set_index("token")
+    )
+    # 'c' is in all 13 docs -> df == N -> excluded; 'rare' df=1 -> excluded
+    assert set(out.index) == {"x", "y"}
+    # x: a=6,b=0,c=1,d=6  N=13 np=7  chi2 = 13*(36-0)^2/(6*7*7*6)
+    want_x = 1_000_000 * 13 * (6 * 6 - 0 * 1) ** 2 // (6 * 7 * 7 * 6)
+    assert out.loc["x", "chi2_x1m"] == want_x
+    assert out.loc["x", "df"] == 6
+    # y: a=0,b=6,c=7,d=0 -> (0*0 - 6*7)^2 = 1764
+    want_y = 1_000_000 * 13 * (0 * 0 - 6 * 7) ** 2 // (6 * 7 * 7 * 6)
+    assert out.loc["y", "chi2_x1m"] == want_y
+    # one-class corpus -> empty result with the declared schema (NB:
+    # Dataset.to_pandas() drops columns at zero rows, so assert on the
+    # Dataset schema, which is what downstream stages consume)
+    ds_pos = rd.from_items([{"doc_id": 1, "text": "a b", "lang": "en"}] * 8)
+    empty_ds = token_chi2(ds_pos, pos_lang="en")
+    assert empty_ds.count() == 0
+    assert empty_ds.schema().names == ["token", "df", "chi2_x1m"]

@@ -137,6 +137,8 @@ SUBSET = [
     "partkey_skew_histogram",
     "audience_overlap",
     "item_bfs_hops",
+    "winnow_fingerprints",
+    "token_chi2",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

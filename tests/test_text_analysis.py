@@ -323,3 +323,43 @@ def test_cms_registers_exact_and_estimate(ray_session):
     # 3 distinct tokens in 256 columns: no collisions, estimates exact
     assert cms_point_estimate(regs, "apple") == 3
     assert cms_point_estimate(regs, "durian") == 0
+
+
+def test_winnow_fingerprints_guarantee_and_edges():
+    """Winnowing contract: shared runs of ≥ w+k-1 tokens share a
+    fingerprint; short docs take one truncated window; <k tokens emit
+    nothing; selection is deterministic (leftmost min)."""
+    from sanskrit_ocr_ray.stages.text_analysis import winnow_batch
+    from sanskrit_ocr_ray.util import md5_u64
+
+    k, w = 3, 4
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(40)]
+    base = [vocab[i] for i in rng.integers(0, 40, 60)]
+    shared = [vocab[i] for i in rng.integers(0, 40, w + k - 1)]  # 6 tokens
+    doc_a = " ".join(base[:20] + shared + base[20:40])
+    doc_b = " ".join(base[40:] + shared)
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([doc_a, doc_b, "a b", "x y z w"]),
+        }
+    )
+    out = winnow_batch(batch, k=k, w=w).to_pandas()
+    # doc 3 has < k tokens → no rows
+    assert not (out.doc_id == 3).any()
+    # doc 4 has 2 shingles < w → exactly one truncated-window selection,
+    # the leftmost min of the two shingle hashes
+    d4 = out[out.doc_id == 4]
+    h1, h2 = md5_u64("x y z"), md5_u64("y z w")
+    want_pos = 1 if h1 <= h2 else 2
+    assert list(d4.pos) == [want_pos]
+    assert list(d4.fp) == [f"{min(h1, h2):016x}"]
+    # the winnowing guarantee: docs 1 and 2 share the 6-token run →
+    # they must share at least one fingerprint value
+    fps_a = set(out[out.doc_id == 1].fp)
+    fps_b = set(out[out.doc_id == 2].fp)
+    assert fps_a & fps_b
+    # selection density: ~1/w of shingles, never more than #windows
+    n_shingles = 63 - k + 1
+    assert 0 < len(out[out.doc_id == 1]) <= n_shingles - w + 1
