@@ -1679,6 +1679,20 @@ def _ngram_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _containment_pairs(sf_dir: str):
+    """Asymmetric near-dup pairs by max-containment
+    |A∩B|/min(|A|,|B|) ≥ 0.15 over distinct 3-gram sets — catches
+    subset/excerpt documents whose Jaccard is structurally tiny (a
+    snippet inside a 100× longer page). Same bounded-shuffle candidate
+    machinery as ngram_jaccard_pairs; only the verify predicate differs
+    (stages/dedup.containment_pairs)."""
+    from sanskrit_ocr_ray.stages.dedup import containment_pairs
+
+    return containment_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), threshold_pm=150
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings-table operators
 # ---------------------------------------------------------------------------
@@ -2613,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": _simhash,
         "simhash_dup_pairs": _simhash_pairs,
         "ngram_jaccard_pairs": _ngram_pairs,
+        "containment_pairs": _containment_pairs,
         # text analysis
         "docs_by_lang": _docs_by_lang,
         "corpus_stats": _corpus_stats,
@@ -2996,6 +3011,24 @@ WITH tok AS (
 SELECT doc_a, doc_b, (1000 * i) // (sa.n + sb.n - i) AS jacc_pm
 FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE 1000 * i >= 20 * (sa.n + sb.n - i)
+""",
+        # containment: same shingle/intersection CTEs, LEAST() verify
+        "containment_pairs": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, (1000 * i) // LEAST(sa.n, sb.n) AS cont_pm
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE 1000 * i >= 150 * LEAST(sa.n, sb.n)
 """,
         "docs_by_lang": """
 SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang

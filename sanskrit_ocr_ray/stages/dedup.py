@@ -711,21 +711,20 @@ def simhash_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _ngram_intersections(
     ds,
     *,
-    n: int = 3,
-    threshold_pm: int = 20,
-    column: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
-    max_docs_per_shingle: int = 1024,
+    n: int,
+    column: str,
+    id_col: str,
+    n_buckets: int,
+    max_docs_per_shingle: int,
 ):
-    """Pairs sharing ≥1 word n-gram with Jaccard ≥ threshold (per-mille).
-
-    Output (doc_a, doc_b, jacc_pm) with integer per-mille Jaccard
-    ``(1000*|A∩B|) // |A∪B|`` over DISTINCT n-grams — integer arithmetic
-    end-to-end, so the DuckDB oracle matches bit-for-bit.
+    """Shared candidate machinery for the n-gram set-similarity pair
+    operators (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`):
+    → a Dataset of (doc_a, doc_b, i, sa, sb) = intersection size plus
+    both docs' DISTINCT n-gram set sizes for every pair sharing ≥1 kept
+    shingle.
 
     Intersection counts come from a self-merge per shingle super-bucket
     (vectorized pandas), then one pair-keyed aggregate. Shingles shared
@@ -789,7 +788,7 @@ def ngram_jaccard_pairs(
         )
         return out.astype({"i": np.int64, "sa": np.int64, "sb": np.int64})
 
-    inter = bucketed_aggregate(
+    return bucketed_aggregate(
         sh.groupby("__sb").map_groups(bucket_inter, batch_format="pandas"),
         ["doc_a", "doc_b"],
         lambda df: df.groupby(["doc_a", "doc_b"], as_index=False).agg(
@@ -797,6 +796,30 @@ def ngram_jaccard_pairs(
         ),
         n_buckets=n_buckets,
         empty=pair_empty,
+    )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    *,
+    n: int = 3,
+    threshold_pm: int = 20,
+    column: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_docs_per_shingle: int = 1024,
+):
+    """Pairs sharing ≥1 word n-gram with Jaccard ≥ threshold (per-mille).
+
+    Output (doc_a, doc_b, jacc_pm) with integer per-mille Jaccard
+    ``(1000*|A∩B|) // |A∪B|`` over DISTINCT n-grams — integer arithmetic
+    end-to-end, so the DuckDB oracle matches bit-for-bit. Candidate and
+    intersection machinery (bounded shuffles, boilerplate-shingle cap,
+    sizes carried on shingle rows) in :func:`_ngram_intersections`.
+    """
+    inter = _ngram_intersections(
+        ds, n=n, column=column, id_col=id_col, n_buckets=n_buckets,
+        max_docs_per_shingle=max_docs_per_shingle,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -811,6 +834,53 @@ def ngram_jaccard_pairs(
                 "doc_a": batch["doc_a"].filter(pa.array(keep)),
                 "doc_b": batch["doc_b"].filter(pa.array(keep)),
                 "jacc_pm": pa.array(jacc.astype(np.int64)),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def containment_pairs(
+    ds,
+    *,
+    n: int = 3,
+    threshold_pm: int = 800,
+    column: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    max_docs_per_shingle: int = 1024,
+):
+    """ASYMMETRIC near-dup pairs by max-containment: pairs whose
+    DISTINCT word-n-gram sets satisfy ``|A∩B| / min(|A|,|B|) ≥
+    threshold_pm/1000`` → (doc_a, doc_b, cont_pm). This is the
+    subset-document detector Jaccard structurally misses: a snippet
+    fully contained in a 100× longer page has containment 1.0 but
+    Jaccard ≈ |A|/|B| ≈ 0.01 — quote farms, syndicated excerpts and
+    page-plus-boilerplate wrappers all live in this gap (the C(A,B)
+    measure of Broder's resemblance/containment pair).
+
+    Output ``cont_pm = (1000*|A∩B|) // min(|A|,|B|)``, integer
+    end-to-end (DuckDB oracle uses LEAST). Same bounded-shuffle
+    candidate machinery as :func:`ngram_jaccard_pairs`
+    (:func:`_ngram_intersections`); only the verify predicate differs.
+    """
+    inter = _ngram_intersections(
+        ds, n=n, column=column, id_col=id_col, n_buckets=n_buckets,
+        max_docs_per_shingle=max_docs_per_shingle,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch["i"].to_numpy().astype(np.int64)
+        sa = batch["sa"].to_numpy().astype(np.int64)
+        sb = batch["sb"].to_numpy().astype(np.int64)
+        mn = np.minimum(sa, sb)
+        keep = (mn > 0) & (1000 * i >= threshold_pm * mn)
+        cont = (1000 * i[keep]) // mn[keep]
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].filter(pa.array(keep)),
+                "doc_b": batch["doc_b"].filter(pa.array(keep)),
+                "cont_pm": pa.array(cont.astype(np.int64)),
             }
         )
 

@@ -354,3 +354,36 @@ def test_ppjoin_pairs_matches_bruteforce(ray_session):
         for _, r in out.iterrows()
     }
     assert got == exp
+
+
+def test_containment_catches_subset_docs(ray_session):
+    """A snippet fully contained in a much longer page: containment
+    1000 but Jaccard far below any dedup threshold — the asymmetric
+    near-dup class ngram_jaccard_pairs structurally misses."""
+    import numpy as np
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    long_toks = [vocab[i] for i in rng.integers(0, 500, 400)]
+    snippet = " ".join(long_toks[100:110])  # 10 tokens inside the page
+    page = " ".join(long_toks)
+    other = " ".join(vocab[i] for i in rng.integers(0, 500, 50))
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": page},
+            {"doc_id": 2, "text": snippet},
+            {"doc_id": 3, "text": other},
+        ]
+    )
+    cont = containment_pairs(ds, threshold_pm=800).to_pandas()
+    assert len(cont) == 1
+    assert (cont.doc_a[0], cont.doc_b[0], cont.cont_pm[0]) == (1, 2, 1000)
+    # Jaccard at the SAME pair: 8 shared 3-grams / ~398 union → ~20 pm
+    jacc = ngram_jaccard_pairs(ds, threshold_pm=500).to_pandas()
+    assert len(jacc) == 0
