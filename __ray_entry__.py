@@ -1051,6 +1051,23 @@ def _bm25_topk(sf_dir: str):
     )
 
 
+def _hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al.) of the
+    BM25 lexical run and an integer-cosine dense run over the
+    hashing-trick unigram embedding — rrf_x1m = Σ 10^6//(60+rank) over
+    each run's top-20, ranks 0 when absent, doc_id ties. Both runs are
+    shuffle-free scans with per-batch top-k partials; fusion touches
+    ≤ 2·run_k driver rows (stages/hygiene.hybrid_rrf)."""
+    from sanskrit_ocr_ray.stages.hygiene import hybrid_rrf
+
+    return hybrid_rrf(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]),
+        ["join", "merge", "slow"],
+        k=10,
+        run_k=20,
+    )
+
+
 def _repetition_scores(sf_dir: str):
     """Gopher-style intra-doc repetition per-mille (shuffle-free map)."""
     from sanskrit_ocr_ray.stages.text_analysis import repetition_scores_batch
@@ -2682,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salient_terms": _salient_terms,
         "keyword_search": _keyword_search,
         "bm25_topk": _bm25_topk,
+        "hybrid_rrf": _hybrid_rrf,
         "incremental_dedup": _incremental_dedup,
         "bloom_new_docs": _bloom_new_docs,
         "rarity_score": _rarity_score,
@@ -4529,6 +4547,68 @@ WITH tok AS (
 )
 SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
 WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 10
+"""
+    # hybrid_rrf: the SAME generated BM25 CTEs rank the lexical run; the
+    # dense run is integer cosine over the md5 hashing-trick unigram
+    # embedding (dim 64); RRF = Σ 10^6//(60+rank) over each run's top-20
+    # via ROW_NUMBER + FULL OUTER JOIN, ranks 0 when absent
+    _rrf_q_values = ", ".join(f"('{t}')" for t in sorted(set(_bm_terms)))
+    oracles["hybrid_rrf"] = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), tf AS (
+  SELECT doc_id, len(ts) AS dl,
+         {_bm_tf}
+  FROM tok
+), m AS (
+  SELECT COUNT(*) AS n, 1000 * SUM(dl) // COUNT(*) AS apm FROM tf
+), d AS (
+  SELECT {_bm_df} FROM tf
+), s AS (
+  SELECT doc_id,
+         {_bm_score} AS score
+  FROM tf, m, d
+), br AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM s WHERE score > 0
+  QUALIFY r <= 20
+), u AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(list_filter(str_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  )
+), dims AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT % 64 AS dd,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM u GROUP BY doc_id, dd
+), qd AS (
+  SELECT ('0x' || substr(md5(t), 1, 16))::UBIGINT % 64 AS dd,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (VALUES {_rrf_q_values}) v(t) GROUP BY dd
+), qn AS (
+  SELECT SUM(c * c) AS n2q FROM qd
+), dotn AS (
+  SELECT doc_id, SUM(dims.c * qd.c) AS dot FROM dims JOIN qd USING (dd)
+  GROUP BY doc_id
+), n2 AS (
+  SELECT doc_id, SUM(c * c) AS nn FROM dims GROUP BY doc_id
+), cosr AS (
+  SELECT dotn.doc_id AS doc_id,
+         (1000000 * dot * dot) // (qn.n2q * n2.nn) AS cs
+  FROM dotn JOIN n2 ON n2.doc_id = dotn.doc_id, qn
+  WHERE dot > 0
+), cr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r
+  FROM cosr
+  QUALIFY r <= 20
+)
+SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+       CAST(COALESCE(br.r, 0) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(cr.r, 0) AS BIGINT) AS cos_rank,
+       CAST(COALESCE(1000000 // (60 + br.r), 0)
+            + COALESCE(1000000 // (60 + cr.r), 0) AS BIGINT) AS rrf_x1m
+FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+ORDER BY rrf_x1m DESC, doc_id LIMIT 10
 """
     # bpe_merges: n_merges unrolled stages — pair census, argmax with
     # (cnt DESC, lhs, rhs) tie-break, replace-based rewrite whose

@@ -984,3 +984,105 @@ def token_chi2(
     import ray.data as rd
 
     return rd.from_pandas(top if len(top) else empty.copy())
+
+
+def hybrid_rrf(
+    ds,
+    terms: list[str],
+    *,
+    k: int = 10,
+    run_k: int = 20,
+    rrf_k: int = 60,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """HYBRID retrieval by reciprocal-rank fusion (Cormack et al.
+    SIGIR'09): fuse a sparse lexical run (:func:`bm25_topk`) with a
+    dense run (integer cosine over the hashing-trick unigram embedding,
+    the model-free stand-in for a neural retriever) —
+
+        ``rrf_x1m(d) = Σ_runs 10^6 // (rrf_k + rank_run(d))``
+
+    over each run's top ``run_k`` (1-based ranks; absent from a run
+    contributes 0). Returns the top ``k`` fused docs as
+    (doc_id, bm25_rank, cos_rank, rrf_x1m) — ranks 0 when the doc
+    missed that run; ties break by doc_id ascending everywhere, so the
+    DuckDB oracle (ROW_NUMBER + FULL OUTER JOIN) matches bit-for-bit.
+
+    Dense-run score: ``cs = 10^6·dot² // (|q|²·|d|²)`` over
+    ``vec[j] = #{distinct tokens w : md5_u64(w) % dim == j}`` with a
+    ``dot > 0`` gate — exact integers end-to-end (magnitudes ≤
+    10^6·dot², dot ≤ |q|·max-count, far under 2^63).
+
+    Scale shape: BOTH runs are shuffle-free scans with per-batch top-k
+    partials (BM25's corpus stats are an O(#terms) scalar fold; the
+    query vector rides the task closure); the fusion itself touches
+    ≤ 2·run_k rows on the driver — never a corpus-sized structure.
+    """
+    from ..util import md5_u64_many
+
+    tset = sorted(set(terms))
+    qd = (md5_u64_many(tset) % np.uint64(dim)).astype(np.int64)
+    qvec = np.bincount(qd, minlength=dim).astype(np.int64)
+    n2q = int((qvec * qvec).sum())
+
+    def dense_of_batch(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        scores: list[int] = []
+        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            toks = set(_tokens(t))
+            if not toks:
+                continue
+            dd = (md5_u64_many(sorted(toks)) % np.uint64(dim)).astype(np.int64)
+            vec = np.bincount(dd, minlength=dim).astype(np.int64)
+            dot = int((vec * qvec).sum())
+            if dot <= 0:
+                continue
+            n2 = int((vec * vec).sum())
+            ids.append(did)
+            scores.append((1_000_000 * dot * dot) // (n2q * n2))
+        if ids:
+            df = pd.DataFrame({id_col: ids, "cs": scores}).astype(np.int64)
+            df = df.sort_values(
+                ["cs", id_col], ascending=[False, True], kind="mergesort"
+            ).head(run_k)
+        else:
+            df = typed_empty(**{id_col: np.int64, "cs": np.int64})
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    dense = ds.map_batches(dense_of_batch, batch_format="pyarrow").to_pandas()
+    if not dense.empty:
+        dense = dense.sort_values(
+            ["cs", id_col], ascending=[False, True], kind="mergesort"
+        ).head(run_k)
+    dense = dense.reset_index(drop=True)
+    dense["cos_rank"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+
+    sparse = bm25_topk(ds, tset, k=run_k, id_col=id_col, text_col=text_col)
+    sparse = sparse.reset_index(drop=True)
+    sparse["bm25_rank"] = np.arange(1, len(sparse) + 1, dtype=np.int64)
+
+    fused = sparse[[id_col, "bm25_rank"]].merge(
+        dense[[id_col, "cos_rank"]], on=id_col, how="outer"
+    )
+    br = fused["bm25_rank"].fillna(0).astype(np.int64)
+    cr = fused["cos_rank"].fillna(0).astype(np.int64)
+    rrf = np.where(br > 0, 1_000_000 // (rrf_k + br), 0) + np.where(
+        cr > 0, 1_000_000 // (rrf_k + cr), 0
+    )
+    out = pd.DataFrame(
+        {
+            id_col: fused[id_col].astype(np.int64),
+            "bm25_rank": br,
+            "cos_rank": cr,
+            "rrf_x1m": rrf.astype(np.int64),
+        }
+    )
+    return (
+        out.sort_values(["rrf_x1m", id_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )

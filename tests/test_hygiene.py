@@ -369,3 +369,39 @@ def test_token_chi2_hand_table(ray_session):
     empty_ds = token_chi2(ds_pos, pos_lang="en")
     assert empty_ds.count() == 0
     assert empty_ds.schema().names == ["token", "df", "chi2_x1m"]
+
+
+def test_hybrid_rrf_fuses_runs(ray_session):
+    """A doc ranked top by BOTH runs must outrank docs present in only
+    one run; absent-run ranks report 0; determinism across repartition."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import hybrid_rrf
+
+    docs = [
+        # doc 1: query terms frequent AND token set close to the query
+        {"doc_id": 1, "text": "join merge slow join merge"},
+        # doc 2: lexically strong (many 'join') but diluted token set
+        {"doc_id": 2, "text": "join join join " + " ".join(f"f{i}" for i in range(40))},
+        # doc 3: no query terms at all -> in neither run
+        {"doc_id": 3, "text": "alpha beta gamma delta"},
+        # doc 4: one weak term hit
+        {"doc_id": 4, "text": "slow " + " ".join(f"g{i}" for i in range(20))},
+    ]
+    for parts in (1, 3):
+        out = hybrid_rrf(
+            rd.from_items(docs).repartition(parts),
+            ["join", "merge", "slow"],
+            k=10,
+            run_k=3,
+        )
+        assert list(out.doc_id)[0] == 1  # best in both runs -> top fused
+        assert 3 not in set(out.doc_id)  # matched neither run
+        m = out.set_index("doc_id")
+        assert m.loc[1, "bm25_rank"] >= 1 and m.loc[1, "cos_rank"] >= 1
+        # every reported rrf equals the recomputed fusion of its ranks
+        for _, r in out.iterrows():
+            want = (1_000_000 // (60 + r.bm25_rank) if r.bm25_rank else 0) + (
+                1_000_000 // (60 + r.cos_rank) if r.cos_rank else 0
+            )
+            assert r.rrf_x1m == want
