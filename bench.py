@@ -176,6 +176,11 @@ def run_bench() -> dict:
         "user_running_distinct",
         "partkey_skew_histogram",
         "audience_overlap",
+        "item_bfs_hops",
+        "winnow_fingerprints",
+        "token_chi2",
+        "containment_pairs",
+        "hybrid_rrf",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
