@@ -811,6 +811,60 @@ def _purchase_error_counts_full(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def _bucketed_cust_orders(sf_dir: str):
+    """Bucketed-table layout + ZERO-SHUFFLE co-partitioned join: write
+    customer and orders ONCE into __bucket=<custkey % 16>/ directories
+    (the Hive/Spark bucketed-table primitive, pipelines/bucketed.py),
+    then join + aggregate per bucket — one task per bucket reads only
+    its two matching directories; no shuffle operator in the plan at
+    all. The groupby runs INSIDE the bucket task (a bucket holds every
+    row of its keys), so join+aggregate costs zero exchanges — the
+    persisted form of "pick one partitioning key and reuse it"."""
+    import numpy as np
+
+    from sanskrit_ocr_ray.pipelines.bucketed import bucketed_join, write_bucketed
+    from sanskrit_ocr_ray.util import typed_empty
+
+    base = f"/tmp/sxray_bucketed/{os.path.basename(os.path.abspath(sf_dir))}"
+    write_bucketed(
+        _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        f"{base}/customer",
+        key="c_custkey",
+        n_buckets=16,
+    )
+    write_bucketed(
+        _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        f"{base}/orders",
+        key="o_custkey",
+        n_buckets=16,
+    )
+
+    def combine(m):
+        m = m.copy()
+        m["total_c"] = np.floor(
+            m["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        g = m.groupby(["c_custkey", "c_mktsegment"], as_index=False).agg(
+            n_orders=("o_orderkey", "size"), sum_total_c=("total_c", "sum")
+        )
+        return g.astype({"n_orders": np.int64, "sum_total_c": np.int64})
+
+    return bucketed_join(
+        f"{base}/customer",
+        f"{base}/orders",
+        left_key="c_custkey",
+        right_key="o_custkey",
+        n_buckets=16,
+        combine=combine,
+        combine_empty=typed_empty(
+            c_custkey=np.int64,
+            c_mktsegment=object,
+            n_orders=np.int64,
+            sum_total_c=np.int64,
+        ),
+    )
+
+
 def _compact_docs(sf_dir: str):
     """Storage-lifecycle OPTIMIZE: rewrite the fixture's partitioned
     docs table into ceil(n/16)-file partitions; the returned stats are
@@ -2671,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": _typo_pairs,
         "embedding_outliers": _embedding_outliers,
         "compact_docs": _compact_docs,
+        "bucketed_cust_orders": _bucketed_cust_orders,
         "bpe_merges": _bpe_merges,
         "purchase_error_counts_full": _purchase_error_counts_full,
         "kmeans_lloyd": _kmeans_lloyd,
@@ -3402,6 +3457,16 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM snap)
 GROUP BY fingerprint
 """,
         # left-outer join: customers keep their zero order counts
+        # bucketed layout round-trips losslessly, so the oracle is the
+        # plain join+aggregate over the original tables
+        "bucketed_cust_orders": """
+SELECT c_custkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_total_c
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY 1, 2
+""",
         "customer_order_counts": """
 SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
 FROM customer LEFT JOIN orders ON o_custkey = c_custkey
