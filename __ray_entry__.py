@@ -2438,6 +2438,22 @@ def _item_pagerank(sf_dir: str):
     return pagerank(item_transition_edges(ev), iters=5)
 
 
+def _item_ppr(sf_dir: str):
+    """PERSONALIZED PageRank (topic-sensitive, Haveliwala 2002) over the
+    item-transition graph: restart mass teleports only to the seed set
+    {item : item % 7 == 0} — "rank relative to MY items", the
+    crawl-prioritization / related-items form. Same fixed-point int64
+    recurrence and scale shape as item_pagerank (stages/graph.pagerank
+    with seed_pred); the oracle inlines the seed predicate into the
+    same unrolled CTEs."""
+    from sanskrit_ocr_ray.stages.graph import item_transition_edges, pagerank
+
+    ev = _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "props"])
+    return pagerank(
+        item_transition_edges(ev), iters=5, seed_pred=lambda v: v % 7 == 0
+    )
+
+
 def _item_components(sf_dir: str):
     """Connected components of the (undirected) item-transition graph:
     which items are reachable from which through user co-view chains —
@@ -2816,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": _token_doc_freq,
         "item_components": _item_components,
         "item_pagerank": _item_pagerank,
+        "item_ppr": _item_ppr,
         "item_triangles": _item_triangles,
         "item_kcore": _item_kcore,
         "item_bfs_hops": _item_bfs_hops,
@@ -5247,6 +5264,55 @@ WITH ev AS (
 """
         + ",\n".join(_pr)
         + "\nSELECT v AS node, r AS pr FROM pr5\n"
+    )
+    # item_ppr: the SAME unrolled recurrence with the seed predicate
+    # (v % 7 = 0) inlined — teleport mass splits over |S| and lands only
+    # on seeds; non-seeds start at 0 and get no base term
+    _ppr = [
+        "meta2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS sn FROM nodes "
+        "WHERE v % 7 = 0)",
+        "ppr0 AS (SELECT v, CAST(CASE WHEN v % 7 = 0 THEN {s} // m.sn "
+        "ELSE 0 END AS BIGINT) AS r FROM nodes CROSS JOIN meta2 m)".format(
+            s=_pr_scale
+        ),
+    ]
+    for _i in range(1, 6):
+        _ppr.append(
+            "ppr{i} AS (\n"
+            "  SELECT n0.v,\n"
+            "         CAST(CASE WHEN n0.v % 7 = 0\n"
+            "                   THEN (15 * ({s} // m.sn)) // 100 ELSE 0 END\n"
+            "              + (85 * COALESCE(SUM((p.r // eo.d) * eo.w), 0)) // 100"
+            " AS BIGINT) AS r\n"
+            "  FROM nodes n0 CROSS JOIN meta2 m\n"
+            "  LEFT JOIN eo ON eo.dst = n0.v\n"
+            "  LEFT JOIN ppr{j} p ON p.v = eo.src\n"
+            "  GROUP BY n0.v, m.sn\n"
+            ")".format(i=_i, j=_i - 1, s=_pr_scale)
+        )
+    oracles["item_ppr"] = (
+        """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(coalesce(nullif(regexp_extract(props, '"k"\\s*:\\s*(-?\\d+)', 1), ''), '-1') AS BIGINT) AS k
+  FROM events
+), seq AS (
+  SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk
+  FROM ev
+), edges AS (
+  SELECT pk AS src, k AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE pk IS NOT NULL AND pk <> k
+  GROUP BY 1, 2
+), outdeg AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS d FROM edges GROUP BY 1
+), eo AS (
+  SELECT e.src, e.dst, e.w, o.d FROM edges e JOIN outdeg o ON o.src = e.src
+), nodes AS (
+  SELECT src AS v FROM edges UNION SELECT dst FROM edges
+),
+"""
+        + ",\n".join(_ppr)
+        + "\nSELECT v AS node, r AS pr FROM ppr5\n"
     )
     oracles["knn_ivf"] = oracles["knn_top5"]
     oracles["knn_lsh"] = oracles["knn_top5"]

@@ -389,7 +389,8 @@ def triangle_counts(edges, *, n_buckets: int = 32, small_edges: int = 2_000_000)
 
 
 def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
-             n_buckets: int = 16, small_edges: int = 2_000_000):
+             n_buckets: int = 16, small_edges: int = 2_000_000,
+             seed_pred=None):
     """Fixed-point integer PageRank over an (src, dst, w) edge Dataset.
 
     Recurrence (all floor divisions, int64):
@@ -398,6 +399,17 @@ def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
       base   = (15 * (scale // N)) // 100
     Dangling mass drops; the DuckDB oracle unrolls the same recurrence,
     so results are EXACTLY comparable (integer, order-independent).
+
+    PERSONALIZED variant (``seed_pred`` — a vectorized numpy predicate
+    ``int64 node ids → bool``): restart mass teleports only to the seed
+    set S (topic-sensitive PageRank, Haveliwala 2002 — "rank relative
+    to MY pages", the crawl-prioritization / related-items form):
+      N      = |S|  (teleport mass splits over seeds)
+      r0(v)  = scale // N  if v ∈ S else 0
+      base(v)= (15 * (scale // N)) // 100 if v ∈ S else 0
+    and the iteration is otherwise identical, so the oracle reuses the
+    same unrolled CTEs with the predicate inlined. The predicate rides
+    the task closure — the seed set is never a materialized structure.
 
     Small-graph fast path (the `_components_bsp` escape hatch, same
     rationale): the distributed loop pays ~3 all-to-all barriers PER
@@ -446,14 +458,21 @@ def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
         di = np.searchsorted(nodes_u, dst)
         d = np.zeros(n, np.int64)
         np.add.at(d, si, w)
-        r0 = scale // n
-        base = (15 * r0) // 100
-        r = np.full(n, r0, np.int64)
+        if seed_pred is None:
+            seed_mask = np.ones(n, dtype=bool)
+        else:
+            seed_mask = np.asarray(seed_pred(nodes_u), dtype=bool)
+        ns = int(seed_mask.sum())
+        if ns == 0:  # no seeds → no mass anywhere
+            return empty
+        r0 = scale // ns
+        basev = np.where(seed_mask, (15 * r0) // 100, 0).astype(np.int64)
+        r = np.where(seed_mask, r0, 0).astype(np.int64)
         for _ in range(iters):
             c = (r[si] // d[si]) * w  # every edge source has d > 0
             s = np.zeros(n, np.int64)
             np.add.at(s, di, c)
-            r = base + (85 * s) // 100
+            r = basev + (85 * s) // 100
         return pa.table(
             {"node": pa.array(nodes_u, pa.int64()), "pr": pa.array(r, pa.int64())}
         )
@@ -485,15 +504,34 @@ def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
         .materialize()  # distributed blocks; #nodes rows, reused per round
     )
     n = nodes.count()
-    if n == 0:
+    if seed_pred is None:
+        n_seed = n
+    else:
+        # seed census: a shuffle-free scalar fold over the node blocks
+        def seed_partial(batch: pa.Table) -> pa.Table:
+            m = np.asarray(seed_pred(batch["v"].to_numpy()), dtype=bool)
+            return pa.table({"ns": pa.array([int(m.sum())], pa.int64())})
+
+        n_seed = int(
+            nodes.map_batches(seed_partial, batch_format="pyarrow").sum("ns")
+            or 0
+        )
+    if n == 0 or n_seed == 0:
         import ray.data as rd
 
         return rd.from_arrow(
             pa.table({"node": pa.array([], pa.int64()),
                       "pr": pa.array([], pa.int64())})
         )
-    r0 = scale // n
+    r0 = scale // n_seed
     base = (15 * r0) // 100
+
+    def _base_of(v: np.ndarray) -> np.ndarray:
+        if seed_pred is None:
+            return np.full(len(v), base, np.int64)
+        return np.where(
+            np.asarray(seed_pred(v), dtype=bool), base, 0
+        ).astype(np.int64)
 
     deg_empty = typed_empty(src=np.int64, d=np.int64)
 
@@ -523,12 +561,14 @@ def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
     eo = hash_join(edges, outdeg, key="src", n_buckets=n_buckets).materialize()
 
     def init_ranks(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": batch["v"],
-                "r": pa.array(np.full(batch.num_rows, r0, np.int64)),
-            }
-        )
+        v = batch["v"].to_numpy()
+        if seed_pred is None:
+            r = np.full(batch.num_rows, r0, np.int64)
+        else:
+            r = np.where(
+                np.asarray(seed_pred(v), dtype=bool), r0, 0
+            ).astype(np.int64)
+        return pa.table({"src": batch["v"], "r": pa.array(r)})
 
     ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
@@ -556,7 +596,7 @@ def pagerank(edges, *, iters: int = 5, scale: int = PR_SCALE,
     def next_ranks(batch: pa.Table) -> pa.Table:
         s = batch["s"].to_numpy(zero_copy_only=False)
         s = np.where(pd.isna(s), 0, s).astype(np.int64)  # no in-edges → 0
-        r = base + (85 * s) // 100
+        r = _base_of(batch["v"].to_numpy()) + (85 * s) // 100
         return pa.table({"src": batch["v"], "r": pa.array(r, type=pa.int64())})
 
     for _ in range(iters):

@@ -409,3 +409,55 @@ def test_bfs_hops_seed_tie_break_and_unreachable(ray_session):
         assert 33 not in m  # beyond the hop cap
         assert 90 not in m and 91 not in m  # disconnected
         assert 20 not in m and 21 not in m  # disconnected from hub
+
+
+def _ref_ppr(edges, seeds, iters=5, scale=PR_SCALE):
+    """Driver-side reference of the personalized recurrence: teleport
+    mass splits over the seed set only."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    S = [v for v in nodes if seeds(v)]
+    r = {v: (scale // len(S) if v in S else 0) for v in nodes}
+    base = {v: ((15 * (scale // len(S))) // 100 if v in S else 0) for v in nodes}
+    deg = {}
+    for s, _, w in edges:
+        deg[s] = deg.get(s, 0) + w
+    for _ in range(iters):
+        acc = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            acc[d] += (r[s] // deg[s]) * w
+        r = {v: base[v] + (85 * acc[v]) // 100 for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 16])
+def test_personalized_pagerank_both_paths(ray_session, n_buckets):
+    import ray.data as rd
+
+    edges = [(1, 2, 3), (2, 3, 1), (3, 1, 2), (1, 3, 1), (4, 1, 5),
+             (5, 9, 1), (7, 2, 2), (14, 3, 1)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.int64()),
+                "dst": pa.array([e[1] for e in edges], pa.int64()),
+                "w": pa.array([e[2] for e in edges], pa.int64()),
+            }
+        )
+    )
+    pred = lambda v: v % 7 == 0  # seeds: {7, 14}  # noqa: E731
+    ref = _ref_ppr(edges, lambda v: v % 7 == 0)
+    for thresh in (2_000_000, 0):
+        got = pagerank(
+            ds, iters=5, n_buckets=n_buckets, small_edges=thresh,
+            seed_pred=pred,
+        ).to_pandas()
+        assert dict(zip(got["node"], got["pr"])) == ref, thresh
+    # seeds hold the restart mass; a node unreachable from any seed
+    # and outside the seed set ends at exactly 0 (node 9 ← 5 only)
+    assert ref[9] == 0 and ref[7] > 0
+    # no seeds at all → empty result on both paths
+    for thresh in (2_000_000, 0):
+        got = pagerank(
+            ds, iters=2, small_edges=thresh, seed_pred=lambda v: v < 0
+        ).to_pandas()
+        assert len(got) == 0

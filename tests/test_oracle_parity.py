@@ -142,6 +142,7 @@ SUBSET = [
     "containment_pairs",
     "hybrid_rrf",
     "bucketed_cust_orders",
+    "item_ppr",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
