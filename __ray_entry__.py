@@ -811,6 +811,54 @@ def _purchase_error_counts_full(sf_dir: str):
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
+def _ivm_type_counts(sf_dir: str):
+    """Incremental view maintenance (pipelines/ivm.py): the per-type
+    count/sum view is MATERIALIZED over the base history (every day but
+    the last), then the refresh folds ONLY the last day's delta into the
+    stored view — the base is not re-read at refresh. The monoid merge
+    makes the refreshed view bit-equal to the full recompute, which is
+    exactly what the oracle runs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sanskrit_ocr_ray.pipelines.ivm import materialize_agg, refresh_agg
+
+    ev = _tbl(sf_dir, "events", ["event_type", "ts", "value"])
+    day_us = 86_400_000_000
+    max_ts = ev.max("ts")
+    cut_us = (int(pd.Timestamp(max_ts).value // 1000) // day_us) * day_us
+
+    def prep(keep_base: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ts_us = pc.cast(
+                pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()
+            ).to_numpy()
+            m = ts_us < cut_us if keep_base else ts_us >= cut_us
+            cents = np.floor(
+                batch["value"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": batch["event_type"].filter(pa.array(m)),
+                    "cents": pa.array(cents[m]),
+                }
+            )
+
+        return fn
+
+    base = ev.map_batches(prep(True), batch_format="pyarrow")
+    delta = ev.map_batches(prep(False), batch_format="pyarrow")
+    view_dir = materialize_agg(
+        base,
+        f"/tmp/sxray_ivm/{os.path.basename(os.path.abspath(sf_dir))}",
+        key_col="event_type",
+        cents_col="cents",
+    )
+    return refresh_agg(view_dir, delta, key_col="event_type", cents_col="cents")
+
+
 def _bucketed_cust_orders(sf_dir: str):
     """Bucketed-table layout + ZERO-SHUFFLE co-partitioned join: write
     customer and orders ONCE into __bucket=<custkey % 16>/ directories
@@ -2742,6 +2790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers": _embedding_outliers,
         "compact_docs": _compact_docs,
         "bucketed_cust_orders": _bucketed_cust_orders,
+        "ivm_type_counts": _ivm_type_counts,
         "bpe_merges": _bpe_merges,
         "purchase_error_counts_full": _purchase_error_counts_full,
         "kmeans_lloyd": _kmeans_lloyd,
@@ -3474,6 +3523,13 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM snap)
 GROUP BY fingerprint
 """,
         # left-outer join: customers keep their zero order counts
+        # IVM: the monoid merge of stored view + delta equals the full
+        # recompute, which is what the oracle runs
+        "ivm_type_counts": """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c
+FROM events GROUP BY 1
+""",
         # bucketed layout round-trips losslessly, so the oracle is the
         # plain join+aggregate over the original tables
         "bucketed_cust_orders": """

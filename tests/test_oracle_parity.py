@@ -143,6 +143,7 @@ SUBSET = [
     "hybrid_rrf",
     "bucketed_cust_orders",
     "item_ppr",
+    "ivm_type_counts",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and
