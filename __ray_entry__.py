@@ -2009,6 +2009,19 @@ def _sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _session_attribution(sf_dir: str):
+    """First-touch attribution: sessions attributed to their first
+    event's type, per-channel conversion to 'purchase' (integer
+    per-mille). One hash(user) bucket shuffle, per-bucket vectorized
+    sessionize + partial counts, ≤ buckets×channels driver fold
+    (stages/relational.session_attribution)."""
+    from sanskrit_ocr_ray.stages.relational import session_attribution
+
+    return session_attribution(
+        _tbl(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    )
+
+
 def _top_users(sf_dir: str):
     from sanskrit_ocr_ray.stages.relational import top_users_by_value
 
@@ -2905,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _events_window,
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
+        "session_attribution": _session_attribution,
         "top_users_by_value": _top_users,
         "top_lineitems": _top_lineitems,
         "mktsegment_join": _mktsegment_join,
@@ -4135,6 +4149,34 @@ WITH x AS (
 SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MAX(s) - MIN(s) AS dur_s
 FROM w GROUP BY user_id, sid
+""",
+        # first-touch attribution: same session rule; channel via
+        # first(... ORDER BY s, event_id) so same-second ties are pinned
+        "session_attribution": """
+WITH x AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), o AS (
+  SELECT user_id, event_id, event_type, s,
+         CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM x
+), w AS (
+  SELECT user_id, event_id, event_type, s,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY s, event_id) AS channel,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM w GROUP BY user_id, sid
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST((1000 * SUM(conv)) // COUNT(*) AS BIGINT) AS conv_pm
+FROM sess GROUP BY channel
 """,
         "top_users_by_value": """
 SELECT user_id, sum_value_c FROM (

@@ -3405,3 +3405,95 @@ def late_events(
         return pd.DataFrame({order_col: g[order_col].to_numpy(), "is_late": late})
 
     return tagged.groupby("__rid").map_groups(flag_range, batch_format="pandas")
+
+
+def session_attribution(
+    ds,
+    *,
+    gap_s: int = 1800,
+    convert_kind: str = "purchase",
+    n_buckets: int = 64,
+):
+    """First-touch session attribution: sessionize per user (same
+    ``gap_s`` inactivity rule as :func:`sessionize`), attribute each
+    session to its FIRST event's type (the "channel"), and report per
+    channel → (channel, n_sessions, n_converted, conv_pm) where a
+    session converts iff it contains a ``convert_kind`` event and
+    ``conv_pm = 1000·n_converted // n_sessions`` — the marketing-
+    attribution / funnel-entry conversion table.
+
+    Determinism: within-session order is (epoch-second, event_id) on
+    BOTH sides (the oracle's ``first(event_type ORDER BY s, event_id)``),
+    so same-second ties cannot flip the channel; session BREAKS depend
+    only on the epoch-second values (equal seconds diff to 0 under any
+    tie order), matching the sessionize contract.
+
+    Scale shape: ONE ``hash(user) % n_buckets`` shuffle (the sessionize
+    shape — a user's events co-locate, sessions never straddle buckets);
+    each bucket sessionizes ALL its users in one mergesort +
+    diff/flatnonzero/reduceat pass and emits per-channel PARTIAL counts;
+    the driver folds ≤ ``n_buckets × #channels`` tiny rows.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        u = batch["user_id"].to_numpy()
+        b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "s": s,
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "__ub": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(channel=object, n_sessions=np.int64, n_converted=np.int64)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group.sort_values(
+            ["user_id", "s", "event_id"], kind="mergesort"
+        )
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        k = g["event_type"].to_numpy()
+        n = len(u)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        same_user = u[1:] == u[:-1]
+        brk[1:] = ~same_user | ((s[1:] - s[:-1]) > gap_s)
+        starts = np.flatnonzero(brk)
+        channel = k[starts]
+        conv = np.add.reduceat((k == convert_kind).astype(np.int64), starts) > 0
+        out = (
+            pd.DataFrame({"channel": channel, "conv": conv.astype(np.int64)})
+            .groupby("channel", as_index=False)
+            .agg(n_sessions=("conv", "size"), n_converted=("conv", "sum"))
+        )
+        return out.astype({"n_sessions": np.int64, "n_converted": np.int64})
+
+    partial = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets × #channels tiny rows
+    )
+    if partial.empty:
+        return typed_empty(
+            channel=object, n_sessions=np.int64,
+            n_converted=np.int64, conv_pm=np.int64,
+        )
+    out = partial.groupby("channel", as_index=False)[
+        ["n_sessions", "n_converted"]
+    ].sum()
+    out["conv_pm"] = (1000 * out["n_converted"]) // out["n_sessions"]
+    return out.astype(
+        {"n_sessions": np.int64, "n_converted": np.int64, "conv_pm": np.int64}
+    ).sort_values("channel").reset_index(drop=True)

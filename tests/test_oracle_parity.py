@@ -144,6 +144,7 @@ SUBSET = [
     "bucketed_cust_orders",
     "item_ppr",
     "ivm_type_counts",
+    "session_attribution",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

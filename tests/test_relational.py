@@ -1516,3 +1516,40 @@ def test_audience_overlap(ray_session):
                 exp[(s[i], s[j])] = exp.get((s[i], s[j]), 0) + 1
     assert got == exp
     assert got[("c", "v")] == 2 and got[("p", "v")] == 2
+
+
+def test_session_attribution_planted(ray_session):
+    """Hand-built sessions: channel = first event by (second, event_id),
+    conversion iff a purchase lands inside the session window."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import session_attribution
+
+    base = pd.Timestamp("2024-03-01 12:00:00")
+
+    def ev(eid, user, offset_s, kind):
+        return {
+            "event_id": eid,
+            "user_id": user,
+            "ts": base + pd.Timedelta(seconds=offset_s),
+            "event_type": kind,
+        }
+
+    rows = [
+        # user 1, session A: view → purchase (converted, channel view)
+        ev(1, 1, 0, "view"), ev(2, 1, 60, "purchase"),
+        # user 1, session B after a 1h gap: search only (no conversion)
+        ev(3, 1, 5400, "search"),
+        # user 2, one session; same-second tie at the start → lower
+        # event_id wins the channel
+        ev(5, 2, 0, "click"), ev(4, 2, 0, "view"), ev(6, 2, 10, "purchase"),
+    ]
+    out = session_attribution(
+        rd.from_pandas(pd.DataFrame(rows)), gap_s=1800, n_buckets=4
+    )
+    got = {r.channel: (r.n_sessions, r.n_converted, r.conv_pm)
+           for r in out.itertuples()}
+    assert got == {
+        "view": (2, 2, 1000),   # user1-A + user2 (eid 4 at same second)
+        "search": (1, 0, 0),
+    }
