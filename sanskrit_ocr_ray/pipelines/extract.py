@@ -57,13 +57,15 @@ def _default_pool_size() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    # 3/4 of CPUs: the parquet read + decompress of page payloads is real
-    # work (~10% of recognition's CPU) and runs as tasks in the remaining
-    # quarter; a 7/8 pool starved the reads and idled the actors
-    # (measured 29s → 17s on a 11k-page chain). ≥2 CPUs must stay free
-    # regardless: with all-to-all stages in the plan, a pool leaving only
-    # 1 free CPU livelocks the streaming executor.
-    return max(2, min(cpus - 2, cpus * 3 // 4))
+    # cpus − 2: re-measured for the v14 full-severity kernel (≈65 ms/page
+    # vs the old ≈17 ms), which makes the parquet read + decompress ~2-3%
+    # of recognition CPU — the old 3/4 rule (tuned when reads were ~10%
+    # and a bigger pool starved them) now just idles cores: at 32 CPUs,
+    # pool 24 → 96-98 s vs pool 30 → 82.4 s on the same warm fixture
+    # (monotone through 26/28/29). ≥2 CPUs must stay free regardless:
+    # with all-to-all stages in the plan, a pool leaving only 1 free CPU
+    # livelocks the streaming executor; 2 also covers the trickle reads.
+    return max(2, cpus - 2)
 
 
 def tune_read_context() -> None:
