@@ -181,6 +181,10 @@ def run_bench() -> dict:
         "token_chi2",
         "containment_pairs",
         "hybrid_rrf",
+        "bucketed_cust_orders",
+        "ivm_type_counts",
+        "session_attribution",
+        "item_ppr",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
