@@ -2009,6 +2009,39 @@ def _sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _orders_above_avg(sf_dir: str):
+    """Correlated-subquery decorrelation: orders whose total exceeds
+    THEIR customer's average order total — the classic
+    `WHERE x > (SELECT AVG(x) ... WHERE key = outer.key)` pattern,
+    decorrelated into ONE hash(custkey) bucket shuffle with the group
+    census and the filter inside the bucket; the integer predicate is
+    the cross-multiplication cents·n > sum (no float mean)
+    (stages/relational.rows_above_group_mean)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import rows_above_group_mean
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch["o_totalprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "total_c": pa.array(c),
+            }
+        )
+
+    ds = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    return rows_above_group_mean(
+        ds, key_col="o_custkey", id_col="o_orderkey", cents_col="total_c"
+    )
+
+
 def _session_attribution(sf_dir: str):
     """First-touch attribution: sessions attributed to their first
     event's type, per-channel conversion to 'purchase' (integer
@@ -2919,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
         "session_attribution": _session_attribution,
+        "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
         "top_lineitems": _top_lineitems,
         "mktsegment_join": _mktsegment_join,
@@ -4149,6 +4183,22 @@ WITH x AS (
 SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MAX(s) - MIN(s) AS dur_s
 FROM w GROUP BY user_id, sid
+""",
+        # decorrelated correlated subquery: integer cross-multiplication
+        # cents·n > sum — no float mean on either side
+        "orders_above_avg": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_c
+  FROM orders
+), g AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(total_c) AS BIGINT) AS s
+  FROM o GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_custkey, o.total_c
+FROM o JOIN g USING (o_custkey)
+WHERE o.total_c * g.n > g.s
 """,
         # first-touch attribution: same session rule; channel via
         # first(... ORDER BY s, event_id) so same-second ties are pinned

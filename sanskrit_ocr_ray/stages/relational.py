@@ -3497,3 +3497,60 @@ def session_attribution(
     return out.astype(
         {"n_sessions": np.int64, "n_converted": np.int64, "conv_pm": np.int64}
     ).sort_values("channel").reset_index(drop=True)
+
+
+def rows_above_group_mean(
+    ds,
+    *,
+    key_col: str,
+    id_col: str,
+    cents_col: str,
+    n_buckets: int = 64,
+):
+    """Correlated-subquery decorrelation — the classic
+    ``WHERE x > (SELECT AVG(x) FROM t WHERE key = outer.key)`` pattern:
+    return the rows whose value exceeds THEIR OWN group's mean →
+    (id, key, cents). The comparison is the integer cross-multiplication
+    ``cents · n_group > sum_group`` (no float mean, no rounding slack),
+    so the DuckDB oracle matches bit-for-bit.
+
+    Scale shape: the naive plan evaluates one subquery per row; the
+    decorrelated plan here is ONE bounded ``hash(key) % n_buckets``
+    shuffle — each bucket holds every row of its keys, so the group
+    (n, sum) census and the filter both happen inside the bucket task
+    with one vectorized groupby + transform. No second pass over the
+    table, no group table on the driver.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy()
+        b = (fast_hash_u64(k) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                cents_col: batch[cents_col],
+                "__kb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(
+        **{id_col: np.int64, key_col: np.int64, cents_col: np.int64}
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group[[id_col, key_col, cents_col]]
+        stats = g.groupby(key_col)[cents_col].agg(["sum", "size"])
+        n = g[key_col].map(stats["size"]).to_numpy(np.int64)
+        s = g[key_col].map(stats["sum"]).to_numpy(np.int64)
+        keep = g[cents_col].to_numpy(np.int64) * n > s
+        return g[keep]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

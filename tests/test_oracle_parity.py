@@ -145,6 +145,7 @@ SUBSET = [
     "item_ppr",
     "ivm_type_counts",
     "session_attribution",
+    "orders_above_avg",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -1553,3 +1553,34 @@ def test_session_attribution_planted(ray_session):
         "view": (2, 2, 1000),   # user1-A + user2 (eid 4 at same second)
         "search": (1, 0, 0),
     }
+
+
+def test_rows_above_group_mean_planted(ray_session):
+    """Exact mean boundary: a row EQUAL to its group mean is excluded
+    (strict >, integer cross-multiplication), singleton groups never
+    qualify."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import rows_above_group_mean
+
+    df = pd.DataFrame(
+        {
+            "oid": np.arange(6, dtype=np.int64),
+            "k": np.array([1, 1, 1, 2, 2, 3], np.int64),
+            # group 1: mean 20 → only 30 qualifies (20 == mean excluded)
+            # group 2: mean 7.5 → only 10 qualifies
+            # group 3: singleton → never above its own mean
+            "c": np.array([10, 20, 30, 5, 10, 99], np.int64),
+        }
+    )
+    out = (
+        rows_above_group_mean(
+            rd.from_pandas(df), key_col="k", id_col="oid", cents_col="c",
+            n_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    assert out.oid.tolist() == [2, 4]
+    assert out.c.tolist() == [30, 10]
