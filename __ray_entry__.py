@@ -335,6 +335,18 @@ def _kr_fingerprint(sf_dir: str):
     )
 
 
+def _token_gini(sf_dir: str):
+    """Per-doc lexical concentration: Gini impurity of the token
+    histogram, 10^6·(n²−Σc²)//n² — the rational stand-in for token
+    entropy (template/spam pages score near 0). Shuffle-free map
+    (stages/text_analysis.token_gini_batch)."""
+    from sanskrit_ocr_ray.stages.text_analysis import token_gini_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_gini_batch, batch_format="pyarrow"
+    )
+
+
 def _winnow_fingerprints(sf_dir: str):
     """Winnowing (MOSS) local fingerprints: k-shingle hashes → sliding
     w-window minima, leftmost ties — guarantees any shared token run of
@@ -2818,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
         "winnow_fingerprints": _winnow_fingerprints,
+        "token_gini": _token_gini,
         "repetition_scores": _repetition_scores,
         # training-corpus assembly
         "train_val_split": _train_val_split,
@@ -3080,6 +3093,21 @@ SELECT doc_id,
                       list_transform(str_split(text, ''), c -> ascii(c))),
          (h, c) -> (h * 257 + c) % 2305843009213693951))), 16, '0') AS kr_fingerprint
 FROM documents
+""",
+        # gini: rational lexical concentration — n²−Σc² over n², exact
+        "token_gini": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+), c AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(ts) AS t FROM tok WHERE len(ts) > 0)
+  GROUP BY doc_id, t
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+       CAST((1000000 * (SUM(c) * SUM(c) - SUM(c * c)))
+            // (SUM(c) * SUM(c)) AS BIGINT) AS gini_x1m
+FROM c GROUP BY doc_id
 """,
         # winnowing: first-16-md5-hex shingle hashes (lexicographic
         # string order ≡ numeric u64 order), leftmost window min via

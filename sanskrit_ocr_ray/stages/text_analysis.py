@@ -381,3 +381,45 @@ def winnow_batch(
             "fp": pa.array(out_fp, type=pa.string()),
         }
     )
+
+
+def token_gini_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Per-document lexical CONCENTRATION via Gini impurity —
+    ``gini_x1m = 10^6 · (n² − Σ c_t²) // n²`` over the token-frequency
+    histogram (n tokens, c_t per distinct token). The rational stand-in
+    for token entropy (which is transcendental — no exact cross-engine
+    contract): 0 = one token repeated (template/spam page), → 10^6 as
+    the distribution flattens. Complements TTR (`distinct_token_batch`):
+    TTR counts types, Gini weights their balance — a doc repeating one
+    word 90% of the time has low Gini but can still have many types.
+
+    Shuffle-free ``map_batches``; one numpy bincount per doc over
+    factorized tokens. Token-less docs emit no row (the corpus
+    convention)."""
+    texts = batch[text_col].to_pylist()
+    ids = batch[id_col].to_pylist()
+    out_id: list = []
+    out_n: list[int] = []
+    out_g: list[int] = []
+    for d, t in zip(ids, texts):
+        toks = [w for w in (t or "").split(" ") if w]
+        n = len(toks)
+        if not n:
+            continue
+        _, counts = np.unique(toks, return_counts=True)
+        c2 = int((counts.astype(np.int64) ** 2).sum())
+        out_id.append(d)
+        out_n.append(n)
+        out_g.append((1_000_000 * (n * n - c2)) // (n * n))
+    return pa.table(
+        {
+            id_col: pa.array(out_id, type=batch[id_col].type),
+            "n_toks": pa.array(out_n, type=pa.int64()),
+            "gini_x1m": pa.array(out_g, type=pa.int64()),
+        }
+    )

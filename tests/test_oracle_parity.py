@@ -146,6 +146,7 @@ SUBSET = [
     "ivm_type_counts",
     "session_attribution",
     "orders_above_avg",
+    "token_gini",
 ]
 # NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
 # fixture by absolute path (driver's correctness scale) and

@@ -363,3 +363,27 @@ def test_winnow_fingerprints_guarantee_and_edges():
     # selection density: ~1/w of shingles, never more than #windows
     n_shingles = 63 - k + 1
     assert 0 < len(out[out.doc_id == 1]) <= n_shingles - w + 1
+
+
+def test_token_gini_hand_values():
+    from sanskrit_ocr_ray.stages.text_analysis import token_gini_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",       # one type: gini 0 (template/spam)
+                    "a b c d",       # uniform: 1e6*(16-4)//16 = 750000
+                    "a a a b",       # skewed: 1e6*(16-10)//16 = 375000
+                    "",              # token-less: no row
+                ]
+            ),
+        }
+    )
+    out = token_gini_batch(batch).to_pandas().set_index("doc_id")
+    assert 4 not in out.index
+    assert out.loc[1, "gini_x1m"] == 0
+    assert out.loc[2, "gini_x1m"] == 750_000
+    assert out.loc[3, "gini_x1m"] == 375_000
+    assert out.loc[2, "n_toks"] == 4
