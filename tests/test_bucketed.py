@@ -95,3 +95,41 @@ def test_write_bucketed_idempotent(ray_session, tmp_path):
         if d.startswith("__bucket=")
     )
     assert total == 3
+
+
+def test_sort_within_bucket_clustered_write(ray_session, tmp_path):
+    """DISTRIBUTE BY + SORT BY: every bucket file holds its keys in
+    sorted order (streamable merge-join / binary-search contract) while
+    join results stay identical to the unsorted layout."""
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {"k": rng.permutation(np.arange(200)).astype(np.int64),
+         "v": rng.integers(0, 100, 200).astype(np.int64)}
+    )
+    root = write_bucketed(
+        rd.from_pandas(df).repartition(4),
+        str(tmp_path / "sorted"), key="k", n_buckets=8,
+        sort_within_bucket=True,
+    )
+    for d in os.listdir(root):
+        if not d.startswith("__bucket="):
+            continue
+        keys = pq.read_table(os.path.join(root, d))["k"].to_numpy()
+        assert (np.diff(keys) >= 0).all(), d
+        assert (keys % 8 == int(d.split("=")[1])).all()
+    # join parity vs the unsorted layout
+    other = pd.DataFrame({"ok": np.arange(0, 200, 3).astype(np.int64)})
+    db = write_bucketed(rd.from_pandas(other), str(tmp_path / "probe"),
+                        key="ok", n_buckets=8)
+    got = (
+        bucketed_join(root, db, left_key="k", right_key="ok", n_buckets=8)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.merge(other, left_on="k", right_on="ok")
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got[["k", "v"]].equals(want[["k", "v"]])
