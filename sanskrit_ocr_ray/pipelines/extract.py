@@ -33,7 +33,7 @@ from ..stages.geometry import binarize_deskew_batch
 from ..stages.recognize import GlyphRecognizer, rec_to_span_rows
 from ..stages.reassemble import flatten_out, rebuild_bucket
 from ..state import manifest as mf
-from ..util import stable_partition
+from ..util import md5_u64, stable_partition
 
 #: reassembly shuffle buckets — ≫ cores for balance, ≪ docs so each
 #: map_groups call rebuilds many docs vectorized (scale knob)
@@ -333,10 +333,24 @@ def run_extract(
                 media_ds = media_ds.drop_columns(["part"])
         else:
             def media_in_wave(batch: pa.Table, wave_set=frozenset(wave_set)) -> pa.Table:
-                keep = [
-                    _part_of_media_ref(r, n_partitions) in wave_set
-                    for r in batch["media_ref"].to_pylist()
-                ]
+                # vectorized: md5 once per DISTINCT doc-id prefix (media
+                # refs of one doc share it), then a numpy isin gather —
+                # partition ids must stay md5-based to match what synth
+                # wrote, so fast_hash_u64 is not an option here
+                import numpy as np
+
+                prefix = pc.list_element(
+                    pc.split_pattern(batch["media_ref"], "/", max_splits=1), 0
+                )
+                enc = prefix.combine_chunks().dictionary_encode()
+                vocab = enc.dictionary.to_pylist()
+                parts = np.fromiter(
+                    (md5_u64(v) % n_partitions for v in vocab),
+                    dtype=np.int64,
+                    count=len(vocab),
+                )
+                keep_vocab = np.isin(parts, np.fromiter(wave_set, dtype=np.int64))
+                keep = keep_vocab[enc.indices.to_numpy()]
                 return batch.filter(pa.array(keep))
 
             media_ds = rd.read_parquet(media_path).map_batches(

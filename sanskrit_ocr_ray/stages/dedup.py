@@ -34,7 +34,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..util import fast_hash_u64, md5_hex16, md5_u64, tok_hash_cache, typed_empty
+from ..util import (
+    batch_token_hash_flat,
+    fast_hash_u64,
+    md5_hex16,
+    md5_u64,
+    tok_hash_cache,
+    typed_empty,
+)
 
 #: super-bucket count for high-cardinality grouping keys; scale with
 #: cluster size (buckets ≫ cores keeps groups balanced, ≪ keys keeps
@@ -162,15 +169,6 @@ def _seed(i: int) -> np.uint64:
     return np.uint64(md5_u64(str(i)))
 
 
-def _minhash_row(text: str, seeds: np.ndarray, cache=None) -> np.ndarray:
-    toks = sorted({w for w in (text or "").split(" ") if w})
-    if not toks:
-        return np.full(len(seeds), np.iinfo(np.uint64).max, dtype=np.uint64)
-    h = cache if cache is not None else tok_hash_cache()
-    th = np.fromiter((h[w] for w in toks), np.uint64, len(toks))
-    return np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
-
-
 def minhash_signatures_batch(
     batch: pa.Table, n_perm: int = 8, column: str = "text"
 ) -> pa.Table:
@@ -181,23 +179,30 @@ def minhash_signatures_batch(
     Token-less (empty/whitespace-only) docs emit NO rows — the oracle's
     token CTE produces no rows for them, and a sentinel signature would
     desync row counts the moment the corpus contains an empty text.
+
+    Fully batch-vectorized: one Arrow tokenize/factorize pass, md5 once
+    per DISTINCT token, then segmented minima (``np.minimum.reduceat``)
+    over doc offsets — the min over a doc's token multiset equals the min
+    over its distinct-token set, so no per-doc dedup is needed.
     """
-    texts = batch[column].to_pylist()
-    doc_ids = batch["doc_id"].to_pylist()
+    starts, doc_sel, th = batch_token_hash_flat(batch[column])
+    if len(starts) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=batch["doc_id"].type),
+                "perm": pa.array([], type=pa.int64()),
+                "minhash": pa.array([], type=pa.string()),
+            }
+        )
     seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
-    out_doc, out_perm, out_hash = [], [], []
-    hcache = tok_hash_cache()  # one md5 per DISTINCT token per batch
-    for d, t in zip(doc_ids, texts):
-        if not any(w for w in (t or "").split(" ")):
-            continue
-        mins = _minhash_row(t, seeds, cache=hcache)
-        for i in range(n_perm):
-            out_doc.append(d)
-            out_perm.append(i)
-            out_hash.append(f"{int(mins[i]):016x}")
+    mixed = np.bitwise_xor(th[:, None], seeds[None, :])
+    mins = np.minimum.reduceat(mixed, starts, axis=0)  # (n_docs_sel, n_perm)
+    out_doc = batch["doc_id"].take(pa.array(np.repeat(doc_sel, n_perm)))
+    out_perm = np.tile(np.arange(n_perm, dtype=np.int64), len(starts))
+    out_hash = [f"{int(v):016x}" for v in mins.ravel()]
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, type=batch["doc_id"].type),
+            "doc_id": out_doc,
             "perm": pa.array(out_perm, type=pa.int64()),
             "minhash": pa.array(out_hash, type=pa.string()),
         }
@@ -450,19 +455,31 @@ def minhash_lsh_clusters(
 
     # ---- 1. band rows (with token payload) → in-bucket verify ----------
     def sig_and_bands(batch: pa.Table) -> pa.Table:
-        texts = batch[column].to_pylist()
-        ids = batch[id_col].to_pylist()
+        # batch-vectorized front half: one tokenize/factorize pass, md5
+        # per DISTINCT token, segmented minima per permutation; only the
+        # band-string formatting and per-doc distinct-set payload remain
+        # per-doc (both O(docs), not O(token instances))
+        starts, doc_sel, th = batch_token_hash_flat(batch[column])
+        n_bands = n_perm // band_size
+        if len(starts) == 0:
+            t_out = pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "bucket": pa.array([], type=pa.string()),
+                    "thash": pa.array([], type=pa.binary()),
+                }
+            )
+            return t_out.append_column("__sb", _bucket_of([], n_buckets))
         seeds = np.array([_seed(i) for i in range(n_perm)], dtype=np.uint64)
+        mixed = np.bitwise_xor(th[:, None], seeds[None, :])
+        mins_all = np.minimum.reduceat(mixed, starts, axis=0)
+        ends = np.r_[starts[1:], len(th)]
+        ids = batch[id_col].take(pa.array(doc_sel)).to_pylist()
         rows_id, rows_bucket, rows_toks = [], [], []
-        hcache = tok_hash_cache()  # one md5 per DISTINCT token per batch
-        for d, t in zip(ids, texts):
-            toks = sorted({w for w in (t or "").split(" ") if w})
-            if not toks:
-                continue
-            th = np.fromiter((hcache[w] for w in toks), np.uint64, len(toks))
-            payload = np.unique(th).tobytes()  # sorted distinct u64 hash set
-            mins = np.bitwise_xor(th[:, None], seeds[None, :]).min(axis=0)
-            for b in range(n_perm // band_size):
+        for di, d in enumerate(ids):
+            payload = np.unique(th[starts[di] : ends[di]]).tobytes()
+            mins = mins_all[di]
+            for b in range(n_bands):
                 sig = ",".join(
                     f"{int(v):016x}" for v in mins[b * band_size : (b + 1) * band_size]
                 )

@@ -63,10 +63,17 @@ def rec_to_span_rows(batch: pa.Table, doc_id_from_ref=None) -> pa.Table:
     corpus breaks the convention, pass ``doc_id_from_ref`` or fall back to
     the two-shuffle path in pipelines/extract.py.
     """
-    refs = batch["media_ref"].to_pylist()
-    fn = doc_id_from_ref or (lambda r: r.split("/", 1)[0])
-    doc_ids = pa.array([fn(r) for r in refs], type=pa.string())
-    n = len(refs)
+    refs = batch["media_ref"]
+    if doc_id_from_ref is None:
+        import pyarrow.compute as pc
+
+        # vectorized prefix-before-'/' (== r.split('/', 1)[0])
+        doc_ids = pc.list_element(pc.split_pattern(refs, "/", max_splits=1), 0)
+    else:
+        doc_ids = pa.array(
+            [doc_id_from_ref(r) for r in refs.to_pylist()], type=pa.string()
+        )
+    n = batch.num_rows
     return pa.table(
         {
             "doc_id": doc_ids,

@@ -20,7 +20,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from ..util import md5_u64, md5_u64_many, md5_hex16, tok_hash_cache
+from ..util import batch_token_hash_flat, md5_u64, md5_u64_many, md5_hex16, tok_hash_cache
 
 # whitespace token + "BPE-ish" subword-shaped pieces (letters / digits /
 # single punctuation), compiled once per worker
@@ -122,28 +122,26 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     (the oracle's token CTE produces none for them; a 0-sentinel row would
     desync row counts AND make any two empty docs a hamming-0 dup pair).
     """
-    texts = batch[column].to_pylist()
-    ids = batch["doc_id"].to_pylist()
-    out_id: list = []
-    out_sig: list[str] = []
-    hcache = tok_hash_cache()  # one md5 per DISTINCT token per batch
-    for d, t in zip(ids, texts):
-        toks = [w for w in (t or "").split(" ") if w]
-        if not toks:
-            continue
-        hashes = np.fromiter((hcache[w] for w in toks), dtype=np.uint64, count=len(toks))
-        # (n_tokens, 64) bit matrix → column sums
-        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = 2 * bits.astype(np.int64) - 1
-        sig_bits = votes.sum(axis=0) > 0
-        sig = np.uint64(0)
-        for b in np.nonzero(sig_bits)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out_id.append(d)
-        out_sig.append(f"{int(sig):016x}")
+    starts, doc_sel, th = batch_token_hash_flat(batch[column])
+    if len(starts) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=batch["doc_id"].type),
+                "simhash": pa.array([], type=pa.string()),
+            }
+        )
+    # segmented bit votes: for each bit b, per-doc ones-count via one
+    # np.add.reduceat pass; sum over tokens of ±1 > 0  ⇔  2·ones > k
+    seg_len = np.diff(np.r_[starts, len(th)])
+    sig = np.zeros(len(starts), dtype=np.uint64)
+    for b in range(64):
+        bit = ((th >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        ones = np.add.reduceat(bit, starts)
+        sig |= (2 * ones > seg_len).astype(np.uint64) << np.uint64(b)
+    out_sig = [f"{int(v):016x}" for v in sig]
     return pa.table(
         {
-            "doc_id": pa.array(out_id, type=batch["doc_id"].type),
+            "doc_id": batch["doc_id"].take(pa.array(doc_sel)),
             "simhash": pa.array(out_sig, type=pa.string()),
         }
     )

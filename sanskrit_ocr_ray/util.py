@@ -19,6 +19,7 @@ __all__ = [
     "TokHashCache",
     "md5_hex16",
     "md5_u64_many",
+    "batch_token_hash_flat",
     "stable_partition",
     "u64_to_hex",
     "doc_rng",
@@ -71,6 +72,55 @@ def md5_hex16(s: str | bytes) -> str:
 def md5_u64_many(items) -> np.ndarray:
     """Vector of md5_u64 over an iterable of strings → uint64 ndarray."""
     return np.fromiter((md5_u64(x) for x in items), dtype=np.uint64)
+
+
+def batch_token_hash_flat(col, cache=None):
+    """' '-split tokenization + md5 token hashing for a whole Arrow column.
+
+    The shared front half of the minhash / simhash / LSH-band kernels:
+    tokenize every text in ONE Arrow ``split_pattern`` pass, factorize
+    the flattened tokens (``dictionary_encode``), run md5 once per
+    DISTINCT token in the batch (Zipf: distinct ≪ instances), and gather
+    back to per-instance hashes — no Python executes per token instance.
+
+    Returns ``(starts, doc_sel, th)``:
+
+    - ``th``      — uint64 ``md5_u64(token)`` per token INSTANCE, in
+      doc-major order (duplicates kept; min/vote reductions are
+      duplicate-insensitive or want the multiset respectively)
+    - ``starts``  — start index in ``th`` of each doc with ≥1 non-empty
+      token (segment ends = next start / len(th))
+    - ``doc_sel`` — row index into ``col`` of each such doc (token-less
+      docs are absent, matching the oracle's token CTE)
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    split = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_ne = flat.filter(pa.array(mask))
+    parent_ne = parent[mask]
+    enc = flat_ne.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    h = cache if cache is not None else tok_hash_cache()
+    vocab_h = np.fromiter((h[w] for w in vocab), np.uint64, len(vocab))
+    th = (
+        vocab_h[enc.indices.to_numpy(zero_copy_only=False)]
+        if len(vocab)
+        else np.empty(0, np.uint64)
+    )
+    if len(parent_ne):
+        starts = np.flatnonzero(np.r_[True, parent_ne[1:] != parent_ne[:-1]])
+        doc_sel = parent_ne[starts]
+    else:
+        starts = np.empty(0, np.int64)
+        doc_sel = np.empty(0, np.int64)
+    return starts, doc_sel, th
 
 
 def stable_partition(key: str, n_partitions: int) -> int:
