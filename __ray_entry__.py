@@ -39,7 +39,24 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-_FIXTURE_CACHE = "/tmp/sxray_fixtures"
+# Scratch/fixture root. Node-local /tmp is correct for the single-node
+# sandbox; on a multi-node cluster set SXRAY_SCRATCH_ROOT to a shared
+# filesystem (NFS/FSx) so workers on other nodes can read fixture and
+# bucketed-layout paths written by the driver.
+_SCRATCH_ROOT = os.environ.get("SXRAY_SCRATCH_ROOT", "/tmp")
+_FIXTURE_CACHE = os.path.join(_SCRATCH_ROOT, "sxray_fixtures")
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """Per-(input, process) scratch dir for side-effect state (IVM views,
+    bucketed layouts). Keyed by a hash of the ABSOLUTE input path (two
+    fixtures sharing a basename never collide) plus the driver pid (two
+    concurrent runs never rmtree each other's state)."""
+    from sanskrit_ocr_ray.util import md5_hex16
+
+    ap = os.path.abspath(sf_dir)
+    tag = f"{os.path.basename(ap)}-{md5_hex16(ap)[:12]}-{os.getpid()}"
+    return os.path.join(_SCRATCH_ROOT, f"sxray_{kind}", tag)
 
 #: synthetic interleaved-docs scale per sf dir
 _N_DOCS = {"sf0.001": 60, "sf0.01": 200, "sf0.1": 600}
@@ -840,7 +857,13 @@ def _ivm_type_counts(sf_dir: str):
     ev = _tbl(sf_dir, "events", ["event_type", "ts", "value"])
     day_us = 86_400_000_000
     max_ts = ev.max("ts")
-    cut_us = (int(pd.Timestamp(max_ts).value // 1000) // day_us) * day_us
+    # empty events → no base/delta boundary: cut at 0 (everything is
+    # delta; refresh_agg handles the fileless empty view)
+    cut_us = (
+        (int(pd.Timestamp(max_ts).value // 1000) // day_us) * day_us
+        if max_ts is not None
+        else 0
+    )
 
     def prep(keep_base: bool):
         def fn(batch: pa.Table) -> pa.Table:
@@ -864,7 +887,7 @@ def _ivm_type_counts(sf_dir: str):
     delta = ev.map_batches(prep(False), batch_format="pyarrow")
     view_dir = materialize_agg(
         base,
-        f"/tmp/sxray_ivm/{os.path.basename(os.path.abspath(sf_dir))}",
+        _scratch_dir("ivm", sf_dir),
         key_col="event_type",
         cents_col="cents",
     )
@@ -885,7 +908,7 @@ def _bucketed_cust_orders(sf_dir: str):
     from sanskrit_ocr_ray.pipelines.bucketed import bucketed_join, write_bucketed
     from sanskrit_ocr_ray.util import typed_empty
 
-    base = f"/tmp/sxray_bucketed/{os.path.basename(os.path.abspath(sf_dir))}"
+    base = _scratch_dir("bucketed", sf_dir)
     write_bucketed(
         _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
         f"{base}/customer",

@@ -68,8 +68,11 @@ def write_bucketed(
     os.makedirs(out_dir, exist_ok=True)
 
     def tag(batch: pa.Table) -> pa.Table:
+        # cast to uint64 BEFORE the modulo — exactly hash_join's single-
+        # int-key bucket function, so the claimed co-partitioning with
+        # in-flight shuffles holds for negative keys too
         b = (
-            batch[key].to_numpy().astype(np.int64) % np.int64(n_buckets)
+            batch[key].to_numpy().astype(np.uint64) % np.uint64(n_buckets)
         ).astype(np.int32)
         return batch.append_column("__bucket", pa.array(b))
 

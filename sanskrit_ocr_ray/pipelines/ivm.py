@@ -104,8 +104,14 @@ def refresh_agg(
     shuffle."""
     import ray.data as rd
 
-    view = rd.read_parquet(view_dir)
     delta = delta_ds.map_batches(
         _partials(key_col, cents_col), batch_format="pyarrow"
     )
-    return _fold(view.union(delta), key_col=key_col, n_buckets=n_buckets)
+    # a zero-row base writes no parquet files (or no dir at all) —
+    # read_parquet would fail on the degenerate fixture, and an empty
+    # view contributes nothing to the monoid fold anyway
+    has_view = os.path.isdir(view_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(view_dir)
+    )
+    combined = rd.read_parquet(view_dir).union(delta) if has_view else delta
+    return _fold(combined, key_col=key_col, n_buckets=n_buckets)

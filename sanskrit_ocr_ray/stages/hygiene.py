@@ -916,9 +916,12 @@ def token_chi2(
             }
         )
 
-    totals = ds.map_batches(cls_partial, batch_format="pyarrow")
-    n_pos = int(totals.sum("n_pos") or 0)
-    n_all = int(totals.sum("n_all") or 0)
+    # ONE pass over the input: materialize the tiny per-batch partials
+    # (one 2-int row per batch) and fold both scalars driver-side —
+    # separate .sum() calls would re-scan the documents table twice
+    tp = ds.map_batches(cls_partial, batch_format="pyarrow").to_pandas()
+    n_pos = int(tp["n_pos"].sum()) if len(tp) else 0
+    n_all = int(tp["n_all"].sum()) if len(tp) else 0
 
     empty = typed_empty(token=object, df=np.int64, chi2_x1m=np.int64)
     if n_pos == 0 or n_pos == n_all:

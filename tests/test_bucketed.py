@@ -133,3 +133,26 @@ def test_sort_within_bucket_clustered_write(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got[["k", "v"]].equals(want[["k", "v"]])
+
+
+def test_negative_keys_copartition_with_hash_join_buckets(ray_session, tmp_path):
+    """write_bucketed's bucket function must equal hash_join's single-
+    int-key function (uint64 cast BEFORE the modulo) so persisted layouts
+    stay co-partitioned with in-flight shuffles for negative keys too."""
+    keys = np.array([-17, -8, -1, 0, 1, 7, 23], np.int64)
+    df = pd.DataFrame({"k": keys, "v": np.arange(len(keys), dtype=np.int64)})
+    root = _mk(str(tmp_path), "neg", df)
+    expect = (keys.astype(np.uint64) % np.uint64(8)).astype(int)
+    seen = {}
+    for b in range(8):
+        p = os.path.join(root, f"__bucket={b}")
+        if os.path.isdir(p):
+            for k in pq.read_table(p)["k"].to_numpy():
+                seen[int(k)] = b
+    assert {int(k): int(e) for k, e in zip(keys, expect)} == seen
+    # and the layout still round-trips losslessly through bucketed_join
+    got = (
+        bucketed_join(root, root, left_key="k", right_key="k", n_buckets=8)
+        .to_pandas()
+    )
+    assert len(got) == len(keys)

@@ -67,3 +67,32 @@ def test_materialize_is_idempotent_and_partitioned(ray_session, tmp_path):
     assert got.event_type.tolist() == ["x", "y"]
     assert got.n.tolist() == [1, 1]
     assert got.sum_c.tolist() == [1, 2]
+
+
+def test_refresh_with_empty_base_view(ray_session, tmp_path):
+    """A zero-row base writes no parquet files; refresh must fall back to
+    delta-only instead of failing on read_parquet of a fileless dir."""
+    view = materialize_agg(
+        _events([]), str(tmp_path / "v_empty"),
+        key_col="event_type", cents_col="cents", n_buckets=4,
+    )
+    got = (
+        refresh_agg(view, _events([("a", 3), ("a", 4), ("b", 1)]),
+                    key_col="event_type", cents_col="cents", n_buckets=4)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got.event_type.tolist() == ["a", "b"]
+    assert got.n.tolist() == [2, 1]
+    assert got.sum_c.tolist() == [7, 1]
+
+
+def test_refresh_with_missing_view_dir(ray_session, tmp_path):
+    got = (
+        refresh_agg(str(tmp_path / "nonexistent"), _events([("z", 9)]),
+                    key_col="event_type", cents_col="cents", n_buckets=4)
+        .to_pandas()
+    )
+    assert got.event_type.tolist() == ["z"]
+    assert got.sum_c.tolist() == [9]
