@@ -1775,6 +1775,28 @@ def _value_quantiles_cont(sf_dir: str):
     return quantiles_cont(ds, "value_c")
 
 
+def _value_quantiles_hdr(sf_dir: str):
+    """Deterministic mergeable quantile SKETCH (HDR-histogram shape,
+    2^6 log-spaced sub-buckets per octave) — the continuous-data scale
+    path where the exact O(#distinct) histogram of value_quantiles
+    stops being small. Bucketing is a pure function of the value, so
+    the sketch is merge-order-independent and the oracle reproduces the
+    approximate answer EXACTLY; bounds: approx ≤ exact < approx·(1+2⁻⁶)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import hdr_quantiles
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return hdr_quantiles(ds, "value_c", m_bits=6)
+
+
 def _top2_events_per_user(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -2946,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": _customers_no_orders,
         "value_quantiles": _value_quantiles,
         "value_quantiles_cont": _value_quantiles_cont,
+        "value_quantiles_hdr": _value_quantiles_hdr,
         "value_quantiles_binned": _value_quantiles_binned,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
@@ -3777,6 +3800,38 @@ SELECT CAST(p.q_pm AS BIGINT) AS q_pm,
 FROM p
 JOIN s lo ON lo.r = p.i
 LEFT JOIN s hi ON hi.r = p.i + 1
+""",
+        # HDR-histogram quantile sketch: deterministic log-spaced
+        # bucketing (64 sub-buckets/octave) → grouped counts → cumsum →
+        # bucket lower bound; the e-correction CASE keeps the float log2
+        # exponent integer-exact at octave edges (cents < 2^53 here, so
+        # the BIGINT shifts cannot overflow)
+        "value_quantiles_hdr": """
+WITH v AS (SELECT greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS c
+           FROM events),
+e0 AS (SELECT c, CAST(floor(log2(c)) AS BIGINT) AS e FROM v WHERE c >= 64),
+e1 AS (SELECT c, CASE WHEN (1::BIGINT << CAST(e + 1 AS INTEGER)) <= c THEN e + 1
+                      WHEN (1::BIGINT << CAST(e AS INTEGER)) > c THEN e - 1
+                      ELSE e END AS e FROM e0),
+b AS (
+  SELECT c AS idx FROM v WHERE c < 64
+  UNION ALL
+  SELECT (e - 5) * 64 + (c >> CAST(e - 6 AS INTEGER)) - 64 FROM e1
+),
+hist AS (SELECT idx, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY idx),
+cum AS (SELECT idx, sum(n) OVER (ORDER BY idx) AS cn,
+               (SELECT sum(n) FROM hist) AS total FROM hist),
+pick AS (
+  SELECT q.q_pm, min(cum.idx) AS idx
+  FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+  JOIN cum ON cum.cn >= (q.q_pm * cum.total + 999) // 1000
+  GROUP BY q.q_pm
+)
+SELECT CAST(q_pm AS BIGINT) AS q_pm,
+       CAST(CASE WHEN idx < 64 THEN idx
+            ELSE (64 + idx % 64) << CAST(idx // 64 - 1 AS INTEGER) END AS BIGINT)
+         AS approx
+FROM pick
 """,
         "latest_order_per_customer": """
 SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_date_us FROM (

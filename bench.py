@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "impute_values",
         "inlink_counts",
         "value_quantiles_cont",
+        "value_quantiles_hdr",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",

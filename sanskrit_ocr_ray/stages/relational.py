@@ -730,6 +730,117 @@ def quantiles_binned(ds, column: str, *, scale: int = 10, q_pm: list[int] | None
     return quantiles_exact(binned, "bin", q_pm=q_pm)
 
 
+def hdr_bucket_index(v: np.ndarray, m_bits: int) -> np.ndarray:
+    """HDR-histogram bucket index for non-negative int64 values.
+
+    ``v < 2^m`` → exact bucket ``idx = v``; otherwise with
+    ``e = floor(log2 v)`` and ``h = e − m`` the bucket is
+    ``idx = (h+1)·2^m + (v >> h) − 2^m`` — 2^m log-spaced sub-buckets
+    per octave, so the bucket lower bound under-estimates any member by
+    a RELATIVE error < 2^−m. The mapping is a pure function of the
+    value (no sampling, no ordering) — the whole sketch is
+    order/merge-independent and exactly reproducible in SQL.
+    """
+    m = m_bits
+    idx = v.copy()
+    big = v >= np.int64(1 << m)
+    if big.any():
+        vb = v[big]
+        e = (np.frexp(vb.astype(np.float64))[1] - 1).astype(np.int64)
+        # exact integer correction of the float exponent (safety for
+        # values near octave edges / beyond float53 exactness); the
+        # shifts run in uint64 so 1 << 63 (e = 62 at the int64 max
+        # octave) cannot overflow into a sign flip
+        vb_u = vb.astype(np.uint64)
+        e = np.where(
+            (np.uint64(1) << (e + 1).astype(np.uint64)) <= vb_u, e + 1, e
+        )
+        e = np.where((np.uint64(1) << e.astype(np.uint64)) > vb_u, e - 1, e)
+        h = e - m
+        idx[big] = (h + 1) * np.int64(1 << m) + (vb >> h) - np.int64(1 << m)
+    return idx
+
+
+def hdr_bucket_lo(idx: np.ndarray, m_bits: int) -> np.ndarray:
+    """Inverse lower bound of :func:`hdr_bucket_index` buckets."""
+    m = m_bits
+    lo = idx.copy()
+    big = idx >= np.int64(1 << m)
+    if big.any():
+        h = idx[big] // np.int64(1 << m) - 1
+        r = idx[big] % np.int64(1 << m)
+        lo[big] = (np.int64(1 << m) + r) << h
+    return lo
+
+
+def hdr_quantiles(
+    ds, column: str, *, m_bits: int = 6, q_pm: list[int] | None = None
+):
+    """Deterministic mergeable quantile sketch for continuous /
+    unbounded-cardinality integer columns — the scale path where
+    :func:`quantiles_exact`'s O(#distinct) histogram assumption fails
+    and :func:`quantiles_binned` would need a known value range.
+
+    HDR-histogram shape (log-spaced buckets, 2^``m_bits`` per octave):
+    per-batch dense ``np.bincount`` over bucket indices (the whole index
+    space is ≤ ~64·2^m entries — a few KB), ONE small groupby over
+    occupied buckets, driver-side cumsum. Counts are a commutative
+    monoid, so the sketch is mergeable and the result is independent of
+    partitioning/merge order — unlike KLL/t-digest, whose compactions
+    are order-sensitive, this sketch is bit-reproducible and the DuckDB
+    oracle gates it EXACTLY. Guaranteed bounds (error-bound pytest):
+    ``approx ≤ exact_quantile < approx·(1 + 2^−m_bits)``.
+
+    Quantile definition matches :func:`quantiles_exact` (value at
+    1-based sorted position ``ceil(q·n/1000)``), reported as the bucket
+    lower bound. Domain: non-negative ints (values are clamped at 0).
+    Returns (q_pm, approx) pandas frame.
+    """
+    from ray.data.aggregate import Sum
+
+    q_pm = q_pm or [250, 500, 750, 900, 990]
+    m = m_bits
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.maximum(batch[column].to_numpy().astype(np.int64), 0)
+        idx = hdr_bucket_index(v, m)
+        counts = np.bincount(idx)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "idx": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("idx")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(occupied buckets) ≤ ~64·2^m rows
+    )
+    empty = pd.DataFrame(
+        {"q_pm": np.asarray([], np.int64), "approx": np.asarray([], np.int64)}
+    )
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("idx")  # bucket index order == value order
+    cum = np.cumsum(hist["n"].to_numpy())
+    idxs = hist["idx"].to_numpy().astype(np.int64)
+    n = int(cum[-1])
+    if n == 0:
+        return empty
+    out_q, out_v = [], []
+    for q in q_pm:
+        k = (q * n + 999) // 1000  # ceil(q·n/1000), integer-exact
+        i = int(np.searchsorted(cum, k, side="left"))
+        out_q.append(q)
+        out_v.append(int(hdr_bucket_lo(idxs[i : i + 1], m)[0]))
+    return pd.DataFrame(
+        {"q_pm": np.asarray(out_q, np.int64), "approx": np.asarray(out_v, np.int64)}
+    )
+
+
 def grouped_top_k(
     ds,
     *,

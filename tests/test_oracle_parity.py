@@ -127,6 +127,7 @@ SUBSET = [
     "impute_values",
     "inlink_counts",
     "value_quantiles_cont",
+    "value_quantiles_hdr",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",

@@ -1584,3 +1584,68 @@ def test_rows_above_group_mean_planted(ray_session):
     )
     assert out.oid.tolist() == [2, 4]
     assert out.c.tolist() == [30, 10]
+
+
+def test_hdr_quantiles_error_bound_vs_exact(ray_session):
+    """HDR sketch guarantee: approx ≤ exact < approx·(1 + 2^-m) for
+    values ≥ 2^m, equality below 2^m — verified against the exact path
+    on a heavy-tailed sample."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hdr_quantiles, quantiles_exact
+
+    rng = np.random.default_rng(23)
+    vals = np.concatenate(
+        [
+            rng.integers(0, 64, 500),
+            (rng.pareto(1.2, 4000) * 1000).astype(np.int64),
+            np.array([(1 << 62) + 999, (1 << 52) + 7], np.int64),
+        ]
+    )
+    df = pd.DataFrame({"c": vals.astype(np.int64)})
+    for m in (4, 6, 8):
+        approx = hdr_quantiles(
+            rd.from_pandas(df), "c", m_bits=m, q_pm=[100, 500, 900, 990]
+        ).set_index("q_pm")["approx"]
+        exact = quantiles_exact(
+            rd.from_pandas(df), "c", q_pm=[100, 500, 900, 990]
+        ).set_index("q_pm")["c"]
+        for q in (100, 500, 900, 990):
+            a, e = int(approx[q]), int(exact[q])
+            assert a <= e, (m, q, a, e)
+            assert e < max(a + 1, a * (1 + 2.0 ** -m) + 1), (m, q, a, e)
+
+
+def test_hdr_quantiles_merge_order_independent(ray_session):
+    """The sketch must be bit-identical under different partitionings —
+    the property KLL/t-digest lack and the reason the oracle can gate it."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import hdr_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"c": (rng.pareto(1.5, 3000) * 500).astype(np.int64)})
+    outs = []
+    for nparts in (1, 7, 32):
+        ds = rd.from_pandas(df).repartition(nparts)
+        outs.append(hdr_quantiles(ds, "c", m_bits=6).to_numpy().tolist())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_hdr_bucket_roundtrip_extremes(ray_session):
+    from sanskrit_ocr_ray.stages.relational import hdr_bucket_index, hdr_bucket_lo
+
+    vals = np.array(
+        [0, 1, 63, 64, 255, (1 << 40) + 12345, (1 << 62) + 999, (1 << 63) - 1],
+        np.int64,
+    )
+    idx = hdr_bucket_index(vals, 6)
+    lo = hdr_bucket_lo(idx, 6)
+    assert (lo <= vals).all()
+    big = idx >= 64
+    h = idx[big] // 64 - 1
+    assert ((vals[big] - lo[big]) < (np.int64(1) << np.minimum(h, 62))).all()
+    assert (vals[~big] == lo[~big]).all()
+    # monotone in value
+    order = np.argsort(vals, kind="mergesort")
+    assert (np.diff(idx[order]) >= 0).all()
