@@ -104,6 +104,7 @@ def extract_dataset(
     media_ref_embeds_doc_id: bool = True,
     boilerplate_min_docs: int | None = None,
     extra_span_stages: tuple = (),
+    recognizer_ray_remote_args: dict | None = None,
 ):
     """One-shot extraction over in-flight Datasets → OUT_DOCS Dataset.
 
@@ -151,6 +152,11 @@ def extract_dataset(
         batch_size=page_batch_size,
         concurrency=recognizer_concurrency,
         num_cpus=1,
+        # GPU/custom-resource slot for the model stage (the reference
+        # pins its model to one GPU per worker, translate_bookcorpus.py
+        # :119-128): pass {"num_gpus": 1} or {"resources": {...}} to
+        # constrain actor placement to accelerator-bearing nodes
+        **(recognizer_ray_remote_args or {}),
     )
     if media_ref_embeds_doc_id:
         rec_rows = rec_out.map_batches(rec_to_span_rows, batch_format="pyarrow")

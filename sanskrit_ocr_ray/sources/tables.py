@@ -219,6 +219,25 @@ def read_table(
     return rd.read_parquet(path, columns=columns, filter=row_filter)
 
 
+def write_table(ds, path: str, **write_args):
+    """Write a Dataset to ``path``, dispatching on the extension the same
+    way :func:`read_table` does: a ``*.lance`` path uses Ray's native
+    ``Dataset.write_lance`` (requires ``pylance`` — absent in this
+    sandbox, so the arm raises a CLEAR capability error instead of an
+    AttributeError deep inside a write task); anything else streams
+    partitioned Parquet. Returns ``path``."""
+    if path.endswith(".lance"):
+        if not lance_available():
+            raise ImportError(
+                f"writing {path} requires the 'lance' package (pylance); "
+                "install it or write Parquet instead (drop the .lance suffix)"
+            )
+        ds.write_lance(path, **write_args)
+        return path
+    ds.write_parquet(path, **write_args)
+    return path
+
+
 def table_schema(path: str):
     """Driver-side schema sniff for one table path — footer/header only,
     never row data. Used by :func:`read_table_union` to plan projection

@@ -553,3 +553,59 @@ def test_pq_adc_topk_matches_reference_model(ray_session):
             (qid, r + 1, int(i), int(dist[i])) for r, i in enumerate(order)
         )
     assert got_rows == exp_rows
+
+
+@pytest.fixture(scope="module")
+def clustered_ds(ray_session):
+    """Seeded 6k-vector fixture: 32 unit-norm cluster centers with tight
+    Gaussian clouds — the regime IVF/LSH are built for. Realistic-config
+    recall gates run against brute-force ground truth on this fixture so
+    ANN tuning regressions surface (the driver oracles pin only the
+    exact-degenerate configs)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(123)
+    dim, n_clusters, per = 16, 32, 192
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        pts = centers[c][None, :] + 0.05 * rng.normal(size=(per, dim))
+        for p in pts:
+            rows.append({"vec_id": vid, "embedding": p.astype(np.float64).tolist()})
+            vid += 1
+    return rd.from_items(rows).repartition(8)
+
+
+def _recall_at_k(got, truth):
+    per_q = []
+    for q, g in truth.groupby("query_id"):
+        t = set(g["neighbor_id"])
+        mine = set(got[got["query_id"] == q]["neighbor_id"])
+        per_q.append(len(mine & t) / max(len(t), 1))
+    return float(np.mean(per_q))
+
+
+def test_knn_ivf_recall_realistic_config(clustered_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute, knn_ivf
+
+    queries = list(range(0, 6144, 307))  # 21 spread-out query ids
+    truth = knn_brute(clustered_ds, query_ids=queries, k=5).to_pandas()
+    got = knn_ivf(
+        clustered_ds, query_ids=queries, k=5, n_centroids=32, nprobe=4
+    ).to_pandas()
+    r = _recall_at_k(got, truth)
+    assert r >= 0.9, f"IVF recall@5 {r:.3f} < 0.9 at nlist=32 nprobe=4"
+
+
+def test_knn_lsh_recall_realistic_config(clustered_ds):
+    from sanskrit_ocr_ray.stages.similarity import knn_brute, knn_lsh
+
+    queries = list(range(0, 6144, 307))
+    truth = knn_brute(clustered_ds, query_ids=queries, k=5).to_pandas()
+    got = knn_lsh(
+        clustered_ds, query_ids=queries, k=5, n_planes=8, multiprobe=2
+    ).to_pandas()
+    r = _recall_at_k(got, truth)
+    assert r >= 0.9, f"LSH recall@5 {r:.3f} < 0.9 at n_planes=8 multiprobe=2"

@@ -349,3 +349,81 @@ def test_read_table_union_schema_evolution(ray_session, tmp_path):
 
     with _pytest.raises(KeyError):
         read_table_union([p1, p2], columns=["nope"])
+
+
+def test_read_table_lance_projection_includes_filter_columns(
+    ray_session, monkeypatch
+):
+    """The Lance arm has no expression pushdown, so with a row_filter
+    whose column is outside ``columns`` + a filter_columns hint, the
+    storage-side projection must WIDEN to include the filter column and
+    the post-filter select must trim it back off."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.sources import tables
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    seen = {}
+
+    def fake_read_lance(path, columns=None):
+        seen["columns"] = columns
+        return rd.read_parquet(src, columns=columns)
+
+    monkeypatch.setattr(tables, "lance_available", lambda: True)
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+
+    cols = ["doc_id", "n_chars"]
+    expr = ~pds.field("lang").isin(["sa"])
+    got = tables.read_table(
+        "/tmp/fake_docs.lance",
+        columns=cols,
+        row_filter=expr,
+        filter_columns=["lang"],
+    ).to_pandas()
+    # storage asked for the union, output trimmed to the projection
+    assert seen["columns"] == ["doc_id", "n_chars", "lang"]
+    assert sorted(got.columns) == sorted(cols)
+    want = tables.read_table(src, columns=cols, row_filter=expr).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = want.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # without the hint the arm must stay correct via a full-width read
+    seen.clear()
+    got2 = tables.read_table(
+        "/tmp/fake_docs.lance", columns=cols, row_filter=expr
+    ).to_pandas()
+    assert seen["columns"] is None
+    assert sorted(got2.columns) == sorted(cols)
+    assert got2.sort_values("doc_id").reset_index(drop=True).equals(b)
+
+
+def test_write_table_lance_capability_error(ray_session, tmp_path, monkeypatch):
+    """The .lance write arm raises a clear capability error without
+    pylance, dispatches to Dataset.write_lance with it, and the default
+    arm streams Parquet that read_table round-trips."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.sources import tables
+
+    ds = rd.range(8)
+    if not tables.lance_available():
+        with pytest.raises(ImportError, match="pylance"):
+            tables.write_table(ds, str(tmp_path / "t.lance"))
+    # mocked-available: the call must route to write_lance
+    monkeypatch.setattr(tables, "lance_available", lambda: True)
+    calls = {}
+    monkeypatch.setattr(
+        type(ds),
+        "write_lance",
+        lambda self, path, **kw: calls.setdefault("path", path),
+        raising=False,
+    )
+    out = tables.write_table(ds, str(tmp_path / "t.lance"))
+    assert calls["path"] == out
+
+    # parquet arm round-trips through read_table
+    pdir = str(tmp_path / "t_parquet")
+    tables.write_table(ds, pdir)
+    back = tables.read_table(pdir).to_pandas()
+    assert sorted(back["id"].tolist()) == list(range(8))
