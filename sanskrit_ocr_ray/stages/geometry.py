@@ -781,7 +781,7 @@ def _residual_severity(ink: np.ndarray) -> float:
 
 def recover_page_geometry(
     img: np.ndarray, dbg: bool = False, max_rounds: int = 7, info: dict | None = None,
-    _force_cyl: tuple | None = None,
+    _force_cyl: tuple | None = None, _force_wash: bool = False,
 ) -> np.ndarray:
     """Geometry-recovering binarization of one grayscale page.
 
@@ -826,8 +826,13 @@ def recover_page_geometry(
     ink255 = ink0.astype(np.float32) * np.float32(255.0)
     prev_sev = None
     prev_comp = None
+    skip_growth = False
     peels: list[tuple[str, tuple | None]] = []
     stalled_cyl: tuple | None = None
+    cyl_cand: tuple | None = None   # latest RAW cylinder fit (pre-gate)
+    # round-0 in-family wash candidacy: the wash-first order retry below
+    # only makes sense when the original frame showed a real sine
+    wash0 = bool(est["amp"] >= 3.0 and est["lam"] <= LAM_APPLY_MAX)
     if _force_cyl is not None:
         side_f, W_f, R_f = _force_cyl
         gy, gx = _cyl_inverse_maps(side_f, W_f, R_f, h, w, yy)
@@ -851,6 +856,14 @@ def recover_page_geometry(
     for _ in range(max_rounds):
         amp = max(est["amp"], est["amp_eff"])
         cyl = est["cyl"]
+        if cyl is not None:
+            # retry candidates must be family-shaped on their own terms
+            # (SSE ratio + strength) — only the W phantom cap may have
+            # rejected them; junk fits (weak strength, flat ratio) would
+            # otherwise trigger wrong-order retries on plain wash pages
+            _sc, _Wc, _Rc, _cs, _cs0 = cyl
+            if _cs <= 0.9 * _cs0 and 0.32 <= _Wc / _Rc <= 0.95:
+                cyl_cand = cyl
         # washboard application gate: the reference family is lambda 90-150;
         # longer-wave "sines" are fit noise on blurred/clean pages
         wash_on = (amp >= 1.2 and est["sse"] < 0.8 * est["sse0"]
@@ -911,6 +924,14 @@ def recover_page_geometry(
             (est["amp"] >= 3.0 and est["lam"] <= LAM_APPLY_MAX)
             or cyl is not None
         )
+        if _force_wash and not peels and wash_on:
+            # order-retry hypothesis: the washboard was applied LAST, so
+            # it must come off FIRST — suppress the severity-greedy
+            # rot/cyl choice for this one round, and exempt the NEXT
+            # round from the growth bar (the sine floods the cyl/rot
+            # fits, so severity legitimately jumps once it comes off)
+            rot_on, cyl, cyl_sev = False, None, 0.0
+            skip_growth = True
         sev = max(cyl_sev, amp if wash_on else 0.0,
                   3.0 * abs(ang) if rot_on else 0.0)
         comp = ("rot" if rot_on
@@ -928,7 +949,7 @@ def recover_page_geometry(
         # no growth bar right after a rotation peel: derotation leaves
         # every other component intact AND un-masks components the tilted
         # fit underestimated, so severity legitimately rises
-        if (prev_sev is not None and prev_comp != "rot"
+        if (prev_sev is not None and prev_comp != "rot" and not skip_growth
                 and sev > prev_sev * (1.1 if comp != prev_comp else 0.85)):
             # a gate-passing cylinder whose severity GROWS after a wash
             # peel marks a composition-order miss: capture it for the
@@ -936,6 +957,8 @@ def recover_page_geometry(
             if comp == "cyl" and cyl is not None:
                 stalled_cyl = cyl
             break
+        if peels:
+            skip_growth = False  # the exemption covers exactly one round
         prev_sev = sev
         prev_comp = comp
         peels.append((comp, cyl if comp == "cyl" else None))
@@ -995,6 +1018,52 @@ def recover_page_geometry(
     fill = float(np.median(img))
     gray = _bicubic2d(img.astype(np.float32), My, Mx, fill)
     out = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
+    # final in-map micro-derotate: a residual rotation below the in-loop
+    # peel bar but above the slope noise floor, left under a peeled
+    # cylinder, costs 1-2 glyphs at the cylinder edge (measured: the
+    # ±4.8° rotation over a 0.53 cylinder sampler page decoded 2 wrong
+    # glyphs with a −0.35° residual), and the downstream
+    # refine_skew/estimate_skew fallbacks would pay a SECOND lossy
+    # resample on the thresholded mask. Real-vs-phantom gate: a sub-1°
+    # slope is only trustworthy when a ROT peel happened earlier in this
+    # run — it is then the rot estimator's own residual error by
+    # construction (both cyl+rot near-misses decode exact with it
+    # composed) — whereas on a run that never detected a rotation the
+    # same read is warp-fit noise (a −0.49° phantom on a wash+cyl page
+    # cost a glyph; the projection-profile refine cannot arbitrate here:
+    # measured −0.75° on a true −0.35° residual). Composing into the
+    # total map keeps the final output a single resample.
+    if any(p[0] == "cyl" for p in peels):
+        rad = float(np.arcsin(np.clip(info["slope_resid"], -0.3, 0.3)))
+        if 0.004 <= abs(rad) <= 0.04 and not any(p[0] == "rot" for p in peels):
+            # no rot peel → the slope alone is warp-fit noise; ask the
+            # independent projection-profile estimator, measured on the
+            # cylinder-free columns (inside a peeled strip the lines
+            # curve and bias the argmax), and compose ITS angle only
+            # when it confirms a rotation is really there
+            lcut = rcut = 0
+            for pname, pdata in peels:
+                if pname == "cyl" and pdata is not None:
+                    wi = int(min(float(pdata[1]), w))
+                    if pdata[0] == "left":
+                        lcut = max(lcut, wi)
+                    else:
+                        rcut = max(rcut, wi)
+            sub = out[:, lcut : w - rcut] if (w - lcut - rcut) >= 0.3 * w else out
+            ang = refine_skew(sub, float(np.degrees(rad)), half=0.5)
+            rad = float(np.deg2rad(ang)) if abs(ang) >= 0.25 else 0.0
+        if 0.004 <= abs(rad) <= 0.04:  # ~0.23° … 2.3°
+            c, s = np.cos(rad), np.sin(rad)
+            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+            gy = c * (yy - cy) + s * (xx - cx) + cy
+            gx = -s * (yy - cy) + c * (xx - cx) + cx
+            My, Mx = _bilinear2d_pair(My, Mx, gy, gx, fill=np.nan)
+            oob = ~np.isfinite(My) | ~np.isfinite(Mx)
+            My[oob] = -10.0
+            Mx[oob] = -10.0
+            info["slope_resid"] = 0.0
+            gray = _bicubic2d(img.astype(np.float32), My, Mx, fill)
+            out = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
     # composition-order retry: the reference samples transform order
     # randomly, and a cylinder applied ON TOP of a strong washboard is
     # invisible to round-0 estimation (the unremoved sine floods its SSE
@@ -1002,24 +1071,38 @@ def recover_page_geometry(
     # and the leftover cylinder stalls the loop. Retry once with the
     # discovered cylinder peeled first; keep whichever output re-estimates
     # cleaner. Rare (stall-only), so the extra full pass is paid ~never.
-    if _force_cyl is None and peels and peels[0][0] == "wash":
-        first_cyl = stalled_cyl or next(
-            (p[1] for p in peels if p[0] == "cyl"), None)
-        if first_cyl is not None:
-            r1 = _residual_severity(out)
-            if stalled_cyl is not None or r1 >= 1.5:
-                side_c, W_c, R_c = first_cyl[0], first_cyl[1], first_cyl[2]
-                info2: dict = {}
-                out2 = recover_page_geometry(
-                    img, dbg=dbg, max_rounds=max_rounds, info=info2,
-                    _force_cyl=(side_c, W_c, R_c),
-                )
-                r2 = _residual_severity(out2)
-                if dbg:
-                    print(f"  order-retry: residual sev {r1:.2f} -> {r2:.2f}")
-                if r2 < r1 - 0.3:
-                    info.update(info2)
-                    return out2
+    if _force_cyl is None and not _force_wash and peels:
+        r1 = _residual_severity(out)
+        tries: list[dict] = []
+        if peels[0][0] == "wash" and (stalled_cyl is not None or r1 >= 1.5):
+            # cyl-first: include the latest RAW (possibly gate-rejected)
+            # cylinder candidate — a cylinder applied on top of the wash
+            # is mangled by the wrong-frame wash peel, so its refit can
+            # land outside the family gates (W beyond the 0.55·w phantom
+            # cap) while still marking a real component worth the retry
+            fc = stalled_cyl or next(
+                (p[1] for p in peels if p[0] == "cyl"), None) or cyl_cand
+            if fc is not None:
+                tries.append({"_force_cyl": (fc[0], fc[1], fc[2])})
+        if r1 >= 3.0 and peels[0][0] != "wash" and wash0:
+            # wash-first: the page opened rot/cyl-dominant but carried an
+            # in-family sine the whole time — when the wash was applied
+            # LAST (reference order is random), the severity-greedy peel
+            # order corrected rot/cyl in the wash-distorted frame and the
+            # sine never came off
+            tries.append({"_force_wash": True})
+        for kw in tries:
+            info2: dict = {}
+            out2 = recover_page_geometry(
+                img, dbg=dbg, max_rounds=max_rounds, info=info2, **kw,
+            )
+            r2 = _residual_severity(out2)
+            if dbg:
+                print(f"  order-retry {kw}: residual sev {r1:.2f} -> {r2:.2f}")
+            if r2 < r1 - 0.3:
+                info.clear()
+                info.update(info2)
+                out, r1 = out2, r2
     return out
 
 
