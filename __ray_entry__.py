@@ -1797,6 +1797,55 @@ def _value_quantiles_hdr(sf_dir: str):
     return hdr_quantiles(ds, "value_c", m_bits=6)
 
 
+def _quantiles_hdr_by_type(sf_dir: str):
+    """Per-group HDR quantile sketches (one tiny dense histogram per
+    event_type riding a single bounded hash(group) shuffle) — the
+    per-key mergeable-sketch pattern a 100 TB per-domain quality
+    dashboard runs; merge-order independent, so exactly oracle-gated."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import hdr_quantiles_by_group
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return hdr_quantiles_by_group(ds, "event_type", "value_c", m_bits=6)
+
+
+def _value_trend_by_type(sf_dir: str):
+    """Per-group OLS value trend (slope/intercept ×1e6, exact): the five
+    sufficient statistics are int64 partials (x pre-scaled to HOURS so
+    Σxy/Σx² cannot overflow), one bounded shuffle, Python-bigint closed
+    form — mirrored bit-for-bit by a HUGEINT oracle with floor-division
+    emulation (DuckDB // truncates toward zero; Python floors)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from sanskrit_ocr_ray.stages.relational import grouped_linreg
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()).to_numpy()
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x_hours": pa.array(ts_us // 3_600_000_000),
+                "cents": pa.array(c),
+            }
+        )
+
+    ds = _tbl(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_linreg(ds, "event_type", "x_hours", "cents")
+
+
 def _top2_events_per_user(sf_dir: str):
     import numpy as np
     import pyarrow as pa
@@ -2969,6 +3018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _value_quantiles,
         "value_quantiles_cont": _value_quantiles_cont,
         "value_quantiles_hdr": _value_quantiles_hdr,
+        "quantiles_hdr_by_type": _quantiles_hdr_by_type,
+        "value_trend_by_type": _value_trend_by_type,
         "value_quantiles_binned": _value_quantiles_binned,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
@@ -3832,6 +3883,61 @@ SELECT CAST(q_pm AS BIGINT) AS q_pm,
             ELSE (64 + idx % 64) << CAST(idx // 64 - 1 AS INTEGER) END AS BIGINT)
          AS approx
 FROM pick
+""",
+        # grouped HDR sketch: identical bucketing to value_quantiles_hdr,
+        # cumsum/total windows partitioned per group
+        "quantiles_hdr_by_type": """
+WITH v AS (SELECT event_type,
+                  greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 0) AS c
+           FROM events),
+e0 AS (SELECT event_type, c, CAST(floor(log2(c)) AS BIGINT) AS e
+       FROM v WHERE c >= 64),
+e1 AS (SELECT event_type, c,
+              CASE WHEN (1::BIGINT << CAST(e + 1 AS INTEGER)) <= c THEN e + 1
+                   WHEN (1::BIGINT << CAST(e AS INTEGER)) > c THEN e - 1
+                   ELSE e END AS e FROM e0),
+b AS (
+  SELECT event_type, c AS idx FROM v WHERE c < 64
+  UNION ALL
+  SELECT event_type, (e - 5) * 64 + (c >> CAST(e - 6 AS INTEGER)) - 64 FROM e1
+),
+hist AS (SELECT event_type, idx, CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY event_type, idx),
+cum AS (SELECT event_type, idx,
+               sum(n) OVER (PARTITION BY event_type ORDER BY idx) AS cn,
+               sum(n) OVER (PARTITION BY event_type) AS total FROM hist),
+pick AS (
+  SELECT cum.event_type, q.q_pm, min(cum.idx) AS idx
+  FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+  JOIN cum ON cum.cn >= (q.q_pm * cum.total + 999) // 1000
+  GROUP BY cum.event_type, q.q_pm
+)
+SELECT event_type, CAST(q_pm AS BIGINT) AS q_pm,
+       CAST(CASE WHEN idx < 64 THEN idx
+            ELSE (64 + idx % 64) << CAST(idx // 64 - 1 AS INTEGER) END AS BIGINT)
+         AS approx
+FROM pick
+""",
+        # per-group OLS in HUGEINT; // truncates toward zero in DuckDB,
+        # so floor division is emulated with the remainder correction
+        "value_trend_by_type": """
+WITH v AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 3600000000 AS HUGEINT) AS x,
+                  CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS HUGEINT) AS y
+           FROM events),
+s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM v GROUP BY event_type),
+r AS (SELECT event_type, n, n * sxx - sx * sx AS den,
+             CAST(1000000 AS HUGEINT) * (n * sxy - sx * sy) AS nums,
+             CAST(1000000 AS HUGEINT) * (sy * sxx - sx * sxy) AS numi
+      FROM s WHERE n * sxx - sx * sx <> 0)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(nums // den - CASE WHEN nums % den <> 0 AND nums < 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS slope_x1m,
+       CAST(numi // den - CASE WHEN numi % den <> 0 AND numi < 0
+                          THEN 1 ELSE 0 END AS BIGINT) AS intercept_x1m
+FROM r
 """,
         "latest_order_per_customer": """
 SELECT o_custkey, CAST(rank AS BIGINT) AS rank, o_orderkey, o_date_us FROM (

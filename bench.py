@@ -168,6 +168,8 @@ def run_bench() -> dict:
         "inlink_counts",
         "value_quantiles_cont",
         "value_quantiles_hdr",
+        "quantiles_hdr_by_type",
+        "value_trend_by_type",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",
@@ -213,8 +215,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency."""
-    # generate the fixture once up-front so neither timed run synthesizes
+    """Same job, fresh processes, num_cpus=8 then 32 → scaling efficiency.
+
+    Runs SXRAY_SCALING_RUNS pairs (default 3) back-to-back and reports
+    the MEDIAN-efficiency pair — a best-pair selection can cherry-pick
+    co-tenant noise (the 8-CPU leg slows → the ratio inflates), a median
+    cannot. All pairs are included in the output for inspection.
+    """
+    # generate the fixture once up-front so no timed run synthesizes
+    import statistics
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
@@ -236,18 +246,31 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    n_runs = int(os.environ.get("SXRAY_SCALING_RUNS", "3"))
+    pairs = []
+    for _ in range(max(1, n_runs)):
+        lo, hi = one(8), one(32)
+        pairs.append(
+            {
+                "eff": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8), 3),
+                "docs_per_sec_8": lo["docs_per_sec"],
+                "docs_per_sec_32": hi["docs_per_sec"],
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+            }
+        )
+    med_eff = statistics.median(p["eff"] for p in pairs)
+    med = min(pairs, key=lambda p: abs(p["eff"] - med_eff))
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": med["eff"],
         "unit": "ratio",
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "queries_8": lo["queries"],
-        "queries_32": hi["queries"],
+        "docs_per_sec_8": med["docs_per_sec_8"],
+        "docs_per_sec_32": med["docs_per_sec_32"],
+        "sec_8": med["sec_8"],
+        "sec_32": med["sec_32"],
+        "n_pairs": len(pairs),
+        "pairs": pairs,
         "bench_docs": BENCH_DOCS,
     }
 

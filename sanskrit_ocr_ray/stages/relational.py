@@ -841,6 +841,170 @@ def hdr_quantiles(
     )
 
 
+def hdr_quantiles_by_group(
+    ds,
+    group: str,
+    column: str,
+    *,
+    m_bits: int = 6,
+    q_pm: list[int] | None = None,
+    n_buckets: int = 64,
+):
+    """Per-group :func:`hdr_quantiles` — the per-key mergeable-sketch
+    pattern at scale: each batch emits (group, bucket_idx, count)
+    partials (the per-group sketch is a tiny dense histogram), ONE
+    bounded ``hash(group) % B`` shuffle merges them, and each bucket
+    task finalizes every one of its groups vectorized. Nothing about
+    the answer depends on partitioning or merge order, so the DuckDB
+    oracle gates it exactly. Returns (group, q_pm, approx) rows.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    q_pm = q_pm or [250, 500, 750, 900, 990]
+    m = m_bits
+    empty = typed_empty(**{group: object, "q_pm": np.int64, "approx": np.int64})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False)
+        v = np.maximum(batch[column].to_numpy().astype(np.int64), 0)
+        idx = hdr_bucket_index(v, m)
+        df = pd.DataFrame({group: g, "idx": idx})
+        agg = df.groupby([group, "idx"], as_index=False, sort=False).size()
+        b = (fast_hash_u64(agg[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                group: pa.array(agg[group]),
+                "idx": pa.array(agg["idx"].to_numpy().astype(np.int64)),
+                "n": pa.array(agg["size"].to_numpy().astype(np.int64)),
+                "__qb": pa.array(b),
+            }
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        hist = (
+            df.groupby([group, "idx"], as_index=False)["n"].sum()
+            .sort_values([group, "idx"], kind="mergesort")
+        )
+        out_g, out_q, out_v = [], [], []
+        for gname, sub in hist.groupby(group, sort=True):
+            cum = np.cumsum(sub["n"].to_numpy())
+            idxs = sub["idx"].to_numpy().astype(np.int64)
+            n = int(cum[-1])
+            if n == 0:
+                continue
+            for q in q_pm:
+                k = (q * n + 999) // 1000
+                i = int(np.searchsorted(cum, k, side="left"))
+                out_g.append(gname)
+                out_q.append(q)
+                out_v.append(int(hdr_bucket_lo(idxs[i : i + 1], m)[0]))
+        return pd.DataFrame(
+            {
+                group: out_g,
+                "q_pm": np.asarray(out_q, np.int64),
+                "approx": np.asarray(out_v, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__qb")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def grouped_linreg(
+    ds,
+    group: str,
+    x_col: str,
+    y_col: str,
+    *,
+    n_buckets: int = 64,
+    scale: int = 1_000_000,
+):
+    """Per-group OLS slope/intercept, INTEGER-EXACT: each batch emits the
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx²) as partials — the
+    classic mergeable-moments shape, one bounded ``hash(group) % B``
+    shuffle, then the closed form is evaluated in PYTHON BIGINTS
+
+        slope_x1m     = floor(scale · (n·Σxy − Σx·Σy) / (n·Σx² − Σx²_tot))
+        intercept_x1m = floor(scale · (Σy·Σx² − Σx·Σxy) / (n·Σx² − Σx²_tot))
+
+    (DuckDB mirrors it in HUGEINT; the Ray side runs the same products
+    in Python bigints over the tiny per-group totals). CALLER CONTRACT:
+    pre-scale x so per-batch |Σx·y| and |Σx²| stay inside int64 — the
+    partial pass is then pure vectorized int64 numpy (e.g. timestamps
+    as HOURS since epoch: x ~ 5·10^5, x² ~ 2.4·10^11, a million-row
+    batch of cents values stays < 2^63) — only the O(#groups) finalize
+    touches arbitrary precision, where scale·(n·Σxy − ΣxΣy) does exceed
+    int64. The denominator n·Σx² − (Σx)² is ≥ 0 (Cauchy–Schwarz), so
+    floor division needs no sign gymnastics; groups with < 2 distinct x
+    (den = 0) emit no row. Returns (group, n, slope_x1m, intercept_x1m).
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    empty = typed_empty(
+        **{
+            group: object,
+            "n": np.int64,
+            "slope_x1m": np.int64,
+            "intercept_x1m": np.int64,
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False)
+        x = batch[x_col].to_numpy().astype(np.int64)
+        y = batch[y_col].to_numpy().astype(np.int64)
+        df = pd.DataFrame(
+            {group: g, "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+             "sxy": x * y, "sxx": x * x}
+        )
+        agg = df.groupby(group, as_index=False, sort=False).sum()
+        b = (fast_hash_u64(agg[group].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.Table.from_pandas(
+            agg.assign(__qb=b), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        out_g, out_n, out_s, out_i = [], [], [], []
+        for gname, sub in df.groupby(group, sort=True):
+            n = int(sub["n"].sum())
+            sx = int(sub["sx"].sum())
+            sy = int(sub["sy"].sum())
+            sxy = sum(int(v) for v in sub["sxy"])
+            sxx = sum(int(v) for v in sub["sxx"])
+            den = n * sxx - sx * sx  # >= 0 by Cauchy-Schwarz
+            if den == 0:
+                continue
+            out_g.append(gname)
+            out_n.append(n)
+            out_s.append(scale * (n * sxy - sx * sy) // den)
+            out_i.append(scale * (sy * sxx - sx * sxy) // den)
+        return pd.DataFrame(
+            {
+                group: out_g,
+                "n": np.asarray(out_n, np.int64),
+                "slope_x1m": np.asarray(out_s, np.int64),
+                "intercept_x1m": np.asarray(out_i, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__qb")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 def grouped_top_k(
     ds,
     *,

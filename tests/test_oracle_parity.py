@@ -128,6 +128,8 @@ SUBSET = [
     "inlink_counts",
     "value_quantiles_cont",
     "value_quantiles_hdr",
+    "quantiles_hdr_by_type",
+    "value_trend_by_type",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",

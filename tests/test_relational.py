@@ -1649,3 +1649,72 @@ def test_hdr_bucket_roundtrip_extremes(ray_session):
     # monotone in value
     order = np.argsort(vals, kind="mergesort")
     assert (np.diff(idx[order]) >= 0).all()
+
+
+def test_grouped_linreg_hand_computed(ray_session):
+    """Slope/intercept ×1e6 (floored) against a tiny hand-checkable fit,
+    plus: single-x groups emit no row, negative slopes floor toward -inf
+    (the DuckDB-emulation edge), partition-independence."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import grouped_linreg
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 3 + ["b"] * 3 + ["c"] * 2,
+            "x": np.array([0, 1, 2, 0, 1, 2, 5, 5], np.int64),
+            "y": np.array([1, 3, 5, 10, 7, 5, 9, 9], np.int64),
+        }
+    )
+    for nparts in (1, 4):
+        out = (
+            grouped_linreg(rd.from_pandas(df).repartition(nparts), "g", "x", "y")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        # a: perfect fit y = 2x + 1 → slope 2.0, intercept 1.0
+        # b: y = -2.5x + 9.833… → slope −2500000 (floored), intercept…
+        assert out.g.tolist() == ["a", "b"]  # 'c' has one distinct x
+        a = out[out.g == "a"].iloc[0]
+        assert (a.slope_x1m, a.intercept_x1m) == (2_000_000, 1_000_000)
+        b = out[out.g == "b"].iloc[0]
+        n, sx, sy = 3, 3, 22
+        sxy = 0 * 10 + 1 * 7 + 2 * 5
+        sxx = 5
+        den = n * sxx - sx * sx
+        assert b.slope_x1m == 1_000_000 * (n * sxy - sx * sy) // den
+        assert b.intercept_x1m == 1_000_000 * (sy * sxx - sx * sxy) // den
+        assert b.slope_x1m < 0  # negative-slope floor path exercised
+
+
+def test_hdr_quantiles_by_group_matches_single_group(ray_session):
+    """Per-group results equal running the scalar sketch on each group's
+    rows alone (merge-order independence per key)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import (
+        hdr_quantiles,
+        hdr_quantiles_by_group,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], 3000),
+            "c": (rng.pareto(1.3, 3000) * 800).astype(np.int64),
+        }
+    )
+    grouped = (
+        hdr_quantiles_by_group(rd.from_pandas(df).repartition(6), "g", "c", m_bits=6)
+        .to_pandas()
+        .sort_values(["g", "q_pm"])
+        .reset_index(drop=True)
+    )
+    for g in ("x", "y", "z"):
+        solo = hdr_quantiles(
+            rd.from_pandas(df[df.g == g][["c"]]), "c", m_bits=6
+        ).sort_values("q_pm")
+        mine = grouped[grouped.g == g]
+        assert mine["q_pm"].tolist() == solo["q_pm"].tolist()
+        assert mine["approx"].tolist() == solo["approx"].tolist(), g
