@@ -1016,8 +1016,6 @@ def recover_page_geometry(
     # (full-envelope suite: 60/60 cylinder, 148/150 reference sampler vs
     # 55/60, 141/150 for the per-column mask/gray split).
     fill = float(np.median(img))
-    gray = _bicubic2d(img.astype(np.float32), My, Mx, fill)
-    out = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
     # final in-map micro-derotate: a residual rotation below the in-loop
     # peel bar but above the slope noise floor, left under a peeled
     # cylinder, costs 1-2 glyphs at the cylinder edge (measured: the
@@ -1028,40 +1026,47 @@ def recover_page_geometry(
     # slope is only trustworthy when a ROT peel happened earlier in this
     # run — it is then the rot estimator's own residual error by
     # construction (both cyl+rot near-misses decode exact with it
-    # composed) — whereas on a run that never detected a rotation the
-    # same read is warp-fit noise (a −0.49° phantom on a wash+cyl page
-    # cost a glyph; the projection-profile refine cannot arbitrate here:
-    # measured −0.75° on a true −0.35° residual). Composing into the
-    # total map keeps the final output a single resample.
-    if any(p[0] == "cyl" for p in peels):
-        rad = float(np.arcsin(np.clip(info["slope_resid"], -0.3, 0.3)))
-        if 0.004 <= abs(rad) <= 0.04 and not any(p[0] == "rot" for p in peels):
-            # no rot peel → the slope alone is warp-fit noise; ask the
-            # independent projection-profile estimator, measured on the
-            # cylinder-free columns (inside a peeled strip the lines
-            # curve and bias the argmax), and compose ITS angle only
-            # when it confirms a rotation is really there
-            lcut = rcut = 0
-            for pname, pdata in peels:
-                if pname == "cyl" and pdata is not None:
-                    wi = int(min(float(pdata[1]), w))
-                    if pdata[0] == "left":
-                        lcut = max(lcut, wi)
-                    else:
-                        rcut = max(rcut, wi)
-            sub = out[:, lcut : w - rcut] if (w - lcut - rcut) >= 0.3 * w else out
-            ang = refine_skew(sub, float(np.degrees(rad)), half=0.5)
-            rad = float(np.deg2rad(ang)) if abs(ang) >= 0.25 else 0.0
-        if 0.004 <= abs(rad) <= 0.04:  # ~0.23° … 2.3°
-            c, s = np.cos(rad), np.sin(rad)
-            cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-            gy = c * (yy - cy) + s * (xx - cx) + cy
-            gx = -s * (yy - cy) + c * (xx - cx) + cx
-            My, Mx = _bilinear2d_pair(My, Mx, gy, gx, fill=np.nan)
-            oob = ~np.isfinite(My) | ~np.isfinite(Mx)
-            My[oob] = -10.0
-            Mx[oob] = -10.0
-            info["slope_resid"] = 0.0
+    # composed), so it composes BEFORE the one final application at zero
+    # extra resample cost — whereas on a run that never detected a
+    # rotation the same read is warp-fit noise (a −0.49° phantom on a
+    # wash+cyl page cost a glyph; the projection-profile refine cannot
+    # arbitrate those: measured −0.75° on a true −0.35° residual), so
+    # the no-rot-peel branch renders first, confirms the angle on the
+    # cylinder-free columns of the OUTPUT mask, and only a confirmed
+    # rotation pays a recomputed application.
+    had_cyl = any(p[0] == "cyl" for p in peels)
+    had_rot = any(p[0] == "rot" for p in peels)
+
+    def _compose_rot(rad: float) -> None:
+        nonlocal My, Mx
+        c, s = np.cos(rad), np.sin(rad)
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        gy = c * (yy - cy) + s * (xx - cx) + cy
+        gx = -s * (yy - cy) + c * (xx - cx) + cx
+        My, Mx = _bilinear2d_pair(My, Mx, gy, gx, fill=np.nan)
+        oob = ~np.isfinite(My) | ~np.isfinite(Mx)
+        My[oob] = -10.0
+        Mx[oob] = -10.0
+        info["slope_resid"] = 0.0
+
+    rad = float(np.arcsin(np.clip(info["slope_resid"], -0.3, 0.3)))
+    if had_cyl and had_rot and 0.004 <= abs(rad) <= 0.04:  # ~0.23° … 2.3°
+        _compose_rot(rad)
+    gray = _bicubic2d(img.astype(np.float32), My, Mx, fill)
+    out = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
+    if had_cyl and not had_rot and 0.004 <= abs(rad) <= 0.04:
+        lcut = rcut = 0
+        for pname, pdata in peels:
+            if pname == "cyl" and pdata is not None:
+                wi = int(min(float(pdata[1]), w))
+                if pdata[0] == "left":
+                    lcut = max(lcut, wi)
+                else:
+                    rcut = max(rcut, wi)
+        sub = out[:, lcut : w - rcut] if (w - lcut - rcut) >= 0.3 * w else out
+        ang = refine_skew(sub, float(np.degrees(rad)), half=0.5)
+        if abs(ang) >= 0.25:
+            _compose_rot(float(np.deg2rad(ang)))
             gray = _bicubic2d(img.astype(np.float32), My, Mx, fill)
             out = despeckle(sauvola(np.clip(gray, 0, 255).astype(np.uint8)))
     # composition-order retry: the reference samples transform order
@@ -1072,9 +1077,20 @@ def recover_page_geometry(
     # discovered cylinder peeled first; keep whichever output re-estimates
     # cleaner. Rare (stall-only), so the extra full pass is paid ~never.
     if _force_cyl is None and not _force_wash and peels:
-        r1 = _residual_severity(out)
+        # _residual_severity is a full estimator pass (~5 ms/page) — run
+        # it LAZILY, only once a retry hypothesis actually exists (most
+        # pages have none and must not pay it; measured +10% per-page
+        # kernel cost when it ran unconditionally)
+        r1 = None
+
+        def _r1() -> float:
+            nonlocal r1
+            if r1 is None:
+                r1 = _residual_severity(out)
+            return r1
+
         tries: list[dict] = []
-        if peels[0][0] == "wash" and (stalled_cyl is not None or r1 >= 1.5):
+        if peels[0][0] == "wash":
             # cyl-first: include the latest RAW (possibly gate-rejected)
             # cylinder candidate — a cylinder applied on top of the wash
             # is mangled by the wrong-frame wash peel, so its refit can
@@ -1082,9 +1098,9 @@ def recover_page_geometry(
             # cap) while still marking a real component worth the retry
             fc = stalled_cyl or next(
                 (p[1] for p in peels if p[0] == "cyl"), None) or cyl_cand
-            if fc is not None:
+            if fc is not None and (stalled_cyl is not None or _r1() >= 1.5):
                 tries.append({"_force_cyl": (fc[0], fc[1], fc[2])})
-        if r1 >= 3.0 and peels[0][0] != "wash" and wash0:
+        if peels[0][0] != "wash" and wash0 and _r1() >= 3.0:
             # wash-first: the page opened rot/cyl-dominant but carried an
             # in-family sine the whole time — when the wash was applied
             # LAST (reference order is random), the severity-greedy peel
@@ -1098,8 +1114,8 @@ def recover_page_geometry(
             )
             r2 = _residual_severity(out2)
             if dbg:
-                print(f"  order-retry {kw}: residual sev {r1:.2f} -> {r2:.2f}")
-            if r2 < r1 - 0.3:
+                print(f"  order-retry {kw}: residual sev {_r1():.2f} -> {r2:.2f}")
+            if r2 < _r1() - 0.3:
                 info.clear()
                 info.update(info2)
                 out, r1 = out2, r2
