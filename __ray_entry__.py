@@ -1040,6 +1040,56 @@ def _status_history(sf_dir: str):
     )
 
 
+def _status_as_of(sf_dir: str):
+    """Temporal AS-OF snapshot over the SCD2 history: each user's status
+    at the dataset-midpoint instant — validity-interval filter over
+    status_history (from ≤ cut < to, open runs included), the
+    point-in-time-join shape a warehouse runs against a type-2
+    dimension. The cut is a deterministic one-pass min/max aggregate."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from sanskrit_ocr_ray.stages.relational import status_history
+
+    ev = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    agg = ev.aggregate(Min("ts"), Max("ts"))
+    lo, hi = agg["min(ts)"], agg["max(ts)"]
+    if lo is None:
+        import numpy as np
+
+        from sanskrit_ocr_ray.util import typed_empty
+
+        import ray.data as rd
+
+        return rd.from_pandas(
+            typed_empty(user_id=np.int64, status=object, valid_from_us=np.int64)
+        )
+    cut = (
+        int(pd.Timestamp(lo).value // 1000) + int(pd.Timestamp(hi).value // 1000)
+    ) // 2
+
+    def at_cut(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(batch["valid_from_us"], cut),
+            pc.or_(
+                pc.equal(batch["valid_to_us"], -1),
+                pc.greater(batch["valid_to_us"], cut),
+            ),
+        )
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "status": t["event_type"],
+                "valid_from_us": t["valid_from_us"],
+            }
+        )
+
+    return status_history(ev).map_batches(at_cut, batch_format="pyarrow")
+
+
 def _basket_pairs(sf_dir: str):
     """Frequent co-ordered part pairs (market-basket support counting):
     basket-bucketed vectorized pair expansion + a pair-bucketed fold."""
@@ -1815,6 +1865,32 @@ def _quantiles_hdr_by_type(sf_dir: str):
         cents, batch_format="pyarrow", batch_size=None
     )
     return hdr_quantiles_by_group(ds, "event_type", "value_c", m_bits=6)
+
+
+def _part_skyline(sf_dir: str):
+    """Pareto skyline over parts — maximize p_size, minimize retail
+    cents: the multi-criteria dominance filter (two-phase: vectorized
+    per-batch local skylines prune to candidates, one tiny shuffle, one
+    re-filter — dominance transitivity makes local-then-global exact)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import skyline
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["p_retailprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "p_size": batch["p_size"],
+                "price_c": pa.array(c),
+            }
+        )
+
+    ds = _tbl(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return skyline(ds, maximize=["p_size"], minimize=["price_c"], keep=["p_partkey"])
 
 
 def _value_trend_by_type(sf_dir: str):
@@ -3020,6 +3096,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_hdr": _value_quantiles_hdr,
         "quantiles_hdr_by_type": _quantiles_hdr_by_type,
         "value_trend_by_type": _value_trend_by_type,
+        "part_skyline": _part_skyline,
+        "status_as_of": _status_as_of,
         "value_quantiles_binned": _value_quantiles_binned,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
@@ -3920,6 +3998,39 @@ FROM pick
 """,
         # per-group OLS in HUGEINT; // truncates toward zero in DuckDB,
         # so floor division is emulated with the remainder correction
+        # two-phase Pareto skyline == NOT EXISTS a strict dominator
+        # AS-OF snapshot: the run whose validity interval contains the
+        # dataset-midpoint cut == the max valid_from <= cut per user
+        "status_as_of": """
+WITH cutq AS (SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+                      + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS cut
+              FROM events),
+e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+      FROM events),
+o AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+r AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id FROM o),
+runs AS (SELECT user_id, event_type, run_id, min(us) AS valid_from_us
+         FROM r GROUP BY user_id, event_type, run_id),
+pick AS (SELECT user_id, event_type AS status, valid_from_us,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from_us DESC, run_id DESC) AS rn
+         FROM runs WHERE valid_from_us <= (SELECT cut FROM cutq))
+SELECT user_id, status, valid_from_us FROM pick WHERE rn = 1
+""",
+        "part_skyline": """
+WITH p AS (SELECT p_partkey, p_size,
+                  CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+           FROM part)
+SELECT p_partkey, p_size, price_c FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_c <= a.price_c
+    AND (b.p_size > a.p_size OR b.price_c < a.price_c)
+)
+""",
         "value_trend_by_type": """
 WITH v AS (SELECT event_type,
                   CAST(epoch_us(ts) // 3600000000 AS HUGEINT) AS x,

@@ -1005,6 +1005,74 @@ def grouped_linreg(
     )
 
 
+def _dominated_mask(P: np.ndarray, chunk: int = 512) -> np.ndarray:
+    """True where row i is STRICTLY dominated by some row j (all dims of
+    j ≥ i, at least one >) — all dims maximize. Blocked broadcasting
+    keeps the k² comparison matrix O(k·chunk) in memory."""
+    k = len(P)
+    out = np.zeros(k, dtype=bool)
+    for s in range(0, k, chunk):
+        Q = P[s : s + chunk]  # candidates to be dominated (chunk, d)
+        ge = (P[:, None, :] >= Q[None, :, :]).all(axis=2)  # (k, chunk)
+        gt = (P[:, None, :] > Q[None, :, :]).any(axis=2)
+        out[s : s + chunk] = (ge & gt).any(axis=0)
+    return out
+
+
+def skyline(ds, *, maximize: list[str], minimize: list[str] = (), keep: list[str] = ()):
+    """Pareto skyline: rows not strictly dominated by any other row
+    (dominator ≥ everywhere on the criteria, > somewhere; ``minimize``
+    columns are negated into the maximize frame; ties/duplicates are
+    mutually non-dominating and ALL survive — deterministic).
+
+    Scale shape — the classic two-phase skyline: dominance is
+    transitive, so the global skyline is a subset of the union of
+    per-batch LOCAL skylines; phase 1 prunes each batch to its local
+    skyline (vectorized blocked dominance matrix, no Python per row),
+    phase 2 re-runs the same filter once over the surviving candidates
+    (typically orders of magnitude smaller than the input — for d
+    criteria over n random rows the expected skyline is
+    O(log^{d-1} n)). The candidate set is the only thing that crosses
+    the (single, tiny) shuffle. Degenerate worst case (all rows on the
+    front) degrades to a documented single-task filter of the full
+    front, not a wrong answer.
+    """
+    crit = list(maximize) + list(minimize)
+    cols = crit + [c for c in keep if c not in crit]
+    n_min = len(list(minimize))
+    from .dedup import _pd_dtypes
+
+    dtypes = _pd_dtypes(ds)
+    empty = typed_empty(**{c: dtypes.get(c, object) for c in cols})
+
+    def to_matrix(batch: pa.Table) -> np.ndarray:
+        m = np.stack(
+            [batch[c].to_numpy().astype(np.float64) for c in crit], axis=1
+        )
+        if n_min:
+            m[:, len(list(maximize)):] *= -1.0
+        return m
+
+    def local(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        if batch.num_rows == 0:
+            return batch
+        keep_mask = ~_dominated_mask(to_matrix(batch))
+        return batch.filter(pa.array(keep_mask))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        t = pa.Table.from_pandas(df.drop(columns=["__sk"]), preserve_index=False)
+        return local(t).to_pandas()
+
+    cand = ds.map_batches(local, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column("__sk", pa.array(np.zeros(t.num_rows, np.int32))),
+        batch_format="pyarrow",
+    )
+    return cand.groupby("__sk").map_groups(final, batch_format="pandas")
+
+
 def grouped_top_k(
     ds,
     *,

@@ -130,6 +130,8 @@ SUBSET = [
     "value_quantiles_hdr",
     "quantiles_hdr_by_type",
     "value_trend_by_type",
+    "part_skyline",
+    "status_as_of",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",

@@ -1718,3 +1718,49 @@ def test_hdr_quantiles_by_group_matches_single_group(ray_session):
         mine = grouped[grouped.g == g]
         assert mine["q_pm"].tolist() == solo["q_pm"].tolist()
         assert mine["approx"].tolist() == solo["approx"].tolist(), g
+
+
+def test_skyline_planted_and_partition_independent(ray_session):
+    """Planted Pareto front: dominated rows drop, ties/duplicates on the
+    front all survive, result is independent of batch partitioning (the
+    local-then-global two-phase must be exact by dominance transitivity)."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import skyline
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(8, dtype=np.int64),
+            "size": np.array([10, 10, 8, 5, 5, 3, 10, 1], np.int64),
+            "price": np.array([100, 100, 50, 20, 20, 20, 120, 5], np.int64),
+        }
+    )
+    # front (max size, min price): (10,100)x2 [dups], (8,50), (5,20)x2, (1,5)
+    # dominated: (3,20) by (5,20); (10,120) by (10,100)
+    want = {(0, 10, 100), (1, 10, 100), (2, 8, 50), (3, 5, 20), (4, 5, 20), (7, 1, 5)}
+    for nparts in (1, 5):
+        out = skyline(
+            rd.from_pandas(df).repartition(nparts),
+            maximize=["size"],
+            minimize=["price"],
+            keep=["id"],
+        ).to_pandas()
+        got = set(zip(out.id, out.size_ if hasattr(out, "size_") else out["size"], out.price))
+        assert got == want, (nparts, got)
+
+
+def test_skyline_all_on_front(ray_session):
+    """Degenerate anti-chain (every row on the front): nothing drops."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import skyline
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "a": np.arange(n, dtype=np.int64),
+            "b": np.arange(n, dtype=np.int64)[::-1].copy(),
+        }
+    )
+    out = skyline(rd.from_pandas(df).repartition(4), maximize=["a", "b"]).to_pandas()
+    assert len(out) == n
