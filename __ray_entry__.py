@@ -1040,6 +1040,71 @@ def _status_history(sf_dir: str):
     )
 
 
+def _type_token_ratio(sf_dir: str):
+    """Lexical-diversity TTR per document (1000·distinct//total tokens):
+    hash-free factorized distinct (exact strings), one Arrow pass +
+    lexsort + segmented change-count, shuffle-free."""
+    from sanskrit_ocr_ray.stages.text_analysis import type_token_ratio_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        type_token_ratio_batch, batch_format="pyarrow"
+    )
+
+
+def _modal_event_per_user(sf_dir: str):
+    """Per-user modal event type (count desc, type asc tie-break) — the
+    exact per-key mode: per-batch (user,type) count partials, one
+    bounded hash(user) shuffle, vectorized per-bucket argmax."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.dedup import bucketed_aggregate
+    from sanskrit_ocr_ray.util import typed_empty
+
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["user_id", "event_type"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "n"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    empty = typed_empty(user_id=np.int64, modal_type=object, n=np.int64)
+
+    def pick_mode(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        agg = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        agg = agg.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = agg.groupby("user_id", as_index=False).first()
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].to_numpy(),
+                "modal_type": top["event_type"].to_numpy(),
+                "n": top["n"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return bucketed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        pick_mode,
+        n_buckets=64,
+        empty=empty,
+    )
+
+
 def _status_as_of(sf_dir: str):
     """Temporal AS-OF snapshot over the SCD2 history: each user's status
     at the dataset-midpoint instant — validity-interval filter over
@@ -3098,6 +3163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_by_type": _value_trend_by_type,
         "part_skyline": _part_skyline,
         "status_as_of": _status_as_of,
+        "type_token_ratio": _type_token_ratio,
+        "modal_event_per_user": _modal_event_per_user,
         "value_quantiles_binned": _value_quantiles_binned,
         "quantiles_by_type": _quantiles_by_type,
         "latest_order_per_customer": _latest_order_per_customer,
@@ -4001,6 +4068,24 @@ FROM pick
         # two-phase Pareto skyline == NOT EXISTS a strict dominator
         # AS-OF snapshot: the run whose validity interval contains the
         # dataset-midpoint cut == the max valid_from <= cut per user
+        "type_token_ratio": """
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+)
+SELECT doc_id,
+       CAST(1000 * count(DISTINCT tok) // count(*) AS BIGINT) AS ttr_pm
+FROM toks GROUP BY doc_id
+""",
+        "modal_event_per_user": """
+SELECT user_id, event_type AS modal_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+""",
         "status_as_of": """
 WITH cutq AS (SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
                       + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS cut

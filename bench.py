@@ -172,6 +172,8 @@ def run_bench() -> dict:
         "value_trend_by_type",
         "part_skyline",
         "status_as_of",
+        "type_token_ratio",
+        "modal_event_per_user",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",

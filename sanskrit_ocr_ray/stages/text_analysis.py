@@ -147,6 +147,51 @@ def simhash_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     )
 
 
+def type_token_ratio_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Lexical-diversity TTR per doc: ``1000·distinct_tokens // tokens``
+    (space-split, empties dropped; token-less docs emit NO row).
+
+    Fully vectorized and HASH-FREE: one Arrow tokenize/factorize pass
+    gives exact vocabulary codes (so "distinct" means distinct STRINGS,
+    bit-equal to the oracle's COUNT(DISTINCT)), then one lexsort by
+    (doc, code) + segmented change-count. No md5 collisions can leak
+    into the ratio, unlike a hash-based distinct.
+    """
+    import pyarrow.compute as pc
+
+    col = batch[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    split = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_ne = flat.filter(pa.array(mask))
+    parent_ne = parent[mask]
+    if len(parent_ne) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=batch["doc_id"].type),
+                "ttr_pm": pa.array([], type=pa.int64()),
+            }
+        )
+    codes = flat_ne.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((codes, parent_ne))
+    p_s, c_s = parent_ne[order], codes[order]
+    starts = np.flatnonzero(np.r_[True, p_s[1:] != p_s[:-1]])
+    doc_sel = p_s[starts]
+    new_tok = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    distinct = np.add.reduceat(new_tok.astype(np.int64), starts)
+    total = np.diff(np.r_[starts, len(p_s)])
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].take(pa.array(doc_sel)),
+            "ttr_pm": pa.array(1000 * distinct // total, type=pa.int64()),
+        }
+    )
+
+
 # rolling (Karp-Rabin) fingerprint over Unicode CODE POINTS (base 257 mod
 # 2^61-1); Python ints keep the modular arithmetic exact, and DuckDB
 # reproduces it with a HUGEINT list_reduce over ascii(char) — folding over

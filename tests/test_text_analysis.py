@@ -387,3 +387,24 @@ def test_token_gini_hand_values():
     assert out.loc[2, "gini_x1m"] == 750_000
     assert out.loc[3, "gini_x1m"] == 375_000
     assert out.loc[2, "n_toks"] == 4
+
+
+def test_type_token_ratio_hand_cases():
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.text_analysis import type_token_ratio_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "a b a b a",          # 2 distinct / 5 → 400
+                "x y z",              # 3/3 → 1000
+                "",                   # token-less → no row
+                "w  w",               # double space: 1 distinct / 2 → 500
+            ],
+        }
+    )
+    out = type_token_ratio_batch(t).to_pandas()
+    assert out.doc_id.tolist() == [1, 2, 4]
+    assert out.ttr_pm.tolist() == [400, 1000, 500]
