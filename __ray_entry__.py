@@ -1105,6 +1105,16 @@ def _modal_event_per_user(sf_dir: str):
     )
 
 
+def _peak_concurrency(sf_dir: str):
+    """Peak concurrently-active sessions (sweep-line max as a two-phase
+    distributed prefix scan over day-range buckets)."""
+    from sanskrit_ocr_ray.stages.relational import peak_concurrent_sessions
+
+    return peak_concurrent_sessions(
+        _tbl(sf_dir, "events", ["user_id", "ts"])
+    )
+
+
 def _status_as_of(sf_dir: str):
     """Temporal AS-OF snapshot over the SCD2 history: each user's status
     at the dataset-midpoint instant — validity-interval filter over
@@ -3163,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_by_type": _value_trend_by_type,
         "part_skyline": _part_skyline,
         "status_as_of": _status_as_of,
+        "peak_concurrency": _peak_concurrency,
         "type_token_ratio": _type_token_ratio,
         "modal_event_per_user": _modal_event_per_user,
         "value_quantiles_binned": _value_quantiles_binned,
@@ -4068,6 +4079,23 @@ FROM pick
         # two-phase Pareto skyline == NOT EXISTS a strict dominator
         # AS-OF snapshot: the run whose validity interval contains the
         # dataset-midpoint cut == the max valid_from <= cut per user
+        # sweep-line peak: +1 at session start, -1 at end+1, max prefix
+        "peak_concurrency": """
+WITH x AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+o AS (SELECT user_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 1800
+                  THEN 1 ELSE 0 END AS brk FROM x),
+w AS (SELECT user_id, s,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+sess AS (SELECT user_id, sid, min(s) AS start_s, max(s) AS end_s
+         FROM w GROUP BY user_id, sid),
+b AS (SELECT start_s AS t, 1 AS d FROM sess
+      UNION ALL SELECT end_s + 1, -1 FROM sess),
+g AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM b GROUP BY t),
+c AS (SELECT sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS run FROM g)
+SELECT CAST(max(run) AS BIGINT) AS peak FROM c
+""",
         "type_token_ratio": """
 WITH toks AS (
   SELECT doc_id, tok

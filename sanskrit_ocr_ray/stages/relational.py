@@ -355,6 +355,99 @@ def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
     )
 
 
+def peak_concurrent_sessions(
+    ds, *, gap_s: int = 1800, n_buckets: int = 64, t_bucket_s: int = 86_400
+):
+    """Global PEAK number of concurrently-active sessions — the classic
+    sweep-line max over interval boundary deltas, distributed as a
+    two-phase prefix scan (the capacity-planning / load-envelope query).
+
+    Phase A derives per-user session intervals exactly like
+    :func:`sessionize` (one bounded ``hash(user)`` shuffle, vectorized
+    run collapse). Phase B is the sweep: each interval emits ``+1`` at
+    ``start`` and ``−1`` at ``end+1`` (ends inclusive); deltas shuffle
+    ONCE on a coarse time-range bucket (``t // t_bucket_s`` — one day by
+    default), each bucket computes its (total_delta, max_prefix) with
+    one vectorized sort+cumsum, and the driver folds the per-bucket
+    rows in time order — O(active days) scalars, never O(events). The
+    same decomposition runs max-prefix over any range partitioning, so
+    at 100 TB the fold input stays tiny. Returns a 1-row (peak) frame.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+            1_000_000,
+        )
+        u = batch["user_id"].to_numpy()
+        b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({"user_id": batch["user_id"], "s": s, "__ub": pa.array(b)})
+
+    iv_empty = typed_empty(start_s=np.int64, end_s=np.int64)
+
+    def intervals(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return iv_empty.copy()
+        g = group.sort_values(["user_id", "s"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        s = g["s"].to_numpy()
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = s[1:] - s[:-1]
+        starts = np.nonzero(new_user | ((~new_user) & (gap > gap_s)))[0]
+        ends = np.append(starts[1:], n)
+        return pd.DataFrame({"start_s": s[starts], "end_s": s[ends - 1]})
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        st = batch["start_s"].to_numpy()
+        en = batch["end_s"].to_numpy() + 1
+        t = np.concatenate([st, en])
+        d = np.concatenate(
+            [np.ones(len(st), np.int64), -np.ones(len(en), np.int64)]
+        )
+        tb = (t // t_bucket_s).astype(np.int64)
+        return pa.table({"t": pa.array(t), "d": pa.array(d), "__tb": pa.array(tb)})
+
+    part_empty = typed_empty(tb=np.int64, total=np.int64, max_prefix=np.int64)
+
+    def per_range(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return part_empty.copy()
+        g = group.groupby("t", as_index=False)["d"].sum().sort_values("t")
+        run = np.cumsum(g["d"].to_numpy())
+        return pd.DataFrame(
+            {
+                "tb": np.asarray([int(group["__tb"].iloc[0])], np.int64),
+                "total": np.asarray([int(run[-1])], np.int64),
+                "max_prefix": np.asarray([int(run.max())], np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(intervals, batch_format="pandas")
+        .map_batches(deltas, batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(per_range, batch_format="pandas")
+        .to_pandas()  # O(active time-ranges) rows only
+    )
+    if parts.empty:
+        return pd.DataFrame({"peak": np.asarray([0], np.int64)})
+    parts = parts.sort_values("tb")
+    running = 0
+    peak = 0
+    for _, row in parts.iterrows():
+        peak = max(peak, running + int(row["max_prefix"]))
+        running += int(row["total"])
+    return pd.DataFrame({"peak": np.asarray([peak], np.int64)})
+
+
 def top_users_by_value(ds, *, k: int = 10, n_buckets: int = 64):
     """events → total value cents per user → top-k (value desc, user asc).
 

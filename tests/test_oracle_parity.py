@@ -134,6 +134,7 @@ SUBSET = [
     "status_as_of",
     "type_token_ratio",
     "modal_event_per_user",
+    "peak_concurrency",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",

@@ -1764,3 +1764,30 @@ def test_skyline_all_on_front(ray_session):
     )
     out = skyline(rd.from_pandas(df).repartition(4), maximize=["a", "b"]).to_pandas()
     assert len(out) == n
+
+
+def test_peak_concurrent_sessions_planted(ray_session):
+    """Hand-built overlap pattern: three users with known session
+    intervals; peak = 3 exactly at the triple-overlap instant; result is
+    partition-independent and the inclusive-end boundary counts."""
+    import ray.data as rd
+
+    base = 1_700_000_000
+    rows = []
+    # u1: one session [0, 100]; u2: [50, 150]; u3: [100, 200] →
+    # at t=100 all three active (inclusive ends) → peak 3
+    for u, times in ((1, [0, 100]), (2, [50, 150]), (3, [100, 200])):
+        for t in times:
+            rows.append({"user_id": u, "ts": pd.Timestamp(base + t, unit="s")})
+    # u1 second session far away (gap > 1800): alone → doesn't raise peak
+    rows.append({"user_id": 1, "ts": pd.Timestamp(base + 10_000, unit="s")})
+    from sanskrit_ocr_ray.stages.relational import peak_concurrent_sessions
+
+    for nparts in (1, 4):
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(nparts)
+        out = peak_concurrent_sessions(ds)
+        assert out["peak"].tolist() == [3], nparts
+    # with a tiny time bucket the cross-bucket prefix fold must agree
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = peak_concurrent_sessions(ds, t_bucket_s=60)
+    assert out["peak"].tolist() == [3]
