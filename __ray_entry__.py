@@ -1105,6 +1105,14 @@ def _modal_event_per_user(sf_dir: str):
     )
 
 
+def _kmv_set_ops(sf_dir: str):
+    """KMV set-operation cardinalities (union/intersection/differences)
+    for the train/val shingle sets from one union sketch pass."""
+    from sanskrit_ocr_ray.stages.sketch import kmv_set_ops
+
+    return kmv_set_ops(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _peak_concurrency(sf_dir: str):
     """Peak concurrently-active sessions (sweep-line max as a two-phase
     distributed prefix scan over day-range buckets)."""
@@ -3174,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": _part_skyline,
         "status_as_of": _status_as_of,
         "peak_concurrency": _peak_concurrency,
+        "kmv_set_ops": _kmv_set_ops,
         "type_token_ratio": _type_token_ratio,
         "modal_event_per_user": _modal_event_per_user,
         "value_quantiles_binned": _value_quantiles_binned,
@@ -5153,6 +5162,43 @@ SELECT node, CAST(MIN(hops) AS BIGINT) AS hops FROM walk GROUP BY node
     # kmv_jaccard: same shingle/md5 conventions as kmv_distinct plus the
     # train_val_split hash rule; the estimator is a pure function of the
     # hash order so every integer matches
+    # KMV set-operation cardinalities: same union-top-k CTEs as
+    # kmv_jaccard, plus D_U = (k-1)*2^64 // h_k in HUGEINT
+    oracles["kmv_set_ops"] = """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), sh AS (
+  SELECT ('0x' || substr(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 16))::UBIGINT AS hv,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT % 1000 < 100) AS is_val
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), fl AS (
+  SELECT hv, MAX(CASE WHEN is_val THEN 0 ELSE 1 END) AS a,
+             MAX(CASE WHEN is_val THEN 1 ELSE 0 END) AS b
+  FROM sh GROUP BY hv
+), topk AS (
+  SELECT hv, a, b FROM fl ORDER BY hv LIMIT 256
+), m AS (
+  SELECT COUNT(*) AS n,
+         COALESCE(SUM(a * b), 0) AS ni,
+         COALESCE(SUM(a * (1 - b)), 0) AS nao,
+         COALESCE(SUM((1 - a) * b), 0) AS nbo,
+         MAX(hv) AS hk
+  FROM topk
+), est AS (
+  SELECT n, ni, nao, nbo,
+         CASE WHEN n < 256 THEN CAST(n AS HUGEINT)
+              ELSE CAST(255 AS HUGEINT)
+                   * CAST('18446744073709551616' AS HUGEINT)
+                   // CAST(hk AS HUGEINT) END AS du
+  FROM m
+)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(du AS BIGINT) AS d_union_est,
+       CAST(CASE WHEN n < 256 THEN ni  ELSE CAST(ni  AS HUGEINT) * du // 256 END AS BIGINT) AS d_inter_est,
+       CAST(CASE WHEN n < 256 THEN nao ELSE CAST(nao AS HUGEINT) * du // 256 END AS BIGINT) AS d_a_only_est,
+       CAST(CASE WHEN n < 256 THEN nbo ELSE CAST(nbo AS HUGEINT) * du // 256 END AS BIGINT) AS d_b_only_est
+FROM est
+"""
     oracles["kmv_jaccard"] = """
 WITH tok AS (
   SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents

@@ -175,6 +175,7 @@ def run_bench() -> dict:
         "type_token_ratio",
         "modal_event_per_user",
         "peak_concurrency",
+        "kmv_set_ops",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",

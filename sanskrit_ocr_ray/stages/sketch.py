@@ -296,6 +296,83 @@ def kmv_jaccard(
     )
 
 
+def kmv_set_ops(
+    ds,
+    *,
+    key: str = "doc_id",
+    column: str = "text",
+    k: int = 256,
+    ngram: int = 3,
+    val_permille: int = 100,
+):
+    """Full KMV set-operation cardinality table for the train/val shingle
+    sets: estimated |A∪B|, |A∩B|, |A\\B|, |B\\A| from the SAME one-pass
+    union sketch :func:`kmv_jaccard` builds (Beyer et al. 2007): with K
+    the k smallest distinct union hashes and h_k the k-th smallest,
+    ``D̂_U = (k−1)·2⁶⁴ // h_k`` and each region scales as its share of
+    K (``n_region · D̂_U // k``). Pure function of the md5 hash order →
+    the DuckDB oracle reproduces every integer exactly; a union smaller
+    than k degrades to exact counts. Same scale shape as kmv_jaccard:
+    one pass, one small groupby, ≤ k driver rows.
+    """
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = [str(v) for v in batch[key].to_pylist()]
+        h = md5_u64_many(keys) % np.uint64(1000)
+        texts = batch[column].to_pylist()
+        a_texts = [t for t, hv in zip(texts, h) if hv >= val_permille]
+        b_texts = [t for t, hv in zip(texts, h) if hv < val_permille]
+        rows = []
+        for side, ts in (("a", a_texts), ("b", b_texts)):
+            hv = _shingle_hashes(ts, ngram)[:k]
+            hs = (hv ^ np.uint64(1 << 63)).view(np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "hv": hs,
+                        "a": np.int64(side == "a"),
+                        "b": np.int64(side == "b"),
+                    }
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(rows, ignore_index=True), preserve_index=False
+        )
+
+    topk = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("hv")
+        .aggregate(Max("a", alias_name="a"), Max("b", alias_name="b"))
+        .sort("hv")
+        .limit(k)
+        .to_pandas()  # ≤ k tiny rows
+    )
+    n = len(topk)
+    a = topk["a"].to_numpy() if n else np.empty(0, np.int64)
+    b = topk["b"].to_numpy() if n else np.empty(0, np.int64)
+    ni = int((a * b).sum())
+    na_only = int((a * (1 - b)).sum())
+    nb_only = int(((1 - a) * b).sum())
+    if n < k:  # union smaller than the sketch → exact
+        d_union, d_inter, d_a_only, d_b_only = n, ni, na_only, nb_only
+    else:
+        h_k = int(topk["hv"].to_numpy(dtype=np.int64)[k - 1]) + (1 << 63)
+        d_union = (k - 1) * _TWO64 // h_k
+        d_inter = ni * d_union // k
+        d_a_only = na_only * d_union // k
+        d_b_only = nb_only * d_union // k
+    return pd.DataFrame(
+        {
+            "k": np.asarray([k], np.int64),
+            "d_union_est": np.asarray([d_union], np.int64),
+            "d_inter_est": np.asarray([d_inter], np.int64),
+            "d_a_only_est": np.asarray([d_a_only], np.int64),
+            "d_b_only_est": np.asarray([d_b_only], np.int64),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch
 # ---------------------------------------------------------------------------

@@ -135,6 +135,7 @@ SUBSET = [
     "type_token_ratio",
     "modal_event_per_user",
     "peak_concurrency",
+    "kmv_set_ops",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",

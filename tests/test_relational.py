@@ -1791,3 +1791,23 @@ def test_peak_concurrent_sessions_planted(ray_session):
     ds = rd.from_pandas(pd.DataFrame(rows))
     out = peak_concurrent_sessions(ds, t_bucket_s=60)
     assert out["peak"].tolist() == [3]
+
+
+def test_kmv_set_ops_regions_sum_to_union(ray_session):
+    """The three region estimates partition the union estimate (within
+    integer-floor slack) and the small-union path is exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.sketch import kmv_set_ops
+
+    rows = []
+    for i in range(60):
+        # text content disjoint across split sides for a planted check
+        rows.append({"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(6))})
+    out = kmv_set_ops(rd.from_pandas(pd.DataFrame(rows)), k=256)
+    r = out.iloc[0]
+    # union < k -> exact counts, and regions partition the union
+    assert r.d_union_est == r.d_inter_est + r.d_a_only_est + r.d_b_only_est
+    assert r.d_inter_est == 0  # per-doc-unique shingles cannot intersect
