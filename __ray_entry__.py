@@ -1105,6 +1105,18 @@ def _modal_event_per_user(sf_dir: str):
     )
 
 
+def _funnel_depths(sf_dir: str):
+    """Funnel progression signup→view→click→purchase: non-contiguous
+    ordered subsequence reach per user (greedy earliest match), counts
+    per depth over the whole user population."""
+    from sanskrit_ocr_ray.stages.relational import funnel_depths
+
+    return funnel_depths(
+        _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+        ["signup", "view", "click", "purchase"],
+    )
+
+
 def _kmv_set_ops(sf_dir: str):
     """KMV set-operation cardinalities (union/intersection/differences)
     for the train/val shingle sets from one union sketch pass."""
@@ -3183,6 +3195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_as_of": _status_as_of,
         "peak_concurrency": _peak_concurrency,
         "kmv_set_ops": _kmv_set_ops,
+        "funnel_depths": _funnel_depths,
         "type_token_ratio": _type_token_ratio,
         "modal_event_per_user": _modal_event_per_user,
         "value_quantiles_binned": _value_quantiles_binned,
@@ -4089,6 +4102,46 @@ FROM pick
         # AS-OF snapshot: the run whose validity interval contains the
         # dataset-midpoint cut == the max valid_from <= cut per user
         # sweep-line peak: +1 at session start, -1 at end+1, max prefix
+        # 4-step greedy subsequence funnel: each sN CTE is the earliest
+        # step-N event strictly after the user's chosen step-(N-1) event
+        "funnel_depths": """
+WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+                  event_id FROM events),
+s1 AS (SELECT user_id, us, event_id FROM (
+         SELECT user_id, us, event_id,
+                row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) rn
+         FROM e WHERE event_type = 'signup') WHERE rn = 1),
+s2 AS (SELECT user_id, us, event_id FROM (
+         SELECT e.user_id, e.us, e.event_id,
+                row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) rn
+         FROM e JOIN s1 ON e.user_id = s1.user_id
+         WHERE e.event_type = 'view'
+           AND (e.us > s1.us OR (e.us = s1.us AND e.event_id > s1.event_id)))
+       WHERE rn = 1),
+s3 AS (SELECT user_id, us, event_id FROM (
+         SELECT e.user_id, e.us, e.event_id,
+                row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) rn
+         FROM e JOIN s2 ON e.user_id = s2.user_id
+         WHERE e.event_type = 'click'
+           AND (e.us > s2.us OR (e.us = s2.us AND e.event_id > s2.event_id)))
+       WHERE rn = 1),
+s4 AS (SELECT user_id, us, event_id FROM (
+         SELECT e.user_id, e.us, e.event_id,
+                row_number() OVER (PARTITION BY e.user_id ORDER BY e.us, e.event_id) rn
+         FROM e JOIN s3 ON e.user_id = s3.user_id
+         WHERE e.event_type = 'purchase'
+           AND (e.us > s3.us OR (e.us = s3.us AND e.event_id > s3.event_id)))
+       WHERE rn = 1),
+d AS (SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM s4) THEN 4
+                  WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM s1) THEN 1
+                  ELSE 0 END AS depth
+      FROM (SELECT DISTINCT user_id FROM e) u)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY depth
+""",
         "peak_concurrency": """
 WITH x AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
 o AS (SELECT user_id, s,

@@ -176,6 +176,7 @@ def run_bench() -> dict:
         "modal_event_per_user",
         "peak_concurrency",
         "kmv_set_ops",
+        "funnel_depths",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",

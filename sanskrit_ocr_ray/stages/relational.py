@@ -355,6 +355,94 @@ def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
     )
 
 
+def funnel_depths(ds, steps: list[str], *, n_buckets: int = 64):
+    """Funnel analysis: how far each user progresses through an ORDERED
+    sequence of event types (non-contiguous subsequence — step i+1 must
+    occur strictly after the chosen step-i event in (ts, event_id)
+    order; greedy earliest-match is optimal for subsequence reach).
+    Returns (depth, n_users) — depth 0 = users who never fire step 1 —
+    partitioning the full user population.
+
+    Scale shape: one bounded ``hash(user) % B`` shuffle; each bucket
+    advances ALL its users through the funnel with ``len(steps)``
+    vectorized merge/compare/groupby-first passes (never a Python loop
+    per user), then emits one tiny (depth, count) partial per bucket;
+    the driver folds ≤ B·(len(steps)+1) integers.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        b = (fast_hash_u64(batch["user_id"].to_numpy()) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "us": us,
+                "__ub": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(depth=np.int64, n_users=np.int64)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        depth = pd.Series(
+            np.zeros(group["user_id"].nunique(), np.int64),
+            index=pd.Index(group["user_id"].unique(), name="user_id"),
+        )
+        # per-user cutoff after the last matched step; -inf encoded as
+        # (us, eid) = (-1, -1) — real epochs are positive
+        cut = pd.DataFrame(
+            {"c_us": -1, "c_eid": -1}, index=depth.index, dtype=np.int64
+        )
+        alive = depth.index
+        for i, step in enumerate(steps):
+            m = group[group["event_type"] == step]
+            m = m[m["user_id"].isin(alive)]
+            if m.empty:
+                break
+            j = m.join(cut, on="user_id")
+            after = (j["us"] > j["c_us"]) | (
+                (j["us"] == j["c_us"]) & (j["event_id"] > j["c_eid"])
+            )
+            j = j[after]
+            if j.empty:
+                break
+            # earliest qualifying (us, event_id) per user
+            first = (
+                j.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+                .groupby("user_id", sort=False)
+                .first()
+            )
+            depth.loc[first.index] = i + 1
+            cut.loc[first.index, "c_us"] = first["us"].to_numpy()
+            cut.loc[first.index, "c_eid"] = first["event_id"].to_numpy()
+            alive = first.index
+        out = depth.value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "depth": out.index.to_numpy().astype(np.int64),
+                "n_users": out.to_numpy().astype(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets·(len(steps)+1) tiny rows
+    )
+    if parts.empty:
+        return pd.DataFrame({"depth": np.asarray([], np.int64), "n_users": np.asarray([], np.int64)})
+    agg = parts.groupby("depth", as_index=False)["n_users"].sum().sort_values("depth")
+    return agg.reset_index(drop=True).astype({"depth": np.int64, "n_users": np.int64})
+
+
 def peak_concurrent_sessions(
     ds, *, gap_s: int = 1800, n_buckets: int = 64, t_bucket_s: int = 86_400
 ):

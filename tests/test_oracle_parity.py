@@ -136,6 +136,7 @@ SUBSET = [
     "modal_event_per_user",
     "peak_concurrency",
     "kmv_set_ops",
+    "funnel_depths",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",

@@ -1811,3 +1811,39 @@ def test_kmv_set_ops_regions_sum_to_union(ray_session):
     # union < k -> exact counts, and regions partition the union
     assert r.d_union_est == r.d_inter_est + r.d_a_only_est + r.d_b_only_est
     assert r.d_inter_est == 0  # per-doc-unique shingles cannot intersect
+
+
+def test_funnel_depths_planted(ray_session):
+    """Hand-built funnel: depths 0..3 all realized, ORDER matters (a
+    purchase BEFORE the click must not count), ties on ts break by
+    event_id, and partitioning cannot change the counts."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import funnel_depths
+
+    base = pd.Timestamp(1_700_000_000, unit="s")
+
+    def ev(eid, u, t, ty):
+        return {"event_id": eid, "user_id": u, "ts": base + pd.Timedelta(seconds=t), "event_type": ty}
+
+    rows = [
+        # u1: full ordered funnel → depth 4
+        ev(1, 1, 0, "signup"), ev(2, 1, 1, "view"), ev(3, 1, 2, "click"), ev(4, 1, 3, "purchase"),
+        # u2: purchase BEFORE click → stops at depth 2 (signup, view)
+        ev(5, 2, 0, "signup"), ev(6, 2, 1, "purchase"), ev(7, 2, 2, "view"),
+        # u3: never signs up → depth 0
+        ev(8, 3, 0, "view"), ev(9, 3, 1, "click"),
+        # u4: signup only → depth 1
+        ev(10, 4, 5, "signup"),
+        # u5: same-ts tie — view at the SAME second as signup but larger
+        # event_id counts (strictly-after in (ts, event_id) order) → depth 2
+        ev(11, 5, 7, "signup"), ev(12, 5, 7, "view"),
+    ]
+    want = {0: 1, 1: 1, 2: 2, 4: 1}
+    for nparts in (1, 4):
+        out = funnel_depths(
+            rd.from_pandas(pd.DataFrame(rows)).repartition(nparts),
+            ["signup", "view", "click", "purchase"],
+        )
+        got = dict(zip(out.depth.tolist(), out.n_users.tolist()))
+        assert got == want, (nparts, got)
