@@ -1105,6 +1105,25 @@ def _modal_event_per_user(sf_dir: str):
     )
 
 
+def _gini_by_type(sf_dir: str):
+    """Per-event-type Gini inequality of value cents x1e6 (exact sorted
+    form, no floats) — the distributional-skew audit a curation
+    dashboard runs per domain/source."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.relational import gini_by_group
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(batch["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"], "value_c": pa.array(c)})
+
+    ds = _tbl(sf_dir, "events", ["event_type", "value"]).map_batches(
+        cents, batch_format="pyarrow", batch_size=None
+    )
+    return gini_by_group(ds, "event_type", "value_c")
+
+
 def _funnel_depths(sf_dir: str):
     """Funnel progression signup→view→click→purchase: non-contiguous
     ordered subsequence reach per user (greedy earliest match), counts
@@ -3196,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": _peak_concurrency,
         "kmv_set_ops": _kmv_set_ops,
         "funnel_depths": _funnel_depths,
+        "gini_by_type": _gini_by_type,
         "type_token_ratio": _type_token_ratio,
         "modal_event_per_user": _modal_event_per_user,
         "value_quantiles_binned": _value_quantiles_binned,
@@ -4104,6 +4124,23 @@ FROM pick
         # sweep-line peak: +1 at session start, -1 at end+1, max prefix
         # 4-step greedy subsequence funnel: each sN CTE is the earliest
         # step-N event strictly after the user's chosen step-(N-1) event
+        # exact Gini: sorted-form weighted sum in HUGEINT; tie order is
+        # irrelevant (equal values share a coefficient block)
+        "gini_by_type": """
+WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+r AS (SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(c) OVER (PARTITION BY event_type) AS s
+      FROM v)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(CAST(1000000 AS HUGEINT)
+            * CAST(sum((2 * i - n - 1) * c) AS HUGEINT)
+            // (CAST(max(n) AS HUGEINT) * CAST(max(s) AS HUGEINT)) AS BIGINT)
+         AS gini_x1m
+FROM r GROUP BY event_type HAVING max(s) <> 0
+""",
         "funnel_depths": """
 WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
                   event_id FROM events),

@@ -177,6 +177,7 @@ def run_bench() -> dict:
         "peak_concurrency",
         "kmv_set_ops",
         "funnel_depths",
+        "gini_by_type",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",

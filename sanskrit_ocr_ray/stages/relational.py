@@ -355,6 +355,72 @@ def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
     )
 
 
+def gini_by_group(ds, group: str, column: str, *, n_buckets: int = 16):
+    """Per-group Gini inequality coefficient ×1e6 (floored), INTEGER-
+    EXACT via the sorted form ``G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx)``
+    (x ascending, i 1-based) — the mean-absolute-difference identity
+    with no float anywhere: the weighted sum runs in int64 (bounded by
+    n·max|x| per group-bucket), the final ×1e6 product in Python
+    bigints. Invariant to tie order (equal values share a coefficient
+    block), so the oracle needs no tie-break. Groups with Σx = 0 emit
+    no row. One bounded ``hash(group)`` shuffle; each bucket computes
+    ALL its groups with one mergesort + vectorized prefix pass.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def tag(batch: pa.Table) -> pa.Table:
+        g = batch[group].to_numpy(zero_copy_only=False)
+        b = (fast_hash_u64(g) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {group: batch[group], column: batch[column], "__gb": pa.array(b)}
+        )
+
+    empty = typed_empty(**{group: object, "n": np.int64, "gini_x1m": np.int64})
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        g = df.sort_values([group, column], kind="mergesort")
+        keys = g[group].to_numpy()
+        x = g[column].to_numpy().astype(np.int64)
+        n_all = len(keys)
+        change = np.empty(n_all, dtype=bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        gid = np.cumsum(change) - 1
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n_all]
+        # 1-based rank within each group, fully vectorized
+        i = np.arange(n_all, dtype=np.int64) - np.repeat(starts, ends - starts) + 1
+        n_per = (ends - starts).astype(np.int64)
+        w = (2 * i - np.repeat(n_per, n_per) - 1) * x
+        num = np.zeros(len(starts), np.int64)
+        np.add.at(num, gid, w)
+        s = np.zeros(len(starts), np.int64)
+        np.add.at(s, gid, x)
+        out_g, out_n, out_v = [], [], []
+        for k in range(len(starts)):
+            denom = int(n_per[k]) * int(s[k])
+            if denom == 0:
+                continue
+            out_g.append(keys[starts[k]])
+            out_n.append(int(n_per[k]))
+            out_v.append(1_000_000 * int(num[k]) // denom)
+        return pd.DataFrame(
+            {
+                group: out_g,
+                "n": np.asarray(out_n, np.int64),
+                "gini_x1m": np.asarray(out_v, np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def funnel_depths(ds, steps: list[str], *, n_buckets: int = 64):
     """Funnel analysis: how far each user progresses through an ORDERED
     sequence of event types (non-contiguous subsequence — step i+1 must

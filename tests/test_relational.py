@@ -1847,3 +1847,29 @@ def test_funnel_depths_planted(ray_session):
         )
         got = dict(zip(out.depth.tolist(), out.n_users.tolist()))
         assert got == want, (nparts, got)
+
+
+def test_gini_by_group_hand_cases(ray_session):
+    """Known Gini values: all-equal → 0; maximal concentration over n
+    values → (n−1)/n; partition-independent; Σx=0 groups emit no row."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import gini_by_group
+
+    df = pd.DataFrame(
+        {
+            "g": ["eq"] * 4 + ["conc"] * 4 + ["zero"] * 2,
+            "v": np.array([5, 5, 5, 5, 0, 0, 0, 100, 0, 0], np.int64),
+        }
+    )
+    for nparts in (1, 3):
+        out = (
+            gini_by_group(rd.from_pandas(df).repartition(nparts), "g", "v")
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert out.g.tolist() == ["conc", "eq"]  # 'zero' dropped (sum 0)
+        conc = out[out.g == "conc"].iloc[0]
+        assert conc.gini_x1m == 1_000_000 * 3 // 4  # (n-1)/n = 750000
+        assert out[out.g == "eq"].iloc[0].gini_x1m == 0
