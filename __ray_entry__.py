@@ -1105,6 +1105,60 @@ def _modal_event_per_user(sf_dir: str):
     )
 
 
+def _user_type_concentration(sf_dir: str):
+    """Per-user Simpson concentration of event types ×1e6 (floored):
+    Σnᵢ²·10⁶ // N² over the user's type counts — 10⁶ = monoculture,
+    →10⁶/k = uniform over k types; the behavioral-diversity signal
+    (integer-exact, no entropy logs). Same bounded hash(user) shuffle
+    as the modal-type query."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from sanskrit_ocr_ray.stages.dedup import bucketed_aggregate
+    from sanskrit_ocr_ray.util import typed_empty
+
+    ev = _tbl(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(),
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby(["user_id", "event_type"], as_index=False, sort=False).size()
+        return pa.Table.from_pandas(
+            agg.rename(columns={"size": "n"}), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    empty = typed_empty(user_id=np.int64, n_events=np.int64, simpson_x1m=np.int64)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        agg = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        n = agg["n"].to_numpy().astype(np.int64)
+        per = agg.assign(nn=n * n).groupby("user_id", as_index=False)[["n", "nn"]].sum()
+        tot = per["n"].to_numpy().astype(np.int64)
+        nn = per["nn"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": per["user_id"].to_numpy(),
+                "n_events": tot,
+                "simpson_x1m": 1_000_000 * nn // (tot * tot),
+            }
+        )
+
+    return bucketed_aggregate(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        fold,
+        n_buckets=64,
+        empty=empty,
+    )
+
+
 def _gini_by_type(sf_dir: str):
     """Per-event-type Gini inequality of value cents x1e6 (exact sorted
     form, no floats) — the distributional-skew audit a curation
@@ -3216,6 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops": _kmv_set_ops,
         "funnel_depths": _funnel_depths,
         "gini_by_type": _gini_by_type,
+        "user_type_concentration": _user_type_concentration,
         "type_token_ratio": _type_token_ratio,
         "modal_event_per_user": _modal_event_per_user,
         "value_quantiles_binned": _value_quantiles_binned,
@@ -4126,6 +4181,13 @@ FROM pick
         # step-N event strictly after the user's chosen step-(N-1) event
         # exact Gini: sorted-form weighted sum in HUGEINT; tie order is
         # irrelevant (equal values share a coefficient block)
+        "user_type_concentration": """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(1000000 * sum(n * n) // (sum(n) * sum(n)) AS BIGINT) AS simpson_x1m
+FROM c GROUP BY user_id
+""",
         "gini_by_type": """
 WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
            FROM events),

@@ -178,6 +178,7 @@ def run_bench() -> dict:
         "kmv_set_ops",
         "funnel_depths",
         "gini_by_type",
+        "user_type_concentration",
         "ppjoin_pairs",
         "user_rolling_median",
         "hll_users_by_type",

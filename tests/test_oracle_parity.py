@@ -138,6 +138,7 @@ SUBSET = [
     "kmv_set_ops",
     "funnel_depths",
     "gini_by_type",
+    "user_type_concentration",
     "ppjoin_pairs",
     "user_rolling_median",
     "hll_users_by_type",
