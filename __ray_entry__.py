@@ -3065,14 +3065,16 @@ def _schema_union(sf_dir: str):
     on the promoted union schema (doc_id widened to int64, absent
     columns null-filled), via the footer-only-sniff + per-block-conform
     + plan-level-union seam in sources/tables.py."""
-    import hashlib
     import shutil
 
     import pyarrow as _pa
 
     from sanskrit_ocr_ray.sources.tables import read_table_union
 
-    root = "/tmp/sxray_schema_union/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # _scratch_dir keys by abs-path hash + pid and honors
+    # SXRAY_SCRATCH_ROOT, so two concurrent runs on the same fixture
+    # can't race each other's generation dirs (round-4 convention).
+    root = _scratch_dir("schema_union", sf_dir)
     docs = _tbl(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
 
     def gen_a(b: _pa.Table) -> _pa.Table:

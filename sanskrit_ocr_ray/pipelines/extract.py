@@ -146,18 +146,20 @@ def extract_dataset(
         binarize_deskew_batch,
         batch_format="pyarrow",
         batch_size=page_batch_size,
-    ).map_batches(
-        GlyphRecognizer,
-        batch_format="pyarrow",
-        batch_size=page_batch_size,
-        concurrency=recognizer_concurrency,
-        num_cpus=1,
-        # GPU/custom-resource slot for the model stage (the reference
-        # pins its model to one GPU per worker, translate_bookcorpus.py
-        # :119-128): pass {"num_gpus": 1} or {"resources": {...}} to
-        # constrain actor placement to accelerator-bearing nodes
-        **(recognizer_ray_remote_args or {}),
     )
+    # GPU/custom-resource slot for the model stage (the reference pins
+    # its model to one GPU per worker, translate_bookcorpus.py:119-128):
+    # pass {"num_gpus": 1} or {"resources": {...}} to constrain actor
+    # placement to accelerator-bearing nodes. Caller-supplied keys win
+    # over the defaults (a {"num_cpus": 2} override must not TypeError).
+    rec_kwargs = {
+        "batch_format": "pyarrow",
+        "batch_size": page_batch_size,
+        "concurrency": recognizer_concurrency,
+        "num_cpus": 1,
+        **(recognizer_ray_remote_args or {}),
+    }
+    rec_out = rec_out.map_batches(GlyphRecognizer, **rec_kwargs)
     if media_ref_embeds_doc_id:
         rec_rows = rec_out.map_batches(rec_to_span_rows, batch_format="pyarrow")
     else:

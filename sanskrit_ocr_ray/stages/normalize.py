@@ -111,12 +111,12 @@ def strip_boilerplate(
         empty=typed_empty(**{column: object, "df": "int64"}),
     ).to_pandas()
     # no boilerplate found → empty, column-less frame
-    hot_set = frozenset(hot[column]) if column in hot.columns else frozenset()
-    ref = ray.put(hot_set)
+    hot_list = list(hot[column]) if column in hot.columns else []
+    ref = ray.put(pa.array(hot_list, type=pa.string()))
 
     def drop_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(ref)
-        keep = pa.array([t not in hs for t in batch[column].to_pylist()])
+        hs = ray.get(ref)  # broadcast Arrow value set; membership via kernel
+        keep = pc.invert(pc.is_in(batch[column], value_set=hs))
         return batch.filter(keep)
 
     return ds.map_batches(drop_hot, batch_format="pyarrow")

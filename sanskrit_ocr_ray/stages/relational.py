@@ -356,15 +356,19 @@ def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
 
 
 def gini_by_group(ds, group: str, column: str, *, n_buckets: int = 16):
-    """Per-group Gini inequality coefficient ×1e6 (floored), INTEGER-
-    EXACT via the sorted form ``G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx)``
-    (x ascending, i 1-based) — the mean-absolute-difference identity
-    with no float anywhere: the weighted sum runs in int64 (bounded by
-    n·max|x| per group-bucket), the final ×1e6 product in Python
-    bigints. Invariant to tie order (equal values share a coefficient
-    block), so the oracle needs no tie-break. Groups with Σx = 0 emit
-    no row. One bounded ``hash(group)`` shuffle; each bucket computes
-    ALL its groups with one mergesort + vectorized prefix pass.
+    """Per-group Gini inequality coefficient ×1e6 (truncated toward
+    zero, matching DuckDB HUGEINT ``//``), INTEGER-EXACT via the
+    sorted form ``G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx)`` (x ascending,
+    i 1-based) — the mean-absolute-difference identity with no float
+    anywhere. The weighted sum's true bound is n²·max|x| per group:
+    the fast path accumulates in int64 only when that bound fits,
+    otherwise the group folds in Python bigints, so no scale silently
+    wraps. The final ×1e6 quotient truncates toward zero (HUGEINT
+    semantics) — the numerator is always ≥ 0 but Σx may be negative.
+    Invariant to tie order (equal values share a coefficient block),
+    so the oracle needs no tie-break. Groups with Σx = 0 emit no row.
+    One bounded ``hash(group)`` shuffle; each bucket computes ALL its
+    groups with one mergesort + vectorized prefix pass.
     """
     from ..util import fast_hash_u64, typed_empty
 
@@ -393,19 +397,35 @@ def gini_by_group(ds, group: str, column: str, *, n_buckets: int = 16):
         # 1-based rank within each group, fully vectorized
         i = np.arange(n_all, dtype=np.int64) - np.repeat(starts, ends - starts) + 1
         n_per = (ends - starts).astype(np.int64)
-        w = (2 * i - np.repeat(n_per, n_per) - 1) * x
-        num = np.zeros(len(starts), np.int64)
-        np.add.at(num, gid, w)
+        coef = 2 * i - np.repeat(n_per, n_per) - 1
         s = np.zeros(len(starts), np.int64)
         np.add.at(s, gid, x)
+        # True numerator bound is n²·max|x| per group: vectorized int64
+        # only when every group in the bucket provably fits, else fold
+        # per-element products in Python bigints (exact at any scale).
+        mx = int(np.abs(x).max()) if n_all else 0
+        nmax = int(n_per.max()) if len(n_per) else 0
+        if mx == 0 or nmax * nmax <= (2**62) // mx:
+            w = coef * x
+            num_i64 = np.zeros(len(starts), np.int64)
+            np.add.at(num_i64, gid, w)
+            num = [int(v) for v in num_i64]
+        else:
+            num = [0] * len(starts)
+            for j in range(n_all):
+                num[gid[j]] += int(coef[j]) * int(x[j])
         out_g, out_n, out_v = [], [], []
         for k in range(len(starts)):
             denom = int(n_per[k]) * int(s[k])
             if denom == 0:
                 continue
+            a = 1_000_000 * num[k]
+            q, r = divmod(a, denom)
+            if r != 0 and (a < 0) != (denom < 0):
+                q += 1  # truncate toward zero, matching HUGEINT //
             out_g.append(keys[starts[k]])
             out_n.append(int(n_per[k]))
-            out_v.append(1_000_000 * int(num[k]) // denom)
+            out_v.append(q)
         return pd.DataFrame(
             {
                 group: out_g,
@@ -1224,9 +1244,12 @@ def grouped_linreg(
             return empty.copy()
         out_g, out_n, out_s, out_i = [], [], [], []
         for gname, sub in df.groupby(group, sort=True):
-            n = int(sub["n"].sum())
-            sx = int(sub["sx"].sum())
-            sy = int(sub["sy"].sum())
+            # All five sufficient statistics fold in Python bigints:
+            # per-batch partials obey int64, but the cross-batch sums
+            # (Σx over a whole group especially) need not.
+            n = sum(int(v) for v in sub["n"])
+            sx = sum(int(v) for v in sub["sx"])
+            sy = sum(int(v) for v in sub["sy"])
             sxy = sum(int(v) for v in sub["sxy"])
             sxx = sum(int(v) for v in sub["sxx"])
             den = n * sxx - sx * sx  # >= 0 by Cauchy-Schwarz
@@ -1293,11 +1316,15 @@ def skyline(ds, *, maximize: list[str], minimize: list[str] = (), keep: list[str
     empty = typed_empty(**{c: dtypes.get(c, object) for c in cols})
 
     def to_matrix(batch: pa.Table) -> np.ndarray:
-        m = np.stack(
-            [batch[c].to_numpy().astype(np.float64) for c in crit], axis=1
-        )
+        # Integer criteria compare in int64 (exact above 2^53, where a
+        # float64 cast could flip dominance vs the integer-exact
+        # NOT-EXISTS oracle); only float inputs fall back to float64.
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in crit]
+        all_int = all(np.issubdtype(a.dtype, np.integer) for a in arrs)
+        dt = np.int64 if all_int else np.float64
+        m = np.stack([a.astype(dt) for a in arrs], axis=1)
         if n_min:
-            m[:, len(list(maximize)):] *= -1.0
+            m[:, len(list(maximize)):] *= -1
         return m
 
     def local(batch: pa.Table) -> pa.Table:

@@ -68,7 +68,9 @@ res = extract_dataset(
     docs,
     rd.read_parquet(os.path.join(fx, "media.parquet")),
     recognizer_concurrency=2,
-    recognizer_ray_remote_args={"resources": {"gpu_slot": 1}},
+    # num_cpus here overrides the pipeline's default (reserved-key
+    # override must merge, not TypeError on a duplicate keyword)
+    recognizer_ray_remote_args={"resources": {"gpu_slot": 1}, "num_cpus": 1},
 ).to_pandas()
 import pyarrow.parquet as pq
 n_docs_golden = pq.read_table(os.path.join(fx, "golden.parquet"), columns=["doc_id"])["doc_id"].to_pandas().nunique()

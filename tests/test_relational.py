@@ -1873,3 +1873,74 @@ def test_gini_by_group_hand_cases(ray_session):
         conc = out[out.g == "conc"].iloc[0]
         assert conc.gini_x1m == 1_000_000 * 3 // 4  # (n-1)/n = 750000
         assert out[out.g == "eq"].iloc[0].gini_x1m == 0
+
+
+def test_gini_by_group_bigint_and_negative_sum(ray_session):
+    """The int64 fast path must hand off to Python bigints when
+    n²·max|x| overflows, and a negative Σx must divide truncating
+    toward zero (HUGEINT // semantics), not flooring."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import gini_by_group
+
+    # big: values ~2^61 over n=4 rows → n²·max|x| ≈ 2^65 would wrap the
+    # vectorized int64 accumulator; the exact answer is known in closed
+    # form. neg: Σx < 0 so the denominator is negative.
+    big = 2**61
+    df = pd.DataFrame(
+        {
+            "g": ["big"] * 4 + ["neg"] * 3,
+            "v": np.array([0, 0, 0, big, -7, -1, 1], np.int64),
+        }
+    )
+
+    def expected(vals):
+        xs = sorted(vals)
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        den = n * sum(xs)
+        a = 1_000_000 * num
+        q, r = divmod(a, den)
+        if r != 0 and (a < 0) != (den < 0):
+            q += 1
+        return q
+
+    for nparts in (1, 3):
+        out = (
+            gini_by_group(rd.from_pandas(df).repartition(nparts), "g", "v")
+            .to_pandas()
+            .set_index("g")
+        )
+        assert int(out.loc["big", "gini_x1m"]) == expected([0, 0, 0, big])
+        assert int(out.loc["big", "gini_x1m"]) == 750_000  # (n-1)/n exact
+        got_neg = int(out.loc["neg", "gini_x1m"])
+        assert got_neg == expected([-7, -1, 1])
+        # floor division would give one less than truncation here
+        a = 1_000_000 * sum(
+            (2 * (i + 1) - 3 - 1) * x for i, x in enumerate(sorted([-7, -1, 1]))
+        )
+        assert got_neg != a // (3 * -7) or a % (3 * -7) == 0
+
+
+def test_skyline_int64_exact_above_2_53(ray_session):
+    """Criteria above 2^53 must not lose dominance decisions to a
+    float64 cast: x and x+1 are distinct in int64 but collapse in
+    float64."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import skyline
+
+    base = 2**53
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3, dtype=np.int64),
+            "a": np.array([base + 1, base, base + 1], np.int64),
+            "b": np.array([10, 10, 9], np.int64),
+        }
+    )
+    out = skyline(
+        rd.from_pandas(df).repartition(2), maximize=["a", "b"], keep=["id"]
+    ).to_pandas()
+    # row0 (base+1, 10) strictly dominates row1 (base, 10) and row2
+    # (base+1, 9); under float64 a-col ties and row1 would survive.
+    assert sorted(out.id.tolist()) == [0]

@@ -47,3 +47,27 @@ def test_fixture_cache_key_invalidates_on_version():
     assert f"-v{FIXTURE_VERSION}" in expected
     other = expected.replace(f"-v{FIXTURE_VERSION}", f"-v{FIXTURE_VERSION + 1}")
     assert other != expected
+
+
+def test_schema_union_scratch_is_rooted_and_pid_keyed(
+    ray_session, monkeypatch, tmp_path
+):
+    """_schema_union must route its generation dirs through
+    _scratch_dir: honoring SXRAY_SCRATCH_ROOT (shared-fs clusters) and
+    the pid key (two concurrent runs on the same fixture can't race
+    each other's rmtree/write)."""
+    import shutil
+
+    monkeypatch.setenv("SXRAY_SCRATCH_ROOT", str(tmp_path))
+    mod = _load_entry()
+    sf = "/root/testdata/sf0.001"
+    shutil.rmtree("/tmp/sxray_schema_union", ignore_errors=True)  # stale pre-fix runs
+    out = mod._schema_union(sf)
+    assert out.count() > 0
+    root = mod._scratch_dir("schema_union", sf)
+    assert root.startswith(str(tmp_path))
+    assert str(os.getpid()) in os.path.basename(root)
+    assert os.path.isdir(os.path.join(root, "gen_a"))
+    assert os.path.isdir(os.path.join(root, "gen_b"))
+    # nothing escaped to the legacy hardcoded /tmp location
+    assert not os.path.isdir("/tmp/sxray_schema_union")
