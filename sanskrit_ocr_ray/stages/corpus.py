@@ -25,7 +25,12 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import md5_u64_many, typed_empty
+from ..util import (
+    batch_token_hash_flat,
+    batch_tokens_flat,
+    md5_u64_many,
+    typed_empty,
+)
 
 # RE2 syntax, identical semantics in pyarrow.compute and DuckDB regexp_*.
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
@@ -149,12 +154,13 @@ def pack_sequences(
     tokens (same contract as text_analysis.token_count_batch's
     n_ws_tokens).
     """
-    from ..stages.text_analysis import WS_TOKEN
-
     def project(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ntok = np.fromiter(
-            (len(WS_TOKEN.findall(t or "")) for t in texts), np.int64, len(texts)
+        # \S+ token count as one Arrow RE2 kernel (same contract as
+        # text_analysis.token_count_batch's n_ws_tokens)
+        ntok = (
+            pc.count_substring_regex(pc.fill_null(batch[text_col], ""), r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         ids = [str(v) for v in batch[id_col].to_pylist()]
         h = md5_u64_many(ids)
@@ -214,16 +220,31 @@ def ngram_top(
     from ..stages.dedup import bucketed_aggregate
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch[text_col].to_pylist():
-            toks = [w for w in (t or "").split(" ") if w]
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i : i + n])
-                counts[g] = counts.get(g, 0) + 1
+        # Vectorized shingling (hygiene.contamination pattern): windows
+        # are n shifted zero-copy slices joined in ONE Arrow kernel
+        # (window valid iff first/last token share a doc); counts via
+        # pc.value_counts. No Python per gram occurrence.
+        empty = pa.table(
+            {
+                "gram": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        flat, parent = batch_tokens_flat(batch[text_col])
+        n_win = len(parent) - n + 1
+        if n_win <= 0:
+            return empty
+        valid = parent[:n_win] == parent[n - 1 :]
+        if not valid.any():
+            return empty
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, n_win) for j in range(n)], " "
+        ).filter(pa.array(valid))
+        vc = pc.value_counts(grams)
         return pa.table(
             {
-                "gram": pa.array(list(counts.keys()), type=pa.string()),
-                "n": pa.array(list(counts.values()), type=pa.int64()),
+                "gram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
@@ -308,15 +329,13 @@ def vocab_build(
     from ..stages.dedup import bucketed_aggregate
 
     def count_batch(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch[text_col].to_pylist():
-            for w in (t or "").split(" "):
-                if w:
-                    counts[w] = counts.get(w, 0) + 1
+        # One Arrow tokenize + value_counts pass — no Python per token.
+        flat, _ = batch_tokens_flat(batch[text_col])
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "token": pa.array(list(counts.keys()), type=pa.string()),
-                "freq": pa.array(list(counts.values()), type=pa.int64()),
+                "token": vc.field("values"),
+                "freq": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
@@ -367,30 +386,54 @@ def chunk_documents(
     """
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows: list[int] = []
-        cids: list[int] = []
-        chunks: list[str] = []
-        ntoks: list[int] = []
-        for row, t in enumerate(batch[text_col].to_pylist()):
-            toks = [w for w in (t or "").split(" ") if w]
-            n = len(toks)
-            for ci, start in enumerate(range(0, n, stride)):
-                w = toks[start : start + chunk_tokens]
-                rows.append(row)
-                cids.append(ci)
-                chunks.append(" ".join(w))
-                ntoks.append(len(w))
-        ids = (
-            batch[id_col].take(pa.array(rows, type=pa.int64()))
-            if rows
-            else pa.chunked_array([], type=batch[id_col].type)
+        # Vectorized overlapping windows: per-doc window starts/lengths
+        # come from segment arithmetic, the token gather is ONE Arrow
+        # take over a flattened index vector, and the joins run as ONE
+        # binary_join over a ListArray. No Python per token or window.
+        flat, parent = batch_tokens_flat(batch[text_col])
+        L = len(parent)
+        if L == 0:
+            return pa.table(
+                {
+                    id_col: pa.chunked_array([], type=batch[id_col].type),
+                    "chunk_id": pa.array([], type=pa.int64()),
+                    "chunk": pa.array([], type=pa.string()),
+                    "ntok": pa.array([], type=pa.int64()),
+                }
+            )
+        new_doc = np.r_[True, parent[1:] != parent[:-1]]
+        doc_starts = np.flatnonzero(new_doc)  # into flat
+        doc_rows = parent[doc_starts]
+        doc_len = np.diff(np.r_[doc_starts, L])
+        n_win = (doc_len + stride - 1) // stride  # ceil(n / stride)
+        rows = np.repeat(doc_rows, n_win)
+        # window ordinal within its doc
+        win_firsts = np.r_[0, np.cumsum(n_win)[:-1]]
+        cids = np.arange(int(n_win.sum()), dtype=np.int64) - np.repeat(
+            win_firsts, n_win
+        )
+        win_start = np.repeat(doc_starts, n_win) + cids * stride  # into flat
+        win_len = np.minimum(
+            chunk_tokens, np.repeat(doc_starts + doc_len, n_win) - win_start
+        )
+        # flattened token gather indices: one arange per window
+        tok_firsts = np.r_[0, np.cumsum(win_len)[:-1]]
+        idx = (
+            np.arange(int(win_len.sum()), dtype=np.int64)
+            - np.repeat(tok_firsts, win_len)
+            + np.repeat(win_start, win_len)
+        )
+        gathered = flat.take(pa.array(idx))
+        offsets = np.r_[0, np.cumsum(win_len)].astype(np.int32)
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), gathered), " "
         )
         return pa.table(
             {
-                id_col: ids,
-                "chunk_id": pa.array(cids, type=pa.int64()),
-                "chunk": pa.array(chunks, type=pa.string()),
-                "ntok": pa.array(ntoks, type=pa.int64()),
+                id_col: batch[id_col].take(pa.array(rows, type=pa.int64())),
+                "chunk_id": pa.array(cids),
+                "chunk": chunks,
+                "ntok": pa.array(win_len.astype(np.int64)),
             }
         )
 
@@ -425,29 +468,55 @@ def encode_documents(
     vdf = vocab_build(
         ds, min_count=min_count, text_col=text_col, n_buckets=n_buckets
     ).to_pandas()
-    vref = ray.put(dict(zip(vdf["token"], vdf["token_id"].astype(int))))
+    vref = ray.put(
+        (
+            pa.array(vdf["token"], type=pa.string()),
+            vdf["token_id"].to_numpy().astype(np.int64),
+        )
+    )
 
     def encode(batch: pa.Table) -> pa.Table:
-        vmap = ray.get(vref)
-        ids_out: list[str] = []
-        doc_ids: list = []
-        ntoks: list[int] = []
-        noovs: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = [w for w in (t or "").split(" ") if w]
-            if not toks:
-                continue
-            enc = [vmap.get(w, oov_id) for w in toks]
-            doc_ids.append(did)
-            ids_out.append(" ".join(str(i) for i in enc))
-            ntoks.append(len(enc))
-            noovs.append(sum(1 for i in enc if i == oov_id))
+        # Vectorized broadcast-dictionary apply: ONE pc.index_in hash
+        # lookup for the whole batch, per-doc space-joins via a
+        # ListArray + binary_join, OOV counts via a segment fold.
+        vocab_toks, vocab_ids = ray.get(vref)
+        flat, parent = batch_tokens_flat(batch[text_col])
+        L = len(parent)
+        if L == 0:
+            return pa.table(
+                {
+                    id_col: pa.chunked_array([], type=batch[id_col].type),
+                    "ids": pa.array([], type=pa.string()),
+                    "ntok": pa.array([], type=pa.int64()),
+                    "n_oov": pa.array([], type=pa.int64()),
+                }
+            )
+        vi = pc.index_in(flat, value_set=vocab_toks)
+        vi_np = vi.to_numpy(zero_copy_only=False)
+        oov = np.asarray(pd.isna(vi_np))
+        enc_ids = np.where(
+            oov, np.int64(oov_id), vocab_ids[np.where(oov, 0, vi_np).astype(np.int64)]
+        )
+        doc_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        doc_rows = parent[doc_starts]
+        doc_len = np.diff(np.r_[doc_starts, L]).astype(np.int64)
+        offsets = np.r_[0, np.cumsum(doc_len)].astype(np.int32)
+        ids_str = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets), pc.cast(pa.array(enc_ids), pa.string())
+            ),
+            " ",
+        )
+        n_oov = np.zeros(len(doc_starts), np.int64)
+        np.add.at(
+            n_oov, np.searchsorted(doc_starts, np.flatnonzero(oov), "right") - 1, 1
+        )
         return pa.table(
             {
-                id_col: pa.array(doc_ids, type=batch[id_col].type),
-                "ids": pa.array(ids_out, type=pa.string()),
-                "ntok": pa.array(ntoks, type=pa.int64()),
-                "n_oov": pa.array(noovs, type=pa.int64()),
+                id_col: batch[id_col].take(pa.array(doc_rows, type=pa.int64())),
+                "ids": ids_str,
+                "ntok": pa.array(doc_len),
+                "n_oov": pa.array(n_oov),
             }
         )
 
@@ -485,21 +554,31 @@ def pmi_collocations(
     from ..stages.dedup import bucketed_aggregate
 
     def big_counts(batch: pa.Table) -> pa.Table:
-        counts: dict[tuple[str, str], int] = {}
-        for t in batch[text_col].to_pylist():
-            toks = [w for w in (t or "").split(" ") if w]
-            for i in range(len(toks) - 1):
-                key = (toks[i], toks[i + 1])
-                counts[key] = counts.get(key, 0) + 1
-        w1s = [a for a, _ in counts]
-        w2s = [b for _, b in counts]
-        return pa.table(
+        # Vectorized adjacent pairs (hygiene.bigram_surprisal pattern):
+        # two shifted zero-copy slices + ONE Arrow hash-aggregate.
+        empty = pa.table(
             {
-                "w1": pa.array(w1s, type=pa.string()),
-                "w2": pa.array(w2s, type=pa.string()),
-                "c_xy": pa.array(list(counts.values()), type=pa.int64()),
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "c_xy": pa.array([], type=pa.int64()),
             }
         )
+        flat, parent = batch_tokens_flat(batch[text_col])
+        L = len(parent)
+        if L < 2:
+            return empty
+        valid = parent[:-1] == parent[1:]
+        if not valid.any():
+            return empty
+        vmask = pa.array(valid)
+        pairs = pa.table(
+            {
+                "w1": flat.slice(0, L - 1).filter(vmask),
+                "w2": flat.slice(1, L - 1).filter(vmask),
+            }
+        )
+        agg = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w1", "w2", "c_xy"])
 
     empty = typed_empty(w1=object, w2=object, c_xy=np.int64)
 
@@ -518,15 +597,13 @@ def pmi_collocations(
 
     # ---- distributed unfloored unigram census (never on the driver) ----
     def uni_counts(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch[text_col].to_pylist():
-            for w in (t or "").split(" "):
-                if w:
-                    counts[w] = counts.get(w, 0) + 1
+        # One Arrow tokenize + value_counts pass — no Python per token.
+        flat, _ = batch_tokens_flat(batch[text_col])
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "term": pa.array(list(counts.keys()), type=pa.string()),
-                "freq": pa.array(list(counts.values()), type=pa.int64()),
+                "term": vc.field("values"),
+                "freq": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
@@ -894,16 +971,13 @@ def feature_hashing(ds, *, n_features: int = 1024, text_col: str = "text", id_co
     nf = np.uint64(n_features)
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        cache = tok_hash_cache()
-        doc_ids: list = []
-        feats: list = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = [w for w in (t or "").split(" ") if w]
-            if not toks:
-                continue
-            doc_ids.extend([did] * len(toks))
-            feats.extend(int(np.uint64(cache[w]) % nf) for w in toks)
-        if not doc_ids:
+        # Vectorized: md5 once per DISTINCT token via the shared Arrow
+        # tokenize-factorize-hash kernel, then the (doc, feat) collapse
+        # is one np.unique over a fused key. No Python per token.
+        starts, doc_sel, th = batch_token_hash_flat(
+            batch[text_col], cache=tok_hash_cache()
+        )
+        if len(th) == 0:
             return pa.table(
                 {
                     id_col: pa.array([], pa.int64()),
@@ -911,12 +985,19 @@ def feature_hashing(ds, *, n_features: int = 1024, text_col: str = "text", id_co
                     "n": pa.array([], pa.int64()),
                 }
             )
-        df = pd.DataFrame({id_col: doc_ids, "feat": np.asarray(feats, np.int64)})
-        g = df.groupby([id_col, "feat"], as_index=False).size()
-        return pa.Table.from_pandas(
-            g.rename(columns={"size": "n"}).astype({"n": np.int64}),
-            preserve_index=False,
-        ).replace_schema_metadata(None)
+        parent = np.repeat(doc_sel, np.diff(np.r_[starts, len(th)]))
+        feat = (th % nf).astype(np.int64)
+        uk, n = np.unique(parent * np.int64(n_features) + feat, return_counts=True)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    ids_np[uk // np.int64(n_features)].astype(np.int64)
+                ),
+                "feat": pa.array(uk % np.int64(n_features)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
 
     # docs never split across batches, so per-batch (doc, feat) collapse
     # is already the final answer — no shuffle needed
@@ -932,6 +1013,29 @@ def _hashed_bigrams(tokens: list[str], cache, nf: np.uint64) -> np.ndarray:
         np.int64,
         len(tokens) - 1,
     )
+
+
+def _hashed_bigram_stream(col, cache, nf: np.uint64):
+    """Vectorized :func:`_hashed_bigrams` for a whole Arrow column:
+    adjacent pairs via two shifted slices + one ``binary_join`` kernel,
+    md5 once per DISTINCT bigram string (Zipf memo). Returns
+    ``(parent, f)`` — the row index and hashed feature of every bigram
+    instance in doc-major order; pairs never cross doc boundaries."""
+    flat, parent = batch_tokens_flat(col)
+    L = len(parent)
+    if L < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    valid = parent[:-1] == parent[1:]
+    if not valid.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    big = pc.binary_join_element_wise(
+        flat.slice(0, L - 1), flat.slice(1, L - 1), " "
+    ).filter(pa.array(valid))
+    enc = big.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    vh = np.fromiter((cache[w] for w in vocab), np.uint64, len(vocab))
+    f = (vh % nf).astype(np.int64)[enc.indices.to_numpy(zero_copy_only=False)]
+    return parent[:-1][valid], f
 
 
 def target_affinity(
@@ -965,16 +1069,17 @@ def target_affinity(
     nf = np.uint64(n_features)
 
     def target_partial(batch: pa.Table) -> pa.Table:
-        cache = tok_hash_cache()
+        # Vectorized: one bigram-hash pass for the whole batch, then
+        # the histogram folds only the pairs whose doc is target-class.
         counts = np.zeros(n_features, np.int64)
-        langs = batch[lang_col].to_pylist()
-        for lg, t in zip(langs, batch[text_col].to_pylist()):
-            if lg != target_lang:
-                continue
-            toks = [w for w in (t or "").split(" ") if w]
-            f = _hashed_bigrams(toks, cache, nf)
-            if len(f):
-                np.add.at(counts, f, 1)
+        parent, f = _hashed_bigram_stream(batch[text_col], tok_hash_cache(), nf)
+        if len(f):
+            is_tgt = pc.equal(
+                pc.fill_null(batch[lang_col], ""), target_lang
+            ).to_numpy(zero_copy_only=False)
+            sel = is_tgt[parent]
+            if sel.any():
+                np.add.at(counts, f[sel], 1)
         return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
 
     hist = np.zeros(n_features, np.int64)
@@ -986,21 +1091,26 @@ def target_affinity(
     ref = ray.put(hist)
 
     def score(batch: pa.Table) -> pa.Table:
+        # Vectorized: histogram-gather + per-doc segment sum; docs with
+        # no bigram (< 2 tokens) emit no row, as before.
         h = ray.get(ref)
-        cache = tok_hash_cache()
-        ids: list = []
-        scores: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = [w for w in (t or "").split(" ") if w]
-            f = _hashed_bigrams(toks, cache, nf)
-            if not len(f):
-                continue
-            ids.append(did)
-            scores.append(int(h[f].sum()))
+        parent, f = _hashed_bigram_stream(batch[text_col], tok_hash_cache(), nf)
+        if not len(f):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "affinity": pa.array([], pa.int64()),
+                }
+            )
+        per_doc = np.zeros(batch.num_rows, np.int64)
+        np.add.at(per_doc, parent, h[f])
+        present = np.zeros(batch.num_rows, bool)
+        present[parent] = True
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: pa.array(ids, pa.int64()),
-                "affinity": pa.array(scores, pa.int64()),
+                id_col: pa.array(ids_np[present].astype(np.int64)),
+                "affinity": pa.array(per_doc[present]),
             }
         )
 

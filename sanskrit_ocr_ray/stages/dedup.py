@@ -33,9 +33,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import (
     batch_token_hash_flat,
+    batch_tokens_flat,
     fast_hash_u64,
     md5_hex16,
     md5_u64,
@@ -636,20 +638,30 @@ def hamming64_pairs(
     if id_dtype is None:  # callers pass it to keep schema resolution
         id_dtype = _pd_dtypes(sig_ds)[id_col]  # metadata-only upstream
 
+    # all 8·256 possible band-bucket labels, precomputed once
+    _band_lut = np.array(
+        [f"{b}:{v:02x}" for b in range(8) for v in range(256)], dtype=object
+    )
+
     def bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        sigs = [int(s) for s in batch[sig_col].to_pylist()]
-        rows_id, rows_sig, rows_bucket = [], [], []
-        for d, s in zip(ids, sigs):
-            for b in range(8):
-                rows_id.append(d)
-                rows_sig.append(s)
-                rows_bucket.append(f"{b}:{(s >> (8 * b)) & 0xFF:02x}")
+        # Vectorized banding: the 8 byte-bands come from one shift/mask
+        # matrix and the labels gather from a 2048-entry LUT — no
+        # Python per (doc, band).
+        sig_np = batch[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sig_np)
+        b_idx = np.arange(8, dtype=np.uint64)
+        bytes_mat = (
+            (sig_np[:, None] >> (np.uint64(8) * b_idx[None, :])) & np.uint64(0xFF)
+        ).astype(np.int64)  # (n, 8) doc-major like the original loop
+        lut_idx = (np.arange(8, dtype=np.int64)[None, :] * 256 + bytes_mat).ravel()
+        rows_bucket = _band_lut[lut_idx]
         t = pa.table(
             {
-                id_col: pa.array(rows_id),
-                "sig": pa.array(rows_sig, type=pa.uint64()),
-                "bucket": pa.array(rows_bucket),
+                id_col: batch[id_col].take(
+                    pa.array(np.repeat(np.arange(n, dtype=np.int64), 8))
+                ),
+                "sig": pa.array(np.repeat(sig_np, 8), type=pa.uint64()),
+                "bucket": pa.array(rows_bucket, type=pa.string()),
             }
         )
         return t.append_column("__sb", _bucket_of(rows_bucket, n_buckets))
@@ -762,25 +774,41 @@ def _ngram_intersections(
     )
 
     def shingles(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[column].to_pylist()
-        rows_id, rows_g, rows_n = [], [], []
-        for d, t in zip(ids, texts):
-            toks = [w for w in (t or "").split(" ") if w]
-            if len(toks) >= n:
-                grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                for g in grams:
-                    rows_id.append(d)
-                    rows_g.append(g)
-                    rows_n.append(len(grams))
+        # Vectorized (hygiene.contamination pattern): windows are n
+        # shifted zero-copy slices joined in ONE Arrow kernel; per-doc
+        # distinctness + per-doc gram counts via np.unique/bincount on
+        # a fused row×vocab key. No Python per gram instance.
+        flat, parent = batch_tokens_flat(batch[column])
+        n_win = len(parent) - n + 1
+        rows_g_arr = pa.array([], type=pa.string())
+        sel_rows = np.empty(0, np.int64)
+        rows_n = np.empty(0, np.int64)
+        if n_win > 0:
+            valid = parent[:n_win] == parent[n - 1 :]
+            if valid.any():
+                g_all = pc.binary_join_element_wise(
+                    *[flat.slice(j, n_win) for j in range(n)], " "
+                ).filter(pa.array(valid))
+                p = parent[:n_win][valid]
+                enc = g_all.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                v = max(len(enc.dictionary), 1)
+                uk = np.unique(p * v + codes)
+                u_doc = uk // v
+                per_doc = np.bincount(u_doc)  # distinct grams per doc index
+                rows_g_arr = enc.dictionary.take(pa.array(uk % v))
+                sel_rows = u_doc
+                rows_n = per_doc[u_doc].astype(np.int64)
         t_out = pa.table(
             {
-                id_col: pa.array(rows_id, type=batch[id_col].type),
-                "g": pa.array(rows_g, type=pa.string()),
-                "n": pa.array(rows_n, type=pa.int64()),
+                id_col: batch[id_col].take(pa.array(sel_rows)),
+                "g": rows_g_arr,
+                "n": pa.array(rows_n),
             }
         )
-        return t_out.append_column("__sb", _bucket_of(rows_g, n_buckets))
+        return t_out.append_column(
+            "__sb", _bucket_of(rows_g_arr.to_numpy(zero_copy_only=False), n_buckets)
+        )
 
     sh = ds.map_batches(shingles, batch_format="pyarrow")
 
@@ -949,31 +977,49 @@ def ppjoin_pairs(
     t = threshold_pm
 
     def shingles(batch: pa.Table) -> pa.Table:
+        # Vectorized: windows via n shifted slices + ONE Arrow join
+        # kernel, md5 once per DISTINCT gram string, then per-doc
+        # hash-sorted dedup (downstream relies on each doc's gh run
+        # being sorted ascending, exactly like the old per-doc
+        # np.unique) via one lexsort. No Python per gram instance.
         cache = tok_hash_cache()
-        ids = batch[id_col].to_pylist()
-        texts = batch[column].to_pylist()
-        rows_id, rows_gh, rows_n = [], [], []
-        for d, txt in zip(ids, texts):
-            toks = [w for w in (txt or "").split(" ") if w]
-            if len(toks) < n:
-                continue
-            grams = {
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            }
-            hs = np.unique(
-                np.fromiter((cache[g] for g in grams), np.uint64, len(grams))
-            )
-            rows_id.extend([d] * len(hs))
-            rows_gh.append(hs)
-            rows_n.extend([len(hs)] * len(hs))
-        gh = (
-            np.concatenate(rows_gh) if rows_gh else np.asarray([], np.uint64)
+        flat, parent = batch_tokens_flat(batch[column])
+        n_win = len(parent) - n + 1
+        u_doc = np.empty(0, np.int64)
+        gh = np.empty(0, np.uint64)
+        if n_win > 0:
+            valid = parent[:n_win] == parent[n - 1 :]
+            if valid.any():
+                g_all = pc.binary_join_element_wise(
+                    *[flat.slice(j, n_win) for j in range(n)], " "
+                ).filter(pa.array(valid))
+                p = parent[:n_win][valid]
+                enc = g_all.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                v = max(len(enc.dictionary), 1)
+                uk = np.unique(p * v + codes)
+                u_doc, u_code = uk // v, uk % v
+                vocab = enc.dictionary.to_pylist()
+                vh = np.fromiter((cache[w] for w in vocab), np.uint64, len(vocab))
+                gh = vh[u_code]
+                order = np.lexsort((gh, u_doc))
+                u_doc, gh = u_doc[order], gh[order]
+                # distinct-by-hash within doc (md5 collisions collapse,
+                # matching the old per-doc np.unique over hashes)
+                keep = np.r_[
+                    True, (u_doc[1:] != u_doc[:-1]) | (gh[1:] != gh[:-1])
+                ]
+                u_doc, gh = u_doc[keep], gh[keep]
+        n_per = (
+            np.bincount(u_doc)[u_doc].astype(np.int64)
+            if len(u_doc)
+            else np.empty(0, np.int64)
         )
         out = pa.table(
             {
-                id_col: pa.array(rows_id, type=batch[id_col].type),
+                id_col: batch[id_col].take(pa.array(u_doc)),
                 "gh": pa.array(gh.astype(np.int64)),
-                "n": pa.array(np.asarray(rows_n, np.int64)),
+                "n": pa.array(n_per),
             }
         )
         return out.append_column(

@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import md5_hex16, typed_empty
+from ..util import batch_tokens_flat, md5_hex16, typed_empty
 
 #: per-mille integer scale for TF-IDF-style scores (int64-safe: tf ≤ 10⁹)
 SCORE_SCALE = 1_000_000
@@ -34,6 +34,26 @@ def _tokens(text: str | None) -> list[str]:
     """Space-split, empty-dropped tokens — the corpus-wide convention
     shared with lang_id/ngram_top and the oracles' str_split CTEs."""
     return [w for w in (text or "").split(" ") if w]
+
+
+def _tf_rows_vec(batch: pa.Table, id_col: str, text_col: str):
+    """Per-doc distinct-term frequencies for a whole batch, vectorized:
+    one Arrow tokenize + ``dictionary_encode`` pass, then the (doc,
+    term) multiset collapses with a single ``np.unique`` over a fused
+    row×vocab integer key — no Python per token instance. Returns
+    ``(doc_ids, terms, tfs)`` Arrow arrays in (doc, term-code) order;
+    token-less docs contribute nothing."""
+    flat, parent = batch_tokens_flat(batch[text_col])
+    ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = max(len(enc.dictionary), 1)
+    uk, tf = np.unique(parent * v + codes, return_counts=True)
+    return (
+        pa.array(ids_np[uk // v].astype(np.int64)),
+        enc.dictionary.take(pa.array(uk % v)),
+        pa.array(tf.astype(np.int64)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -67,30 +87,48 @@ def contamination(
 
     def grams(side: int):
         def fn(batch: pa.Table) -> pa.Table:
-            out_g: list[str] = []
-            out_d: list[int] = []
-            seen_eval: set[str] = set()
-            for did, t in zip(
-                batch[id_col].to_pylist(), batch[text_col].to_pylist()
-            ):
-                toks = _tokens(t)
-                gs = {
-                    " ".join(toks[i : i + ngram])
-                    for i in range(len(toks) - ngram + 1)
+            # Vectorized shingling: one tokenize pass, then the n-gram
+            # windows materialize as ONE binary_join_element_wise over
+            # ``ngram`` shifted zero-copy slices of the flat token
+            # stream (window valid iff its first and last token share a
+            # doc); per-doc distinctness collapses via np.unique on a
+            # fused row×vocab key. No Python per token instance.
+            flat, parent = batch_tokens_flat(batch[text_col])
+            L = len(parent)
+            n_win = L - ngram + 1
+            empty = pa.table(
+                {
+                    "gram": pa.array([], type=pa.string()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "side": pa.array([], type=pa.int8()),
                 }
-                if side == 0:
-                    out_g.extend(gs)
-                    out_d.extend([did] * len(gs))
-                else:
-                    seen_eval.update(gs)
+            )
+            if n_win <= 0:
+                return empty
+            valid = parent[:n_win] == parent[ngram - 1 :]
+            if not valid.any():
+                return empty
+            slices = [flat.slice(j, n_win) for j in range(ngram)]
+            g = pc.binary_join_element_wise(*slices, " ").filter(pa.array(valid))
             if side == 1:
-                out_g = list(seen_eval)
-                out_d = [-1] * len(out_g)
+                out_g = pc.unique(g)
+                out_d = pa.array(np.full(len(out_g), -1, np.int64))
+            else:
+                p = parent[:n_win][valid]
+                enc = g.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                v = max(len(enc.dictionary), 1)
+                uk = np.unique(p * v + codes)
+                ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+                out_g = enc.dictionary.take(pa.array(uk % v))
+                out_d = pa.array(ids_np[uk // v].astype(np.int64))
             return pa.table(
                 {
-                    "gram": pa.array(out_g, type=pa.string()),
-                    "doc_id": pa.array(out_d, type=pa.int64()),
-                    "side": pa.array([side] * len(out_g), type=pa.int8()),
+                    "gram": out_g,
+                    "doc_id": out_d,
+                    "side": pa.array(
+                        np.full(len(out_g), side, np.int8), type=pa.int8()
+                    ),
                 }
             )
 
@@ -164,21 +202,18 @@ def bm25_topk(
     tset = list(dict.fromkeys(terms))
 
     def stats_partial(batch: pa.Table) -> pa.Table:
-        n = 0
-        lt = 0
-        df = dict.fromkeys(tset, 0)
-        for t in batch[text_col].to_pylist():
-            toks = _tokens(t)
-            n += 1
-            lt += len(toks)
-            ws = set(toks)
-            for q in tset:
-                if q in ws:
-                    df[q] += 1
+        # One tokenize pass; df per term = distinct parents of matching
+        # token instances (len(tset) tiny equality kernels, no Python
+        # per row/token).
+        flat, parent = batch_tokens_flat(batch[text_col])
+        df = {}
+        for q in tset:
+            m = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            df[q] = int(np.unique(parent[m]).size) if m.any() else 0
         return pa.table(
             {
-                "n": pa.array([n], pa.int64()),
-                "lt": pa.array([lt], pa.int64()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "lt": pa.array([len(parent)], pa.int64()),
                 **{
                     f"df_{j}": pa.array([df[q]], pa.int64())
                     for j, q in enumerate(tset)
@@ -203,20 +238,34 @@ def bm25_topk(
     }
 
     def best_of_batch(batch: pa.Table) -> pa.Table:
+        # Tokenize + per-term tf/dl fully vectorized; the exact-integer
+        # BM25 division then runs only over the (sparse) hit rows in
+        # Python bigints — counting was the hot loop, not the quotient.
+        n = batch.num_rows
+        flat, parent = batch_tokens_flat(batch[text_col])
+        dl_np = np.zeros(n, np.int64)
+        if len(parent):
+            np.add.at(dl_np, parent, 1)
+        tf_np = np.zeros((len(tset), n), np.int64)
+        for j, q in enumerate(tset):
+            m = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            if m.any():
+                np.add.at(tf_np[j], parent[m], 1)
+        hit_rows = np.flatnonzero(tf_np.any(axis=0))
+        ids_all = batch[id_col].to_numpy(zero_copy_only=False)
         ids: list[int] = []
         scores: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = _tokens(t)
-            dl = len(toks)
+        for i in hit_rows:
+            dl = int(dl_np[i])
             s = 0
-            for q in tset:
-                tf = toks.count(q)
+            for j, q in enumerate(tset):
+                tf = int(tf_np[j, i])
                 if tf:
                     s += (idf[q] * tf * 88 * apm) // (
                         40 * tf * apm + 12 * apm + 36 * dl * 1000
                     )
             if s > 0:
-                ids.append(did)
+                ids.append(int(ids_all[i]))
                 scores.append(s)
         if ids:
             df = pd.DataFrame({id_col: ids, "score": scores}).astype(np.int64)
@@ -262,23 +311,8 @@ def salient_terms(
     from .dedup import bucketed_aggregate
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        terms: list[str] = []
-        tfs: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            counts: dict[str, int] = {}
-            for w in _tokens(t):
-                counts[w] = counts.get(w, 0) + 1
-            ids.extend([did] * len(counts))
-            terms.extend(counts.keys())
-            tfs.extend(counts.values())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "term": pa.array(terms, type=pa.string()),
-                "tf": pa.array(tfs, type=pa.int64()),
-            }
-        )
+        ids, terms, tfs = _tf_rows_vec(batch, id_col, text_col)
+        return pa.table({"doc_id": ids, "term": terms, "tf": tfs})
 
     empty_sc = typed_empty(
         doc_id=np.int64, term=object, tf=np.int64, df=np.int64, score_x1m=np.int64
@@ -346,18 +380,21 @@ def keyword_search(
     nterms = len(tset)
 
     def best_of_batch(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        scores: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            hit = dict.fromkeys(tset, 0)
-            for w in _tokens(t):
-                if w in hit:
-                    hit[w] += 1
-            if all(v > 0 for v in hit.values()):
-                ids.append(did)
-                scores.append(sum(hit.values()))
-        if ids:
-            df = pd.DataFrame({"doc_id": ids, "score": scores}).astype(np.int64)
+        # One tokenize pass, then one pc.equal + segment-sum per query
+        # term (len(tset) tiny kernels) — no Python per row/token.
+        n = batch.num_rows
+        flat, parent = batch_tokens_flat(batch[text_col])
+        tf = np.zeros((nterms, n), np.int64)
+        for j, q in enumerate(tset):
+            m = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            if m.any():
+                np.add.at(tf[j], parent[m], 1)
+        sel = (tf > 0).all(axis=0)
+        if sel.any():
+            ids_np = batch[id_col].to_numpy(zero_copy_only=False)[sel]
+            df = pd.DataFrame(
+                {"doc_id": ids_np, "score": tf[:, sel].sum(axis=0)}
+            ).astype(np.int64)
             df = df.sort_values(
                 ["score", "doc_id"], ascending=[False, True], kind="mergesort"
             ).head(k)
@@ -446,23 +483,8 @@ def inverted_index(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        terms: list[str] = []
-        tfs: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            counts: dict[str, int] = {}
-            for w in _tokens(t):
-                counts[w] = counts.get(w, 0) + 1
-            ids.extend([did] * len(counts))
-            terms.extend(counts.keys())
-            tfs.extend(counts.values())
-        return pa.table(
-            {
-                "term": pa.array(terms, type=pa.string()),
-                id_col: pa.array(ids, type=pa.int64()),
-                "tf": pa.array(tfs, type=pa.int64()),
-            }
-        )
+        ids, terms, tfs = _tf_rows_vec(batch, id_col, text_col)
+        return pa.table({"term": terms, id_col: ids, "tf": tfs})
 
     return ds.map_batches(tf_rows, batch_format="pyarrow")
 
@@ -630,22 +652,8 @@ def rarity_score(ds, *, id_col: str = "doc_id", text_col: str = "text", n_bucket
     from .dedup import bucketed_aggregate
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        out_d, out_t, out_c = [], [], []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = _tokens(t)
-            if not toks:
-                continue
-            vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            out_d.extend([did] * len(vals))
-            out_t.extend(vals.tolist())
-            out_c.extend(counts.tolist())
-        return pa.table(
-            {
-                id_col: pa.array(out_d, type=pa.int64()),
-                "term": pa.array(out_t, type=pa.string()),
-                "tf": pa.array(out_c, type=pa.int64()),
-            }
-        )
+        ids, terms, tfs = _tf_rows_vec(batch, id_col, text_col)
+        return pa.table({id_col: ids, "term": terms, "tf": tfs})
 
     empty_part = typed_empty(**{id_col: np.int64, "part": np.int64})
 
@@ -718,25 +726,50 @@ def dedup_spans(
     from .dedup import bucketed_aggregate
 
     def explode(batch: pa.Table) -> pa.Table:
-        out_d, out_i, out_l, out_n = [], [], [], []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = _tokens(t)
-            if not toks:
-                continue
-            spans = [
-                " ".join(toks[j : j + span_tokens])
-                for j in range(0, len(toks), span_tokens)
-            ]
-            out_d.extend([did] * len(spans))
-            out_i.extend(range(len(spans)))
-            out_l.extend(spans)
-            out_n.extend([len(spans)] * len(spans))
+        # Vectorized span windows: within-doc token position //
+        # span_tokens is the span index; span boundaries become a
+        # ListArray offset vector and the joins run as ONE Arrow
+        # ``binary_join`` kernel. No Python per token or span.
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "idx": pa.array([], type=pa.int64()),
+                "line": pa.array([], type=pa.string()),
+                "n_spans": pa.array([], type=pa.int64()),
+            }
+        )
+        flat, parent = batch_tokens_flat(batch[text_col])
+        L = len(parent)
+        if L == 0:
+            return empty
+        new_doc = np.r_[True, parent[1:] != parent[:-1]]
+        doc_starts = np.flatnonzero(new_doc)
+        ipos = np.arange(L, dtype=np.int64) - np.repeat(
+            doc_starts, np.diff(np.r_[doc_starts, L])
+        )
+        span_idx = ipos // span_tokens
+        brk = new_doc | np.r_[False, span_idx[1:] != span_idx[:-1]]
+        span_starts = np.flatnonzero(brk)
+        offsets = np.r_[span_starts, L].astype(np.int32)
+        lines = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat), " "
+        )
+        span_doc = parent[span_starts]
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        # per-span doc-local index + per-doc span count, via segment math
+        new_span_doc = np.r_[True, span_doc[1:] != span_doc[:-1]]
+        sd_starts = np.flatnonzero(new_span_doc)
+        seg_len = np.diff(np.r_[sd_starts, len(span_starts)])
+        idx = np.arange(len(span_starts), dtype=np.int64) - np.repeat(
+            sd_starts, seg_len
+        )
+        n_spans = np.repeat(seg_len.astype(np.int64), seg_len)
         return pa.table(
             {
-                id_col: pa.array(out_d, type=pa.int64()),
-                "idx": pa.array(out_i, type=pa.int64()),
-                "line": pa.array(out_l, type=pa.string()),
-                "n_spans": pa.array(out_n, type=pa.int64()),
+                id_col: pa.array(ids_np[span_doc].astype(np.int64)),
+                "idx": pa.array(idx),
+                "line": lines,
+                "n_spans": pa.array(n_spans),
             }
         )
 
@@ -818,20 +851,36 @@ def bigram_surprisal(
     from .dedup import bucketed_aggregate
 
     def bigram_rows(batch: pa.Table) -> pa.Table:
-        counts: dict[tuple, int] = {}
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = _tokens(t)
-            for i in range(len(toks) - 1):
-                key = (did, toks[i], toks[i + 1])
-                counts[key] = counts.get(key, 0) + 1
-        return pa.table(
+        # Vectorized: adjacent-token pairs are two shifted zero-copy
+        # slices of the flat token stream (pair valid iff both tokens
+        # share a doc); the (doc, x, y) multiset counts in ONE Arrow
+        # hash-aggregate. No Python per token instance.
+        empty = pa.table(
             {
-                id_col: pa.array([k[0] for k in counts], type=pa.int64()),
-                "x": pa.array([k[1] for k in counts], type=pa.string()),
-                "y": pa.array([k[2] for k in counts], type=pa.string()),
-                "c": pa.array(list(counts.values()), type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "x": pa.array([], type=pa.string()),
+                "y": pa.array([], type=pa.string()),
+                "c": pa.array([], type=pa.int64()),
             }
         )
+        flat, parent = batch_tokens_flat(batch[text_col])
+        L = len(parent)
+        if L < 2:
+            return empty
+        valid = parent[:-1] == parent[1:]
+        if not valid.any():
+            return empty
+        vmask = pa.array(valid)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        pairs = pa.table(
+            {
+                id_col: pa.array(ids_np[parent[:-1][valid]].astype(np.int64)),
+                "x": flat.slice(0, L - 1).filter(vmask),
+                "y": flat.slice(1, L - 1).filter(vmask),
+            }
+        )
+        agg = pairs.group_by([id_col, "x", "y"]).aggregate([([], "count_all")])
+        return agg.rename_columns([id_col, "x", "y", "c"])
 
     empty_part = typed_empty(**{id_col: np.int64, "part": np.int64})
 
@@ -931,22 +980,36 @@ def token_chi2(
 
     # ---- per-batch partial presence counts ---------------------------------
     def tok_partial(batch: pa.Table) -> pa.Table:
-        a_cnt: dict[str, int] = {}
-        df_cnt: dict[str, int] = {}
-        for t, lg in zip(
-            batch[text_col].to_pylist(), batch[lang_col].to_pylist()
-        ):
-            is_pos = lg == pos_lang
-            for w in set(_tokens(t)):
-                df_cnt[w] = df_cnt.get(w, 0) + 1
-                if is_pos:
-                    a_cnt[w] = a_cnt.get(w, 0) + 1
-        toks = list(df_cnt.keys())
+        # Vectorized presence counts: distinct (doc, token) pairs via
+        # np.unique on a fused row×vocab key, then df/a per token are
+        # two bincounts (the positive-class one masked by the doc's
+        # label). No Python per token instance.
+        flat, parent = batch_tokens_flat(batch[text_col])
+        if len(parent) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "a": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        is_pos = pc.equal(
+            pc.fill_null(batch[lang_col], ""), pos_lang
+        ).to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        uk = np.unique(parent * v + codes)
+        u_doc, u_code = uk // v, uk % v
+        df_cnt = np.bincount(u_code, minlength=v).astype(np.int64)
+        a_cnt = np.bincount(
+            u_code[is_pos[u_doc]], minlength=v
+        ).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array(toks, pa.string()),
-                "a": pa.array([a_cnt.get(w, 0) for w in toks], pa.int64()),
-                "df": pa.array([df_cnt[w] for w in toks], pa.int64()),
+                "token": enc.dictionary,
+                "a": pa.array(a_cnt),
+                "df": pa.array(df_cnt),
             }
         )
 
@@ -1031,20 +1094,36 @@ def hybrid_rrf(
     n2q = int((qvec * qvec).sum())
 
     def dense_of_batch(batch: pa.Table) -> pa.Table:
+        # Vectorized: distinct (doc, token) pairs via np.unique on a
+        # fused key, md5 once per DISTINCT vocab entry, then per-doc
+        # dot/norm as two segment folds over (doc, slot) counts. The
+        # exact-integer quotient runs only over hit docs in Python
+        # bigints (hashing/counting was the hot loop).
+        n = batch.num_rows
+        flat, parent = batch_tokens_flat(batch[text_col])
         ids: list[int] = []
         scores: list[int] = []
-        for did, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            toks = set(_tokens(t))
-            if not toks:
-                continue
-            dd = (md5_u64_many(sorted(toks)) % np.uint64(dim)).astype(np.int64)
-            vec = np.bincount(dd, minlength=dim).astype(np.int64)
-            dot = int((vec * qvec).sum())
-            if dot <= 0:
-                continue
-            n2 = int((vec * vec).sum())
-            ids.append(did)
-            scores.append((1_000_000 * dot * dot) // (n2q * n2))
+        if len(parent):
+            enc = flat.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            v = len(enc.dictionary)
+            uk = np.unique(parent * v + codes)
+            u_doc, u_code = uk // v, uk % v
+            vocab_slot = (
+                md5_u64_many(enc.dictionary.to_pylist()) % np.uint64(dim)
+            ).astype(np.int64)
+            key2, c2 = np.unique(u_doc * dim + vocab_slot[u_code], return_counts=True)
+            d2, s2 = key2 // dim, key2 % dim
+            c2 = c2.astype(np.int64)
+            dot_np = np.zeros(n, np.int64)
+            np.add.at(dot_np, d2, c2 * qvec[s2])
+            n2_np = np.zeros(n, np.int64)
+            np.add.at(n2_np, d2, c2 * c2)
+            ids_all = batch[id_col].to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(dot_np > 0):
+                dot, n2 = int(dot_np[i]), int(n2_np[i])
+                ids.append(int(ids_all[i]))
+                scores.append((1_000_000 * dot * dot) // (n2q * n2))
         if ids:
             df = pd.DataFrame({id_col: ids, "cs": scores}).astype(np.int64)
             df = df.sort_values(

@@ -19,8 +19,16 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..util import batch_token_hash_flat, md5_u64, md5_u64_many, md5_hex16, tok_hash_cache
+from ..util import (
+    batch_token_hash_flat,
+    batch_tokens_flat,
+    md5_u64,
+    md5_u64_many,
+    md5_hex16,
+    tok_hash_cache,
+)
 
 # whitespace token + "BPE-ish" subword-shaped pieces (letters / digits /
 # single punctuation), compiled once per worker
@@ -42,32 +50,42 @@ _EN_STOP = _STOPSETS["en"]
 
 
 def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """(doc_id, text) → (doc_id, n_ws_tokens, n_bpe_tokens)."""
-    texts = batch[column].to_pylist()
-    ws = np.fromiter((len(WS_TOKEN.findall(t or "")) for t in texts), np.int64, len(texts))
-    bpe = np.fromiter((len(BPE_TOKEN.findall(t or "")) for t in texts), np.int64, len(texts))
+    """(doc_id, text) → (doc_id, n_ws_tokens, n_bpe_tokens).
+
+    Both counts run as single Arrow RE2 kernels over the whole column
+    (``count_substring_regex`` matches leftmost-first like ``findall``,
+    parity pinned in tests) — no Python per row."""
+    col = pc.fill_null(batch[column], "")
+    ws = pc.cast(pc.count_substring_regex(col, r"\S+"), pa.int64())
+    bpe = pc.cast(
+        pc.count_substring_regex(col, r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"),
+        pa.int64(),
+    )
     return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "n_ws_tokens": pa.array(ws),
-            "n_bpe_tokens": pa.array(bpe),
-        }
+        {"doc_id": batch["doc_id"], "n_ws_tokens": ws, "n_bpe_tokens": bpe}
     )
 
 
 def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Stopword-hit language ID: argmax over per-language hit counts,
-    alphabetical tie-break, 'und' when no list scores a hit."""
-    texts = batch[column].to_pylist()
-    preds = np.empty(len(texts), dtype=object)
-    for i, t in enumerate(texts):
-        toks = (t or "").split(" ")
-        best_lang, best_n = "und", 0
-        for lang in _LANGS:  # alphabetical → deterministic tie-break
-            n = sum(tok in _STOPSETS[lang] for tok in toks)
-            if n > best_n:
-                best_lang, best_n = lang, n
-        preds[i] = best_lang
+    alphabetical tie-break, 'und' when no list scores a hit.
+
+    One Arrow tokenize pass for the whole batch, then one ``pc.is_in``
+    membership kernel + segment-sum per language (5 tiny value sets) —
+    no Python per row or per token."""
+    n_rows = batch.num_rows
+    flat, parent = batch_tokens_flat(batch[column])
+    counts = np.zeros((len(_LANGS), n_rows), np.int64)
+    for j, lang in enumerate(_LANGS):  # alphabetical → deterministic tie-break
+        hits = pc.is_in(
+            flat, value_set=pa.array(STOPWORDS[lang], type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        if hits.any():
+            np.add.at(counts[j], parent[hits], 1)
+    best = counts.argmax(axis=0)  # first max wins = alphabetical
+    langs_arr = np.array(_LANGS, dtype=object)
+    preds = langs_arr[best]
+    preds[counts.max(axis=0) == 0] = "und"
     return pa.table(
         {"doc_id": batch["doc_id"], "pred_lang": pa.array(list(preds), type=pa.string())}
     )
@@ -77,24 +95,35 @@ def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Integer quality components: length, token count, mean token length
     ×100 (floor), stopword per-cent (floor) — the length/punct/stopword
     heuristics of a web-scale quality filter, made exactly comparable."""
-    texts = batch[column].to_pylist()
-    n = len(texts)
-    n_chars = np.empty(n, np.int64)
-    n_toks = np.empty(n, np.int64)
-    mean_len = np.empty(n, np.int64)
-    stop_pct = np.empty(n, np.int64)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = WS_TOKEN.findall(t)
-        k = len(toks)
-        n_chars[i] = len(t)
-        n_toks[i] = k
-        mean_len[i] = (100 * sum(len(w) for w in toks)) // k if k else 0
-        # stopword hits over SPACE-split tokens (exactly the oracle's
-        # str_split(text,' ') and lang_id's tokenization) — \S+ tokens
-        # diverge from the oracle on texts containing tabs/newlines
-        n_stop = sum(w in _EN_STOP for w in t.split(" "))
-        stop_pct[i] = (100 * n_stop) // k if k else 0
+    # All four components as Arrow kernels over the whole column:
+    # Σ token length ≡ codepoints − whitespace chars (tokens are maximal
+    # non-\s runs, parity pinned in tests); stopword hits over
+    # SPACE-split tokens (exactly the oracle's str_split(text,' ') and
+    # lang_id's tokenization — \S+ tokens diverge on tabs/newlines).
+    n = batch.num_rows
+    col = pc.fill_null(batch[column], "")
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_toks = (
+        pc.count_substring_regex(col, r"\S+")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_ws_chars = (
+        pc.count_substring_regex(col, r"\s")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    sum_tok_len = n_chars - n_ws_chars
+    flat, parent = batch_tokens_flat(col)
+    n_stop = np.zeros(n, np.int64)
+    hits = pc.is_in(
+        flat, value_set=pa.array(sorted(_EN_STOP), type=pa.string())
+    ).to_numpy(zero_copy_only=False)
+    if hits.any():
+        np.add.at(n_stop, parent[hits], 1)
+    k_safe = np.maximum(n_toks, 1)
+    mean_len = np.where(n_toks > 0, (100 * sum_tok_len) // k_safe, 0)
+    stop_pct = np.where(n_toks > 0, (100 * n_stop) // k_safe, 0)
     return pa.table(
         {
             "doc_id": batch["doc_id"],

@@ -123,6 +123,33 @@ def batch_token_hash_flat(col, cache=None):
     return starts, doc_sel, th
 
 
+def batch_tokens_flat(col):
+    """' '-split tokenization for a whole Arrow column, as token STRINGS.
+
+    The string-keyed sibling of :func:`batch_token_hash_flat` for
+    operators that group or match on the tokens themselves (TF rows,
+    stopword membership, keyword hits, n-gram shingles) rather than on
+    their hashes. One Arrow ``split_pattern`` pass — no Python executes
+    per token instance.
+
+    Returns ``(flat_ne, parent_ne)``: the non-empty tokens of the whole
+    batch in doc-major order as an Arrow string array, and the int64 row
+    index into ``col`` of each token. Token-less rows contribute nothing
+    (matching the oracles' ``str_split(text, ' ')`` + empty-filter CTEs).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    split = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(split)
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(mask)), parent[mask].astype(np.int64)
+
+
 def stable_partition(key: str, n_partitions: int) -> int:
     """Deterministic partition id for a string key (hash-partition on doc_id).
 

@@ -5,6 +5,7 @@ The external driver compares every ``queries()`` entry against
 parity regressions fail fast in `python -m pytest -x -q`.
 """
 
+import importlib.util
 import os
 import sys
 
@@ -14,7 +15,37 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.001"
 
-SUBSET = [
+#: oracle-gated queries NOT replayed here, with reasons — everything
+#: else is auto-derived from oracle_sql(), so a new operator is parity-
+#: gated the moment it lands (test_subset_covers_every_oracle enforces
+#: that this list stays the only gap).
+EXCLUDED = {
+    # read the sf0.01 fixture by absolute path (driver's correctness
+    # scale); exercised by the driver gate + tools/check_driver.py
+    "extract_e2e",
+    "multimodal_features",
+    "span_kind_stats",
+    "compact_docs",
+    # tens of seconds each even at sf0.001 (iterative / recursive-CTE
+    # oracles); exercised by the driver gate + tools/check_driver.py
+    "minhash_lsh_clusters",
+    "knn_ivf",
+}
+
+
+def _load_entry_for_keys():
+    spec = importlib.util.spec_from_file_location(
+        "_entry_keys", os.path.join(REPO, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: the full oracle surface minus EXCLUDED — derived, never hand-listed
+SUBSET = sorted(set(_load_entry_for_keys().oracle_sql()) - EXCLUDED)
+
+_LEGACY_SUBSET = [
     "clean_text",
     "dedup_exact",
     "token_count",
@@ -160,10 +191,7 @@ SUBSET = [
     "orders_above_avg",
     "token_gini",
 ]
-# NOT here: extract_e2e / multimodal_features / span_kind_stats / compact_docs oracles read the sf0.01
-# fixture by absolute path (driver's correctness scale) and
-# minhash_lsh_clusters / knn_ivf take tens of seconds — all five are
-# exercised by the driver gate and tools/check_driver.py instead.
+del _LEGACY_SUBSET  # superseded by the derived SUBSET above
 
 
 @pytest.fixture(scope="module")
@@ -208,3 +236,12 @@ def test_every_oracle_key_has_query(entry_mod):
     qs = entry_mod.queries()
     for key in entry_mod.oracle_sql():
         assert key in qs, f"oracle {key} has no query"
+
+
+def test_subset_covers_every_oracle(entry_mod):
+    """The parity subset is the FULL oracle surface minus the documented
+    EXCLUDED set — a new oracle-gated operator is covered here
+    automatically, and a stale EXCLUDED entry fails loudly."""
+    keys = set(entry_mod.oracle_sql())
+    assert set(SUBSET) | EXCLUDED == keys
+    assert EXCLUDED <= keys, sorted(EXCLUDED - keys)

@@ -408,3 +408,58 @@ def test_type_token_ratio_hand_cases():
     out = type_token_ratio_batch(t).to_pandas()
     assert out.doc_id.tolist() == [1, 2, 4]
     assert out.ttr_pm.tolist() == [400, 1000, 500]
+
+
+def test_vectorized_scoring_matches_python_reference():
+    """Parity pin for the Arrow-kernel rewrites: token_count / lang_id /
+    quality_score must reproduce the original per-row Python semantics
+    exactly on adversarial inputs (tabs, newlines, unicode, empties,
+    nulls, multi-space runs)."""
+    import re
+
+    from sanskrit_ocr_ray.stages.text_analysis import (
+        STOPWORDS,
+        _EN_STOP,
+        _LANGS,
+        _STOPSETS,
+    )
+
+    WS = re.compile(r"\S+")
+    BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    texts = [
+        "", None, "  ", "the cat and a dog", "der\thund ist", "a\nb c",
+        "तत्र श्लोकः ॥१॥", "don't stop-me now2", "el los una", "the the the",
+        "x  y   z", " leading", "trailing ", "\t\n", "的 是 了", "the der",
+    ]
+    t = pa.table(
+        {"doc_id": list(range(len(texts))), "text": pa.array(texts, pa.string())}
+    )
+
+    tc = token_count_batch(t).to_pandas()
+    for i, s in enumerate(texts):
+        s = s or ""
+        assert tc.n_ws_tokens[i] == len(WS.findall(s)), (i, s)
+        assert tc.n_bpe_tokens[i] == len(BPE.findall(s)), (i, s)
+
+    li = lang_id_batch(t).to_pandas()
+    for i, s in enumerate(texts):
+        toks = (s or "").split(" ")
+        best_lang, best_n = "und", 0
+        for lang in _LANGS:
+            n = sum(tok in _STOPSETS[lang] for tok in toks)
+            if n > best_n:
+                best_lang, best_n = lang, n
+        assert li.pred_lang[i] == best_lang, (i, s)
+
+    q = quality_score_batch(t).to_pandas()
+    for i, s in enumerate(texts):
+        s = s or ""
+        toks = WS.findall(s)
+        k = len(toks)
+        assert q.q_chars[i] == len(s)
+        assert q.q_tokens[i] == k
+        assert q.q_mean_tok_len_x100[i] == (
+            (100 * sum(len(w) for w in toks)) // k if k else 0
+        )
+        n_stop = sum(w in _EN_STOP for w in s.split(" "))
+        assert q.q_stop_pct[i] == ((100 * n_stop) // k if k else 0)
