@@ -290,6 +290,53 @@ def _multimodal_features(sf_dir: str):
     )
 
 
+def _quarantine_summary(sf_dir: str):
+    """Quarantine-count lineage (VERDICT r4 item 8): plant a
+    deterministic unsupported-codec class (md5(media_ref) % 5 == 0 →
+    media_type 'video/x-test'), run the FeatureExtractor actor pool,
+    and aggregate its per-row error column into (error, n) counts via
+    stages/multimodal.quarantine_summary — the summary a 100-TB run
+    reports instead of burying failures row by row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.multimodal import (
+        FeatureExtractor,
+        quarantine_summary,
+    )
+    from sanskrit_ocr_ray.util import md5_u64_many
+
+    fx = _fixture_for(sf_dir)
+
+    def recast(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        h = md5_u64_many([str(r) for r in batch["media_ref"].to_pylist()])
+        bad = (h % np.uint64(5)) == 0
+        types = np.where(bad, "video/x-test", "image/raw8")
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "media_type": pa.array(list(types), type=pa.string()),
+                "width": batch["width"],
+                "height": batch["height"],
+                "sample_rate": pa.array([0] * n, type=pa.int32()),
+                "payload": pa.array(
+                    batch["pixels"].to_pylist(), type=pa.binary()
+                ),
+            }
+        )
+
+    feat = (
+        rd.read_parquet(f"{fx}/media.parquet")
+        .map_batches(recast, batch_format="pyarrow")
+        .map_batches(
+            FeatureExtractor, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+        )
+    )
+    return quarantine_summary(feat)
+
+
 # ---------------------------------------------------------------------------
 # documents-table operators
 # ---------------------------------------------------------------------------
@@ -3149,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (non-SQL-expressible: image decode + OCR)
         "extract_e2e": _extract_flat,
         "multimodal_features": _multimodal_features,
+        "quarantine_summary": _quarantine_summary,
         "span_kind_stats": _span_kind_stats,
         "frame_checksums": _frame_checksums,
         "audio_energy": _audio_energy,
@@ -3425,6 +3473,16 @@ GROUP BY s.kind
         "multimodal_features": f"""
 SELECT media_ref, CAST(16 AS BIGINT) AS n_features, CAST(0 AS BIGINT) AS had_error
 FROM read_parquet('{fx}/media.parquet')
+""",
+        # the planted unsupported-codec class is the md5 rule itself, so
+        # the oracle recomputes membership and the one error message the
+        # decode seam emits for it (stages/multimodal.decode_payload)
+        "quarantine_summary": f"""
+SELECT 'unknown media_type ''video/x-test''' AS error,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM read_parquet('{fx}/media.parquet')
+WHERE ('0x' || substr(md5(media_ref), 1, 16))::UBIGINT % 5 = 0
+HAVING COUNT(*) > 0
 """,
         # compact_docs: the stats are computed from the REWRITTEN files;
         # the oracle recomputes them from the ORIGINAL table — equality

@@ -197,6 +197,7 @@ def run_bench() -> dict:
         "ivm_type_counts",
         "session_attribution",
         "item_ppr",
+        "quarantine_summary",
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)

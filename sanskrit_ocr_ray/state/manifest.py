@@ -74,8 +74,26 @@ def commit_partition(
         shutil.rmtree(final_dir)  # uncommitted leftover from a crashed run
     os.replace(tmp_part_dir, final_dir)  # atomic on one filesystem
 
+    n_quarantined = 0
     if any(n.endswith(".parquet") for n in os.listdir(final_dir)):
-        t = pq.read_table(final_dir, columns=["doc_id", "n_spans", "n_pixels"])
+        cols = ["doc_id", "n_spans", "n_pixels"]
+        # optional lineage column: pipelines that quarantine rows (codec
+        # gaps, corrupt payloads — stages/multimodal.FeatureExtractor)
+        # thread a per-doc n_quarantined count; the manifest then
+        # reports what a 100-TB run skipped, not just what it kept
+        schema_names = pq.read_schema(
+            next(
+                os.path.join(final_dir, n)
+                for n in sorted(os.listdir(final_dir))
+                if n.endswith(".parquet")
+            )
+        ).names
+        has_q = "n_quarantined" in schema_names
+        t = pq.read_table(
+            final_dir, columns=cols + (["n_quarantined"] if has_q else [])
+        )
+        if has_q:
+            n_quarantined = int(sum(t["n_quarantined"].to_pylist()))
     else:  # zero-doc partition
         import pyarrow as pa
 
@@ -92,6 +110,7 @@ def commit_partition(
         "n_docs": t.num_rows,
         "n_spans": int(sum(t["n_spans"].to_pylist())),
         "n_pixels": int(sum(t["n_pixels"].to_pylist())),
+        "n_quarantined": n_quarantined,
         "wall_seconds": wall_seconds,
         "status": "done",
     }

@@ -24,6 +24,7 @@ EXCLUDED = {
     # scale); exercised by the driver gate + tools/check_driver.py
     "extract_e2e",
     "multimodal_features",
+    "quarantine_summary",
     "span_kind_stats",
     "compact_docs",
     # tens of seconds each even at sf0.001 (iterative / recursive-CTE

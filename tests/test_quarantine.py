@@ -59,3 +59,89 @@ def test_corrupt_page_does_not_crash_batch(ray_session):
         .to_pandas()
     )
     assert len(out) == 1  # row survived; text content unspecified
+
+
+def test_quarantine_summary_counts_planted_failures(ray_session):
+    """quarantine_summary must fold the per-row error column into exact
+    (error, n) counts: 3 unsupported-codec rows + 1 corrupt PNG + 2
+    clean raw8 rows → two error classes with counts (3, 1)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.multimodal import (
+        FeatureExtractor,
+        quarantine_summary,
+    )
+
+    rows = []
+    for i in range(3):
+        rows.append(("video/x-test", b"\x00" * 16))  # unsupported codec
+    rows.append(("image/png", b"not-a-png"))  # corrupt payload
+    for i in range(2):
+        rows.append(("image/raw8", bytes(range(16))))  # decodes fine
+    t = pa.table(
+        {
+            "media_ref": [f"m{i}" for i in range(len(rows))],
+            "media_type": [r[0] for r in rows],
+            "width": pa.array([4] * len(rows), pa.int32()),
+            "height": pa.array([4] * len(rows), pa.int32()),
+            "sample_rate": pa.array([0] * len(rows), pa.int32()),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+        }
+    )
+    feat = rd.from_arrow(t).map_batches(
+        FeatureExtractor, batch_format="pyarrow", batch_size=2, concurrency=2
+    )
+    out = quarantine_summary(feat)
+    got = dict(zip(out["error"], out["n"]))
+    assert got.pop("unknown media_type 'video/x-test'") == 3
+    assert len(got) == 1 and next(iter(got.values())) == 1  # the corrupt PNG
+    # a clean dataset reports an EMPTY summary, not a zero row
+    clean = rd.from_arrow(t.slice(4)).map_batches(
+        FeatureExtractor, batch_format="pyarrow", concurrency=1
+    )
+    assert len(quarantine_summary(clean)) == 0
+
+
+def test_manifest_records_n_quarantined(tmp_path):
+    """commit_partition must sum an optional n_quarantined lineage
+    column into the manifest record (0 when the column is absent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sanskrit_ocr_ray.state import manifest as mf
+
+    out = str(tmp_path / "out")
+    tmp = str(tmp_path / "out" / "_tmp" / "part=0")
+    import os
+
+    os.makedirs(tmp)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["a", "b"],
+                "n_spans": pa.array([2, 3], pa.int32()),
+                "n_pixels": pa.array([10, 20], pa.int64()),
+                "n_quarantined": pa.array([1, 4], pa.int64()),
+            }
+        ),
+        os.path.join(tmp, "x.parquet"),
+    )
+    rec = mf.commit_partition(out, 0, tmp, 1.0)
+    assert rec["n_quarantined"] == 5
+    # column absent → metric present and zero
+    tmp2 = str(tmp_path / "out" / "_tmp" / "part=1")
+    os.makedirs(tmp2)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": ["c"],
+                "n_spans": pa.array([1], pa.int32()),
+                "n_pixels": pa.array([5], pa.int64()),
+            }
+        ),
+        os.path.join(tmp2, "y.parquet"),
+    )
+    rec2 = mf.commit_partition(out, 1, tmp2, 1.0)
+    assert rec2["n_quarantined"] == 0
