@@ -197,7 +197,10 @@ def run_bench() -> dict:
         "ivm_type_counts",
         "session_attribution",
         "item_ppr",
-        "quarantine_summary",
+        # NOT quarantine_summary: its sf-dir fixture is lazily
+        # synthesized on first use, so a cold cache would bill ~90 s of
+        # page rendering to a millisecond-scale aggregate; it stays
+        # correctness-gated via the oracle instead.
     ]
     q_secs: dict[str, float] = {"extract": round(extract_sec, 3)}
     print(f"[bench] extract {extract_sec:.1f}s", file=sys.stderr, flush=True)
