@@ -207,8 +207,9 @@ def ngram_top(
 ):
     """Top-k most frequent word n-grams across the corpus.
 
-    Scale shape: counts partial-aggregate INSIDE each batch (a dict per
-    batch, so the explode never materializes one row per gram occurrence),
+    Scale shape: counts partial-aggregate INSIDE each batch (one Arrow
+    value_counts per batch, so the explode never materializes one row
+    per gram occurrence in the shuffle),
     then one bounded-bucket shuffle sums per gram, each bucket keeps only
     its own top-k (the global top-k is necessarily inside some bucket's
     top-k), and the driver merges B×k tiny rows. Ties break by gram text
@@ -318,8 +319,9 @@ def vocab_build(
     by (freq desc, token asc) so id assignment is deterministic and
     oracle-reproducible (``row_number() OVER (ORDER BY freq DESC, token)``).
 
-    Scale shape: counts partial-aggregate INSIDE each batch (one dict per
-    batch — the explode never materializes a row per occurrence), one
+    Scale shape: counts partial-aggregate INSIDE each batch (one Arrow
+    value_counts per batch — the explode never materializes a row per
+    occurrence in the shuffle), one
     bounded-bucket shuffle sums per token and applies the ``min_count``
     floor. The post-filter vocab is small by construction (Heaps' law +
     the frequency floor keeps it at 10^5–10^7 rows even at web scale), so
@@ -537,8 +539,8 @@ def pmi_collocations(
     staying integer-exact). Ties break by (w1, w2) ascending. Bigrams
     never cross document boundaries.
 
-    Scale shape: bigram counts partial-aggregate per batch (dict per
-    batch, never a row per occurrence) → one bounded-bucket shuffle sums
+    Scale shape: bigram counts partial-aggregate per batch (one Arrow
+    hash-aggregate per batch, never a row per occurrence in the shuffle) → one bounded-bucket shuffle sums
     per pair and applies the ``min_pair`` floor. Unigram counts are
     NEVER collected on the driver: the unfloored census is itself a
     bucketed distributed table (object-store-resident, materialized once

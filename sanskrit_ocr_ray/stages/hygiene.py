@@ -944,7 +944,7 @@ def token_chi2(
     corpora get interesting (the oracle uses HUGEINT).
 
     Scale shape: per-batch partial counts (per-doc DISTINCT tokens →
-    (token, a_partial, df_partial) dict per batch — never a row per
+    (token, a_partial, df_partial) bincount fold per batch — never a row per
     occurrence); ONE bounded ``hash(token) % n_buckets`` shuffle
     finalizes a and df and scores inside the bucket; each bucket emits
     only its top-``k`` (a+b ≥ min_df pre-filter), so the driver folds
