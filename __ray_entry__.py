@@ -375,6 +375,24 @@ def _lang_id(sf_dir: str):
     )
 
 
+def _lang_confusion(sf_dir: str):
+    """Label-vs-prediction confusion matrix for the language-ID
+    heuristic (stages/text_analysis.lang_confusion): shuffle-free
+    per-batch Arrow cross-tab partials, driver folds ≤ |langs|² cells."""
+    from sanskrit_ocr_ray.stages.text_analysis import lang_confusion
+
+    return lang_confusion(_tbl(sf_dir, "documents", ["text", "lang"]))
+
+
+def _oov_rate_by_lang(sf_dir: str):
+    """Per-language OOV per-mille under the induced vocabulary
+    (stages/corpus.oov_rate_by_lang): one vocab census shuffle, then a
+    shuffle-free broadcast index_in scoring pass."""
+    from sanskrit_ocr_ray.stages.corpus import oov_rate_by_lang
+
+    return oov_rate_by_lang(_tbl(sf_dir, "documents", ["text", "lang"]))
+
+
 def _quality(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import quality_score_batch
 
@@ -3214,6 +3232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": _corpus_stats,
         "token_count": _token_count,
         "lang_id": _lang_id,
+        "lang_confusion": _lang_confusion,
+        "oov_rate_by_lang": _oov_rate_by_lang,
         "quality_score": _quality,
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
@@ -3688,6 +3708,52 @@ SELECT doc_id,
        WHEN n_fr = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'fr'
        ELSE 'zh' END AS pred_lang
 FROM s
+""",
+        # confusion matrix = the lang_id prediction CTE cross-tabbed
+        # against the stored label
+        "lang_confusion": """
+WITH s AS (
+  SELECT doc_id, lang,
+    len(list_filter(str_split(text,' '), x -> list_contains(['der','das','und','ist','nicht'], x))) AS n_de,
+    len(list_filter(str_split(text,' '), x -> list_contains(['the','a','and','of','to'], x))) AS n_en,
+    len(list_filter(str_split(text,' '), x -> list_contains(['el','los','una','por','como'], x))) AS n_es,
+    len(list_filter(str_split(text,' '), x -> list_contains(['le','les','et','dans','pour'], x))) AS n_fr,
+    len(list_filter(str_split(text,' '), x -> list_contains(['的','是','了','在','我'], x))) AS n_zh
+  FROM documents
+), p AS (
+  SELECT lang,
+    CASE WHEN greatest(n_de,n_en,n_es,n_fr,n_zh) = 0 THEN 'und'
+         WHEN n_de = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'de'
+         WHEN n_en = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'en'
+         WHEN n_es = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'es'
+         WHEN n_fr = greatest(n_de,n_en,n_es,n_fr,n_zh) THEN 'fr'
+         ELSE 'zh' END AS pred_lang
+  FROM s
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, pred_lang
+""",
+        # per-language OOV per-mille under the same min_count=5 vocab
+        # the encode_documents oracle induces
+        "oov_rate_by_lang": """
+WITH ts AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS tok FROM ts
+), c AS (
+  SELECT tok AS token FROM tok GROUP BY tok HAVING COUNT(*) >= 5
+), per AS (
+  SELECT tok.doc_id, COUNT(*) AS ntok,
+         SUM(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END) AS noov
+  FROM tok LEFT JOIN c ON c.token = tok.tok
+  GROUP BY tok.doc_id
+)
+SELECT d.lang,
+       CAST(SUM(per.ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(per.noov) AS BIGINT) AS n_oov,
+       CAST(1000 * SUM(per.noov) // SUM(per.ntok) AS BIGINT) AS oov_pm
+FROM per JOIN documents d ON d.doc_id = per.doc_id
+GROUP BY d.lang HAVING SUM(per.ntok) > 0
 """,
         "quality_score": r"""
 WITH t AS (

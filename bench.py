@@ -197,6 +197,8 @@ def run_bench() -> dict:
         "ivm_type_counts",
         "session_attribution",
         "item_ppr",
+        "lang_confusion",
+        "oov_rate_by_lang",
         # NOT quarantine_summary: its sf-dir fixture is lazily
         # synthesized on first use, so a cold cache would bill ~90 s of
         # page rendering to a millisecond-scale aggregate; it stays

@@ -525,6 +525,74 @@ def encode_documents(
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def oov_rate_by_lang(
+    ds,
+    *,
+    min_count: int = 5,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 64,
+):
+    """Tokenizer-coverage eval: per-language OOV rate under the
+    :func:`vocab_build` vocabulary — (lang, n_tokens, n_oov, oov_pm)
+    with ``oov_pm = 1000·Σ n_oov // Σ n_tokens`` (integer per-mille).
+    The go/no-go check before shipping a vocabulary against a
+    multilingual corpus: a language whose OOV rate spikes is about to
+    be shredded into unknowns.
+
+    Scale shape: the vocab census streams through vocab_build's bounded
+    bucket shuffle once; the scoring pass is shuffle-free — vocab
+    membership is ONE broadcast ``pc.index_in`` per batch and each
+    batch folds (lang, ntok, oov) partials with one Arrow
+    hash-aggregate (≤ |langs| cells); the driver merges
+    O(#blocks · langs) rows. Returns a pandas DataFrame sorted by lang.
+    """
+    import ray
+
+    vdf = vocab_build(
+        ds, min_count=min_count, text_col=text_col, n_buckets=n_buckets
+    ).to_pandas()
+    vref = ray.put(pa.array(vdf["token"], type=pa.string()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vocab_toks = ray.get(vref)
+        flat, parent = batch_tokens_flat(batch[text_col])
+        n = batch.num_rows
+        ntok = np.zeros(n, np.int64)
+        oov = np.zeros(n, np.int64)
+        if len(parent):
+            np.add.at(ntok, parent, 1)
+            miss = np.asarray(
+                pd.isna(
+                    pc.index_in(flat, value_set=vocab_toks).to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+            )
+            if miss.any():
+                np.add.at(oov, parent[miss], 1)
+        per = pa.table(
+            {
+                "lang": batch[lang_col],
+                "n_tokens": pa.array(ntok),
+                "n_oov": pa.array(oov),
+            }
+        )
+        agg = per.group_by(["lang"]).aggregate([("n_tokens", "sum"), ("n_oov", "sum")])
+        return agg.rename_columns(["lang", "n_tokens", "n_oov"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return typed_empty(
+            lang=object, n_tokens=np.int64, n_oov=np.int64, oov_pm=np.int64
+        )
+    out = parts.groupby("lang", as_index=False)[["n_tokens", "n_oov"]].sum()
+    out = out[out["n_tokens"] > 0]
+    out["oov_pm"] = (1000 * out["n_oov"]) // out["n_tokens"]
+    out = out.astype({"n_tokens": np.int64, "n_oov": np.int64, "oov_pm": np.int64})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def pmi_collocations(
     ds,
     *,

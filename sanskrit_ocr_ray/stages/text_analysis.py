@@ -66,15 +66,13 @@ def token_count_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     )
 
 
-def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
-    """Stopword-hit language ID: argmax over per-language hit counts,
-    alphabetical tie-break, 'und' when no list scores a hit.
-
-    One Arrow tokenize pass for the whole batch, then one ``pc.is_in``
-    membership kernel + segment-sum per language (5 tiny value sets) —
-    no Python per row or per token."""
-    n_rows = batch.num_rows
-    flat, parent = batch_tokens_flat(batch[column])
+def _lang_preds(col) -> pa.Array:
+    """Vectorized stopword language-ID for one Arrow string column:
+    argmax over per-language hit counts, alphabetical tie-break, 'und'
+    when no list scores a hit. One tokenize pass + one ``pc.is_in``
+    kernel per language (5 tiny value sets) — no Python per row/token."""
+    n_rows = len(col)
+    flat, parent = batch_tokens_flat(col)
     counts = np.zeros((len(_LANGS), n_rows), np.int64)
     for j, lang in enumerate(_LANGS):  # alphabetical → deterministic tie-break
         hits = pc.is_in(
@@ -86,9 +84,45 @@ def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     langs_arr = np.array(_LANGS, dtype=object)
     preds = langs_arr[best]
     preds[counts.max(axis=0) == 0] = "und"
+    return pa.array(list(preds), type=pa.string())
+
+
+def lang_id_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """(doc_id, text) → (doc_id, pred_lang) via :func:`_lang_preds`."""
     return pa.table(
-        {"doc_id": batch["doc_id"], "pred_lang": pa.array(list(preds), type=pa.string())}
+        {"doc_id": batch["doc_id"], "pred_lang": _lang_preds(batch[column])}
     )
+
+
+def lang_confusion(ds, *, text_col: str = "text", label_col: str = "lang"):
+    """Model-eval confusion matrix for the stopword language-ID
+    heuristic: (lang, pred_lang, n_docs) over the whole corpus — the
+    label-vs-prediction cross-tab every classifier-gated pipeline needs
+    before trusting a filter at 100 TB.
+
+    Scale shape: shuffle-free — each batch predicts vectorized
+    (:func:`lang_id_batch` internals) and folds its own (label, pred)
+    partial with ONE Arrow hash-aggregate (cardinality ≤ |langs|² — a
+    few dozen cells), and the driver merges O(#blocks · cells) rows.
+    Returns a pandas DataFrame sorted by (lang, pred_lang).
+    """
+    import pandas as pd
+
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = pa.table(
+            {"lang": batch[label_col], "pred_lang": _lang_preds(batch[text_col])}
+        )
+        agg = pairs.group_by(["lang", "pred_lang"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "pred_lang", "n_docs"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return typed_empty(lang=object, pred_lang=object, n_docs=np.int64)
+    out = parts.groupby(["lang", "pred_lang"], as_index=False)["n_docs"].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
 
 
 def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:

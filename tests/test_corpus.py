@@ -342,3 +342,35 @@ def test_shard_assign_is_exact_global_rank(ray_session):
         .reset_index(drop=True)
     )
     assert out2.equals(out)
+
+
+def test_oov_rate_by_lang_planted(ray_session):
+    """Hand-computable OOV per-mille: 'hot' appears 5× (in-vocab at
+    min_count=5), everything else is OOV; exact integer per-mille per
+    language, partition-invariant; empty-text docs contribute nothing."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import oov_rate_by_lang
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de", "fr"],
+            "text": [
+                "hot hot rare1",        # en: 3 toks, 1 oov
+                "hot rare2",            # en: 2 toks, 1 oov
+                "hot rare3 rare4",      # de: 3 toks, 2 oov
+                "hot",                  # de: 1 tok, 0 oov
+                "",                     # fr: no tokens → no row
+            ],
+        }
+    )
+    for parts in (1, 3):
+        out = oov_rate_by_lang(rd.from_pandas(df).repartition(parts))
+        got = {
+            r.lang: (int(r.n_tokens), int(r.n_oov), int(r.oov_pm))
+            for r in out.itertuples()
+        }
+        assert got == {
+            "en": (5, 2, 1000 * 2 // 5),
+            "de": (4, 2, 500),
+        }, (parts, got)

@@ -463,3 +463,34 @@ def test_vectorized_scoring_matches_python_reference():
         )
         n_stop = sum(w in _EN_STOP for w in s.split(" "))
         assert q.q_stop_pct[i] == ((100 * n_stop) // k if k else 0)
+
+
+def test_lang_confusion_planted(ray_session):
+    """Planted labels vs heuristic predictions: exact cross-tab cells,
+    partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.text_analysis import lang_confusion
+
+    df = pd.DataFrame(
+        {
+            "lang": ["en", "en", "de", "de", "fr"],
+            "text": [
+                "the cat and a dog",      # en → en (correct)
+                "xyzzy qwerty",           # en → und (miss)
+                "der hund ist gut",       # de → de (correct)
+                "the the the",            # de → en (confusion)
+                "le chat dans les pour",  # fr → fr (correct)
+            ],
+        }
+    )
+    want = {
+        ("de", "de"): 1, ("de", "en"): 1, ("en", "en"): 1,
+        ("en", "und"): 1, ("fr", "fr"): 1,
+    }
+    for parts in (1, 3):
+        out = lang_confusion(rd.from_pandas(df).repartition(parts))
+        got = {
+            (r.lang, r.pred_lang): int(r.n_docs) for r in out.itertuples()
+        }
+        assert got == want, (parts, got)
