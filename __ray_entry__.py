@@ -359,6 +359,15 @@ def _dedup_exact(sf_dir: str):
     return exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _dup_rate_by_source(sf_dir: str):
+    """Per-source duplicate-rate analytics (stages/dedup.dup_rate_by_group):
+    texts reduce to md5 fingerprints map-side, one bounded fp-bucket
+    shuffle, tiny (source, n_docs, n_dup) partials fold on the driver."""
+    from sanskrit_ocr_ray.stages.dedup import dup_rate_by_group
+
+    return dup_rate_by_group(_tbl(sf_dir, "documents", ["source", "text"]))
+
+
 def _token_count(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import token_count_batch
 
@@ -3221,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text normalization + dedup family over `documents`
         "clean_text": _clean_text,
         "dedup_exact": _dedup_exact,
+        "dup_rate_by_source": _dup_rate_by_source,
         "minhash_sig": _minhash_sig,
         "minhash_lsh_clusters": _minhash_lsh,
         "simhash64": _simhash,
@@ -3616,6 +3626,20 @@ SELECT doc_id, {clean_expr} AS clean FROM documents WHERE {clean_expr} <> ''
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+""",
+        "dup_rate_by_source": """
+WITH f AS (
+  SELECT source, md5(coalesce(text, '')) AS fp FROM documents
+), d AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) > 1
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+       CAST(1000 * SUM(CASE WHEN d.fp IS NULL THEN 0 ELSE 1 END) // COUNT(*)
+            AS BIGINT) AS dup_pm
+FROM f LEFT JOIN d ON d.fp = f.fp
+GROUP BY f.source
 """,
         "minhash_sig": """
 WITH tok AS (

@@ -162,6 +162,65 @@ def exact_dedup(ds, key: str = "text", id_col: str = "doc_id", n_buckets: int = 
     )
 
 
+def dup_rate_by_group(
+    ds,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Duplicate-rate analytics per group: for each ``group_col`` value
+    (crawl source, domain, shard) report (n_docs, n_dup_docs, dup_pm)
+    where a "dup doc" is any doc whose exact content appears in > 1
+    document corpus-wide — the curation dashboard that says WHICH feed
+    is flooding the corpus with copies, not merely which docs to drop
+    (:func:`exact_dedup`'s complement).
+
+    Scale shape: texts reduce to md5 fingerprints at the map stage (the
+    text never shuffles), ONE bounded ``hash(fp) % B`` shuffle
+    co-locates equal fingerprints, and each bucket emits tiny (group,
+    n_docs, n_dup) partials — every fingerprint group lives wholly in
+    one bucket, so membership is exact; the driver folds
+    O(B · groups) rows. Returns a pandas DataFrame sorted by group.
+    """
+    from ..util import md5_hex16
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fps = [md5_hex16(t or "") for t in batch[text_col].to_pylist()]
+        t = pa.table({group_col: batch[group_col], "fp": pa.array(fps)})
+        return t.append_column("__b", _bucket_of(fps, n_buckets))
+
+    part_empty = typed_empty(
+        **{group_col: object, "n_docs": np.int64, "n_dup": np.int64}
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return part_empty.copy()
+        sizes = df.groupby("fp")["fp"].transform("size")
+        df = df.assign(dup=(sizes > 1).astype(np.int64))
+        out = df.groupby(group_col, as_index=False).agg(
+            n_docs=("fp", "size"), n_dup=("dup", "sum")
+        )
+        return out.astype({"n_docs": np.int64, "n_dup": np.int64})
+
+    parts = (
+        ds.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return typed_empty(
+            **{group_col: object, "n_docs": np.int64, "n_dup": np.int64,
+               "dup_pm": np.int64}
+        )
+    out = parts.groupby(group_col, as_index=False)[["n_docs", "n_dup"]].sum()
+    out["dup_pm"] = (1000 * out["n_dup"]) // out["n_docs"]
+    out = out.astype({"n_docs": np.int64, "n_dup": np.int64, "dup_pm": np.int64})
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # minhash signatures + LSH clustering
 # ---------------------------------------------------------------------------

@@ -387,3 +387,30 @@ def test_containment_catches_subset_docs(ray_session):
     # Jaccard at the SAME pair: 8 shared 3-grams / ~398 union → ~20 pm
     jacc = ngram_jaccard_pairs(ds, threshold_pm=500).to_pandas()
     assert len(jacc) == 0
+
+
+def test_dup_rate_by_group_planted(ray_session):
+    """Planted duplicates: content 'X' appears in 3 docs across two
+    sources, everything else unique — exact per-source dup counts and
+    integer per-mille, partition-invariant."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import dup_rate_by_group
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "a", "b", "b"],
+            "text": ["X", "X", "u1", "X", "u2"],
+        }
+    )
+    for parts in (1, 3):
+        out = dup_rate_by_group(rd.from_pandas(df).repartition(parts))
+        got = {
+            r.source: (int(r.n_docs), int(r.n_dup), int(r.dup_pm))
+            for r in out.itertuples()
+        }
+        # 'X' is corpus-wide duplicated (3 copies), so both of b's X-doc
+        # and a's two X-docs count as dup members
+        assert got == {"a": (3, 2, 666), "b": (2, 1, 500)}, (parts, got)
