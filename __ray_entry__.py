@@ -402,6 +402,15 @@ def _oov_rate_by_lang(sf_dir: str):
     return oov_rate_by_lang(_tbl(sf_dir, "documents", ["text", "lang"]))
 
 
+def _vocab_coverage(sf_dir: str):
+    """Zipf head-coverage curve (stages/corpus.vocab_coverage): one
+    bounded token census shuffle, per-bucket top-max(k) + total
+    partials, driver folds B·k candidates."""
+    from sanskrit_ocr_ray.stages.corpus import vocab_coverage
+
+    return vocab_coverage(_tbl(sf_dir, "documents", ["text"]), ks=(10, 100, 1000))
+
+
 def _quality(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import quality_score_batch
 
@@ -3244,6 +3253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _lang_id,
         "lang_confusion": _lang_confusion,
         "oov_rate_by_lang": _oov_rate_by_lang,
+        "vocab_coverage": _vocab_coverage,
         "quality_score": _quality,
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
@@ -3778,6 +3788,29 @@ SELECT d.lang,
        CAST(1000 * SUM(per.noov) // SUM(per.ntok) AS BIGINT) AS oov_pm
 FROM per JOIN documents d ON d.doc_id = per.doc_id
 GROUP BY d.lang HAVING SUM(per.ntok) > 0
+""",
+        # Zipf head coverage: rank tokens (freq desc, token asc), then
+        # for each k the per-mille of all instances the top-k covers
+        "vocab_coverage": """
+WITH ts AS (
+  SELECT list_filter(str_split(text, ' '), x -> x <> '') AS l FROM documents
+), tok AS (
+  SELECT unnest(l) AS t FROM ts
+), c AS (
+  SELECT t, COUNT(*) AS freq FROM tok GROUP BY t
+), r AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, t) AS rk FROM c
+), tot AS (
+  SELECT SUM(freq) AS total FROM c
+)
+SELECT ks.k,
+       CAST(SUM(CASE WHEN r.rk <= ks.k THEN r.freq ELSE 0 END) AS BIGINT)
+         AS covered,
+       CAST(MAX(tot.total) AS BIGINT) AS total,
+       CAST(1000 * SUM(CASE WHEN r.rk <= ks.k THEN r.freq ELSE 0 END)
+            // MAX(tot.total) AS BIGINT) AS coverage_pm
+FROM (VALUES (10), (100), (1000)) ks(k), r, tot
+GROUP BY ks.k
 """,
         "quality_score": r"""
 WITH t AS (

@@ -525,6 +525,91 @@ def encode_documents(
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def vocab_coverage(
+    ds,
+    *,
+    ks: tuple = (10, 100, 1000),
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Zipf head-coverage curve: for each ``k`` in ``ks``, the per-mille
+    of ALL token instances covered by the ``k`` most frequent tokens
+    (rank order: freq desc, token asc) — the statistic that sizes a
+    vocabulary before :func:`vocab_build` commits to one. Returns
+    (k, covered, total, coverage_pm).
+
+    Scale shape: the instance census streams through ONE bounded token
+    bucket shuffle (per-batch Arrow value_counts partials in, per-bucket
+    exact sums out); each bucket then emits only its own top-max(ks)
+    rows plus one total — the global top-k under (freq desc, token asc)
+    is necessarily inside some bucket's top-k under the same order — so
+    the driver folds B·max(ks) candidate rows + B scalars, never the
+    vocabulary.
+    """
+    from ..stages.dedup import bucketed_aggregate
+
+    kmax = max(ks)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        flat, _ = batch_tokens_flat(batch[text_col])
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "freq": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    empty = typed_empty(token=object, freq=np.int64, bucket_total=np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("token", as_index=False)["freq"].sum()
+        total = int(agg["freq"].sum())
+        top = agg.sort_values(
+            ["freq", "token"], ascending=[False, True], kind="mergesort"
+        ).head(kmax)
+        out = top.assign(bucket_total=np.int64(0))
+        if len(out):
+            out.iloc[0, out.columns.get_loc("bucket_total")] = total
+        else:
+            out = pd.DataFrame(
+                {"token": [""], "freq": [0], "bucket_total": [total]}
+            )
+        return out.astype({"freq": np.int64, "bucket_total": np.int64})
+
+    cand = bucketed_aggregate(
+        ds.map_batches(count_batch, batch_format="pyarrow"),
+        ["token"],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+        coalesce_first=False,
+    ).to_pandas()
+    out_rows = []
+    total = int(cand["bucket_total"].sum()) if not cand.empty else 0
+    ranked = (
+        cand[cand["freq"] > 0]
+        .sort_values(["freq", "token"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+        if not cand.empty
+        else pd.DataFrame({"freq": []})
+    )
+    cum = ranked["freq"].cumsum() if len(ranked) else pd.Series(dtype=np.int64)
+    for k in ks:
+        covered = int(cum.iloc[min(k, len(cum)) - 1]) if len(cum) else 0
+        out_rows.append(
+            {
+                "k": int(k),
+                "covered": covered,
+                "total": total,
+                "coverage_pm": (1000 * covered) // total if total else 0,
+            }
+        )
+    return pd.DataFrame(out_rows).astype(np.int64).sort_values("k").reset_index(
+        drop=True
+    )
+
+
 def oov_rate_by_lang(
     ds,
     *,

@@ -374,3 +374,29 @@ def test_oov_rate_by_lang_planted(ray_session):
             "en": (5, 2, 1000 * 2 // 5),
             "de": (4, 2, 500),
         }, (parts, got)
+
+
+def test_vocab_coverage_planted(ray_session):
+    """Hand-computable head coverage: freq ranks a(5) b(3) c(1) d(1) —
+    top-1 covers 5/10, top-2 covers 8/10; k beyond the vocabulary
+    covers everything; partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import vocab_coverage
+
+    df = pd.DataFrame(
+        {"text": ["a a a b", "a a b b c", "d", ""]}
+    )
+    for parts in (1, 3):
+        out = vocab_coverage(
+            rd.from_pandas(df).repartition(parts), ks=(1, 2, 100)
+        )
+        got = {
+            int(r.k): (int(r.covered), int(r.total), int(r.coverage_pm))
+            for r in out.itertuples()
+        }
+        assert got == {
+            1: (5, 10, 500),
+            2: (8, 10, 800),
+            100: (10, 10, 1000),
+        }, (parts, got)
