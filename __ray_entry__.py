@@ -411,6 +411,16 @@ def _vocab_coverage(sf_dir: str):
     return vocab_coverage(_tbl(sf_dir, "documents", ["text"]), ks=(10, 100, 1000))
 
 
+def _char_class_profile(sf_dir: str):
+    """Per-doc character-class per-milles (stages/text_analysis
+    .char_class_profile_batch): four Arrow RE2 kernels, shuffle-free."""
+    from sanskrit_ocr_ray.stages.text_analysis import char_class_profile_batch
+
+    return _tbl(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        char_class_profile_batch, batch_format="pyarrow"
+    )
+
+
 def _quality(sf_dir: str):
     from sanskrit_ocr_ray.stages.text_analysis import quality_score_batch
 
@@ -3255,6 +3265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_by_lang": _oov_rate_by_lang,
         "vocab_coverage": _vocab_coverage,
         "quality_score": _quality,
+        "char_class_profile": _char_class_profile,
         "fingerprint_md5": _fingerprint,
         "kr_fingerprint": _kr_fingerprint,
         "winnow_fingerprints": _winnow_fingerprints,
@@ -3811,6 +3822,22 @@ SELECT ks.k,
             // MAX(tot.total) AS BIGINT) AS coverage_pm
 FROM (VALUES (10), (100), (1000)) ks(k), r, tot
 GROUP BY ks.k
+""",
+        "char_class_profile": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n,
+         CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[A-Za-z]', '', 'g')) AS BIGINT) AS letters,
+         CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         CAST(length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '\s', '', 'g')) AS BIGINT) AS spaces
+  FROM documents
+)
+SELECT doc_id, n AS n_chars,
+  CASE WHEN n = 0 THEN 0 ELSE 1000 * letters // n END AS letter_pm,
+  CASE WHEN n = 0 THEN 0 ELSE 1000 * digits // n END AS digit_pm,
+  CASE WHEN n = 0 THEN 0 ELSE 1000 * spaces // n END AS space_pm,
+  CASE WHEN n = 0 THEN 0 ELSE 1000 * (n - letters - digits - spaces) // n END AS other_pm
+FROM t
 """,
         "quality_score": r"""
 WITH t AS (

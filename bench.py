@@ -201,6 +201,7 @@ def run_bench() -> dict:
         "oov_rate_by_lang",
         "dup_rate_by_source",
         "vocab_coverage",
+        "char_class_profile",
         # NOT quarantine_summary: its sf-dir fixture is lazily
         # synthesized on first use, so a cold cache would bill ~90 s of
         # page rendering to a millisecond-scale aggregate; it stays

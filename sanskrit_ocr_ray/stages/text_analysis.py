@@ -125,6 +125,46 @@ def lang_confusion(ds, *, text_col: str = "text", label_col: str = "lang"):
     return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
 
 
+def char_class_profile_batch(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Per-doc character-class composition ×1000 (floor): per-mille of
+    code points that are ASCII letters, digits, whitespace, and other —
+    the fastText/CCNet-style symbol-ratio signals a web-scale quality
+    filter gates on (a page that is 40 % digits or 30 % punctuation is
+    a table dump or boilerplate, not prose). Empty docs emit zeros.
+
+    Four Arrow RE2 kernels over the whole column — no Python per row.
+    """
+    col = pc.fill_null(batch[column], "")
+    n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    letters = (
+        pc.count_substring_regex(col, r"[A-Za-z]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    digits = (
+        pc.count_substring_regex(col, r"[0-9]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    spaces = (
+        pc.count_substring_regex(col, r"\s")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    other = n - letters - digits - spaces
+    safe = np.maximum(n, 1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(n),
+            "letter_pm": pa.array(np.where(n > 0, 1000 * letters // safe, 0)),
+            "digit_pm": pa.array(np.where(n > 0, 1000 * digits // safe, 0)),
+            "space_pm": pa.array(np.where(n > 0, 1000 * spaces // safe, 0)),
+            "other_pm": pa.array(np.where(n > 0, 1000 * other // safe, 0)),
+        }
+    )
+
+
 def quality_score_batch(batch: pa.Table, column: str = "text") -> pa.Table:
     """Integer quality components: length, token count, mean token length
     ×100 (floor), stopword per-cent (floor) — the length/punct/stopword

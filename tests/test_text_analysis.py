@@ -494,3 +494,17 @@ def test_lang_confusion_planted(ray_session):
             (r.lang, r.pred_lang): int(r.n_docs) for r in out.itertuples()
         }
         assert got == want, (parts, got)
+
+
+def test_char_class_profile_hand_case():
+    from sanskrit_ocr_ray.stages.text_analysis import char_class_profile_batch
+
+    out = char_class_profile_batch(
+        _t(["ab1 !", "", "तत्र", None])
+    ).to_pandas()
+    # "ab1 !": 5 chars → 2 letters, 1 digit, 1 space, 1 other
+    assert out.iloc[0].tolist() == [0, 5, 400, 200, 200, 200]
+    assert out.iloc[1].tolist() == [1, 0, 0, 0, 0, 0]
+    # Devanagari: 4 code points, none ASCII-letter/digit/space → other
+    assert out.iloc[2].tolist() == [2, 4, 0, 0, 0, 1000]
+    assert out.iloc[3].tolist() == [3, 0, 0, 0, 0, 0]
