@@ -402,6 +402,17 @@ def _oov_rate_by_lang(sf_dir: str):
     return oov_rate_by_lang(_tbl(sf_dir, "documents", ["text", "lang"]))
 
 
+def _window_cooccurrence(sf_dir: str):
+    """Top-20 skip-gram co-occurrences within a 5-token window
+    (stages/corpus.window_cooccurrence_topk): shifted-slice pair
+    explode, one bounded (x,y)-bucket shuffle, per-bucket top-k."""
+    from sanskrit_ocr_ray.stages.corpus import window_cooccurrence_topk
+
+    return window_cooccurrence_topk(
+        _tbl(sf_dir, "documents", ["text"]), window=5, k=20
+    )
+
+
 def _vocab_coverage(sf_dir: str):
     """Zipf head-coverage curve (stages/corpus.vocab_coverage): one
     bounded token census shuffle, per-bucket top-max(k) + total
@@ -3264,6 +3275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _lang_confusion,
         "oov_rate_by_lang": _oov_rate_by_lang,
         "vocab_coverage": _vocab_coverage,
+        "window_cooccurrence": _window_cooccurrence,
         "quality_score": _quality,
         "char_class_profile": _char_class_profile,
         "fingerprint_md5": _fingerprint,
@@ -3799,6 +3811,20 @@ SELECT d.lang,
        CAST(1000 * SUM(per.noov) // SUM(per.ntok) AS BIGINT) AS oov_pm
 FROM per JOIN documents d ON d.doc_id = per.doc_id
 GROUP BY d.lang HAVING SUM(per.ntok) > 0
+""",
+        # ordered pairs within a 5-token window, global top-20 by
+        # (count desc, x, y) — the same total order the engine ranks by
+        "window_cooccurrence": """
+WITH ts AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS l FROM documents
+), tok AS (
+  SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS o FROM ts
+)
+SELECT a.t AS x, b.t AS y, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok a JOIN tok b
+  ON b.doc_id = a.doc_id AND b.o > a.o AND b.o <= a.o + 4
+GROUP BY a.t, b.t
+ORDER BY n DESC, x, y LIMIT 20
 """,
         # Zipf head coverage: rank tokens (freq desc, token asc), then
         # for each k the per-mille of all instances the top-k covers

@@ -202,6 +202,7 @@ def run_bench() -> dict:
         "dup_rate_by_source",
         "vocab_coverage",
         "char_class_profile",
+        "window_cooccurrence",
         # NOT quarantine_summary: its sf-dir fixture is lazily
         # synthesized on first use, so a cold cache would bill ~90 s of
         # page rendering to a millisecond-scale aggregate; it stays

@@ -525,6 +525,87 @@ def encode_documents(
     return ds.map_batches(encode, batch_format="pyarrow")
 
 
+def window_cooccurrence_topk(
+    ds,
+    *,
+    window: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Top-``k`` ORDERED token co-occurrences within a ``window``-token
+    span: pairs (x, y) where y follows x by 1..window−1 positions in the
+    same doc, ranked by count (ties: x, y ascending) — collocation
+    mining beyond :func:`pmi_collocations`' adjacent bigrams (skip-gram
+    context statistics, topical-pair discovery). Returns (x, y, n).
+
+    Scale shape: each offset d ∈ [1, window) is two shifted zero-copy
+    slices of the flat token stream (pair valid iff both ends share a
+    doc); the per-batch multiset collapses in ONE Arrow hash-aggregate,
+    one bounded (x, y)-bucket shuffle sums exactly, each bucket emits
+    only its own top-k, and the driver merges B·k rows — the global
+    top-k under (n desc, x, y) is inside some bucket's top-k under the
+    same order.
+    """
+    from ..stages.dedup import bucketed_aggregate
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "x": pa.array([], type=pa.string()),
+                "y": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        flat, parent = batch_tokens_flat(batch[text_col])
+        L = len(parent)
+        parts = []
+        for d in range(1, window):
+            if L <= d:
+                break
+            valid = parent[:-d] == parent[d:]
+            if not valid.any():
+                continue
+            vmask = pa.array(valid)
+            parts.append(
+                pa.table(
+                    {
+                        "x": flat.slice(0, L - d).filter(vmask),
+                        "y": flat.slice(d, L - d).filter(vmask),
+                    }
+                )
+            )
+        if not parts:
+            return empty
+        pairs = pa.concat_tables(parts)
+        agg = pairs.group_by(["x", "y"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["x", "y", "n"])
+
+    empty = typed_empty(x=object, y=object, n=np.int64)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["x", "y"], as_index=False)["n"].sum()
+        agg = agg.sort_values(
+            ["n", "x", "y"], ascending=[False, True, True], kind="mergesort"
+        )
+        return agg.head(k).astype({"n": np.int64}).reset_index(drop=True)
+
+    cand = bucketed_aggregate(
+        ds.map_batches(pair_counts, batch_format="pyarrow"),
+        ["x", "y"],
+        combine,
+        n_buckets=n_buckets,
+        empty=empty,
+        coalesce_first=False,
+    ).to_pandas()
+    if cand.empty:
+        return empty.copy()
+    top = cand.sort_values(
+        ["n", "x", "y"], ascending=[False, True, True], kind="mergesort"
+    )
+    return top.head(k).astype({"n": np.int64}).reset_index(drop=True)
+
+
 def vocab_coverage(
     ds,
     *,

@@ -400,3 +400,26 @@ def test_vocab_coverage_planted(ray_session):
             2: (8, 10, 800),
             100: (10, 10, 1000),
         }, (parts, got)
+
+
+def test_window_cooccurrence_planted(ray_session):
+    """Hand-countable window pairs: 'a b c a' with window=3 yields
+    ordered pairs at distances 1-2: (a,b) (a,c) (b,c) (b,a) (c,a) —
+    exact counts, deterministic top order, partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import window_cooccurrence_topk
+
+    df = pd.DataFrame({"text": ["a b c a", "a b"]})
+    want = {
+        ("a", "b"): 2,  # doc1 d1, doc2 d1
+        ("a", "c"): 1, ("b", "c"): 1, ("b", "a"): 1, ("c", "a"): 1,
+    }
+    for parts in (1, 2):
+        out = window_cooccurrence_topk(
+            rd.from_pandas(df).repartition(parts), window=3, k=10
+        )
+        got = {(r.x, r.y): int(r.n) for r in out.itertuples()}
+        assert got == want, (parts, got)
+        # rank order: count desc then (x, y) asc
+        assert (out.iloc[0].x, out.iloc[0].y) == ("a", "b")
