@@ -2463,6 +2463,17 @@ def _sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _event_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event streams
+    (stages/relational.event_transition_matrix): one user-bucket
+    shuffle, vectorized adjacent-pair counts, integer per-mille rows."""
+    from sanskrit_ocr_ray.stages.relational import event_transition_matrix
+
+    return event_transition_matrix(
+        _tbl(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    )
+
+
 def _orders_above_avg(sf_dir: str):
     """Correlated-subquery decorrelation: orders whose total exceeds
     THEIR customer's average order total — the classic
@@ -3427,6 +3438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _events_window,
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
+        "event_transitions": _event_transitions,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -4999,6 +5011,24 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "event_transitions": """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts), event_id
+         ) AS next_type
+  FROM events
+), p AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM o WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(1000 * n // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_pm
+FROM p
 """,
         "sessionize": """
 WITH x AS (

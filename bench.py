@@ -203,6 +203,7 @@ def run_bench() -> dict:
         "vocab_coverage",
         "char_class_profile",
         "window_cooccurrence",
+        "event_transitions",
         # NOT quarantine_summary: its sf-dir fixture is lazily
         # synthesized on first use, so a cold cache would bill ~90 s of
         # page rendering to a millisecond-scale aggregate; it stays

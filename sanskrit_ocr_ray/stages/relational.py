@@ -288,6 +288,70 @@ def status_history(ds, *, n_buckets: int = 64):
     )
 
 
+def event_transition_matrix(ds, *, n_buckets: int = 64):
+    """First-order Markov transition matrix over per-user event
+    streams: (from_type, to_type, n, p_pm) where n counts adjacent
+    (ts, event_id)-ordered pairs within one user and
+    ``p_pm = 1000·n // Σ_to n`` is the integer per-mille transition
+    probability — the behavioral model behind next-event prediction and
+    funnel-anomaly dashboards. Returns a pandas DataFrame sorted by
+    (from_type, to_type).
+
+    Scale shape: one bounded ``hash(user) % B`` shuffle; each bucket
+    orders ALL its users with one mergesort and counts adjacent pairs
+    with one vectorized groupby (the sessionize shape — never a
+    dispatch per user); per-bucket (from, to, n) partials are exact
+    (a user lives wholly in one bucket) and the driver folds
+    O(B · |types|²) rows, row-normalizing at the end.
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        u = batch["user_id"].to_numpy()
+        b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "us": us,
+                "__ub": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(from_type=object, to_type=object, n=np.int64)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty.copy()
+        pairs = pd.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return typed_empty(
+            from_type=object, to_type=object, n=np.int64, p_pm=np.int64
+        )
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    row_tot = out.groupby("from_type")["n"].transform("sum")
+    out["p_pm"] = (1000 * out["n"]) // row_tot
+    out = out.astype({"n": np.int64, "p_pm": np.int64})
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
 def sessionize(ds, *, gap_s: int = 1800, n_buckets: int = 64):
     """Per-user sessionization (30-min inactivity gap): one row per
     session with event count and duration.

@@ -1944,3 +1944,37 @@ def test_skyline_int64_exact_above_2_53(ray_session):
     # row0 (base+1, 10) strictly dominates row1 (base, 10) and row2
     # (base+1, 9); under float64 a-col ties and row1 would survive.
     assert sorted(out.id.tolist()) == [0]
+
+
+def test_event_transition_matrix_planted(ray_session):
+    """Hand-countable transitions: user 1 fires a->b->a, user 2 fires
+    a->b; rows (a,b):2 p=1000, (b,a):1 p=1000; partition-invariant;
+    ties in ts break by event_id."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import event_transition_matrix
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user, event_id, type, minute
+        (1, 10, "a", 0), (1, 11, "b", 1), (1, 12, "a", 2),
+        (2, 20, "a", 0), (2, 21, "b", 0),  # same ts → event_id order
+    ]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "event_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "ts": [base + pd.Timedelta(minutes=r[3]) for r in rows],
+        }
+    )
+    for parts in (1, 3):
+        out = event_transition_matrix(rd.from_pandas(df).repartition(parts))
+        got = {
+            (r.from_type, r.to_type): (int(r.n), int(r.p_pm))
+            for r in out.itertuples()
+        }
+        assert got == {
+            ("a", "b"): (2, 1000),  # all transitions out of 'a' go to 'b'
+            ("b", "a"): (1, 1000),  # the only transition out of 'b'
+        }, (parts, got)
