@@ -359,6 +359,17 @@ def _dedup_exact(sf_dir: str):
     return exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _salient_terms_by_source(sf_dir: str):
+    """Group-level TF-IDF: top-5 characteristic terms per source
+    (stages/hygiene.salient_terms_by_group): two bounded bucket
+    shuffles (term-keyed score, group-keyed rank)."""
+    from sanskrit_ocr_ray.stages.hygiene import salient_terms_by_group
+
+    return salient_terms_by_group(
+        _tbl(sf_dir, "documents", ["source", "text"]), k=5
+    )
+
+
 def _dup_rate_by_source(sf_dir: str):
     """Per-source duplicate-rate analytics (stages/dedup.dup_rate_by_group):
     texts reduce to md5 fingerprints map-side, one bounded fp-bucket
@@ -3272,6 +3283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_text": _clean_text,
         "dedup_exact": _dedup_exact,
         "dup_rate_by_source": _dup_rate_by_source,
+        "salient_terms_by_source": _salient_terms_by_source,
         "minhash_sig": _minhash_sig,
         "minhash_lsh_clusters": _minhash_lsh,
         "simhash64": _simhash,
@@ -3671,6 +3683,28 @@ SELECT doc_id, {clean_expr} AS clean FROM documents WHERE {clean_expr} <> ''
 """,
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text
+""",
+        "salient_terms_by_source": """
+WITH ts AS (
+  SELECT source, list_filter(str_split(text, ' '), x -> x <> '') AS l FROM documents
+), tok AS (
+  SELECT source, unnest(l) AS term FROM ts
+), tfs AS (
+  SELECT source, term, COUNT(*) AS tf FROM tok GROUP BY source, term
+), dfs AS (
+  SELECT term, COUNT(*) AS df FROM tfs GROUP BY term
+), sc AS (
+  SELECT t.source, t.term, t.tf, d.df,
+         t.tf * 1000000 // d.df AS score_x1m
+  FROM tfs t JOIN dfs d USING (term)
+), r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY source ORDER BY score_x1m DESC, term) AS rnk
+  FROM sc
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_x1m AS BIGINT) AS score_x1m, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
 """,
         "dup_rate_by_source": """
 WITH f AS (

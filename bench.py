@@ -204,6 +204,7 @@ def run_bench() -> dict:
         "char_class_profile",
         "window_cooccurrence",
         "event_transitions",
+        "salient_terms_by_source",
         # NOT quarantine_summary: its sf-dir fixture is lazily
         # synthesized on first use, so a cold cache would bill ~90 s of
         # page rendering to a millisecond-scale aggregate; it stays

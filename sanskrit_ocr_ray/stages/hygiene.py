@@ -287,6 +287,97 @@ def bm25_topk(
     return cand.head(k).reset_index(drop=True)
 
 
+def salient_terms_by_group(
+    ds,
+    *,
+    k: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_buckets: int = 64,
+):
+    """Top-``k`` characteristic terms per GROUP (crawl source, domain,
+    shard) by integer TF-IDF at group granularity:
+    ``score_x1m = tf · 1_000_000 // df`` where tf counts the term's
+    INSTANCES inside the group and df counts the GROUPS containing it
+    (ties: term ascending) — "what characterizes each feed", the
+    group-level sibling of per-document :func:`salient_terms`. Returns
+    (group, term, tf, df, score_x1m, rnk).
+
+    Scale shape: per-batch (group, term, tf) partials collapse via one
+    Arrow tokenize + np.unique fused-key pass (no row per occurrence in
+    the shuffle); ONE bounded term-bucket shuffle finalizes tf AND df
+    and scores in place (a term's rows co-locate); a second bounded
+    group-bucket shuffle ranks each group's terms with one vectorized
+    sort + cumcount. Group cardinality never gates parallelism.
+    """
+    from .dedup import bucketed_aggregate
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, parent = batch_tokens_flat(batch[text_col])
+        g_np = batch[group_col].to_numpy(zero_copy_only=False)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = max(len(enc.dictionary), 1)
+        # collapse instances by (row, term) first, then fold rows of the
+        # same group value with a pandas groupby (groups per batch are
+        # few; the token work stays vectorized)
+        uk, tf = np.unique(parent * v + codes, return_counts=True)
+        part = pd.DataFrame(
+            {
+                group_col: g_np[uk // v],
+                "term": enc.dictionary.take(pa.array(uk % v)).to_pandas(),
+                "tf": tf.astype(np.int64),
+            }
+        )
+        agg = part.groupby([group_col, "term"], as_index=False)["tf"].sum()
+        return pa.Table.from_pandas(
+            agg, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    empty_sc = typed_empty(
+        **{group_col: object, "term": object, "tf": np.int64, "df": np.int64,
+           "score_x1m": np.int64}
+    )
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby([group_col, "term"], as_index=False)["tf"].sum()
+        dfreq = agg.groupby("term")[group_col].transform("size")
+        agg["df"] = dfreq.astype(np.int64)
+        agg["score_x1m"] = agg["tf"] * SCORE_SCALE // agg["df"]
+        return agg[[group_col, "term", "tf", "df", "score_x1m"]].astype(
+            {"tf": np.int64}
+        )
+
+    scored = bucketed_aggregate(
+        ds.map_batches(tf_rows, batch_format="pyarrow"),
+        ["term"],
+        score_bucket,
+        n_buckets=n_buckets,
+        empty=empty_sc,
+    )
+
+    empty_rk = typed_empty(
+        **{group_col: object, "term": object, "tf": np.int64, "df": np.int64,
+           "score_x1m": np.int64, "rnk": np.int64}
+    )
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            [group_col, "score_x1m", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        r = g.groupby(group_col, sort=False).cumcount()
+        out = g[r < k].copy()
+        out["rnk"] = (r[r < k] + 1).astype(np.int64)
+        return out
+
+    return bucketed_aggregate(
+        scored, [group_col], rank_bucket, n_buckets=n_buckets, empty=empty_rk,
+        coalesce_first=False,
+    )
+
+
 def salient_terms(
     ds,
     *,

@@ -405,3 +405,37 @@ def test_hybrid_rrf_fuses_runs(ray_session):
                 1_000_000 // (60 + r.cos_rank) if r.cos_rank else 0
             )
             assert r.rrf_x1m == want
+
+
+def test_salient_terms_by_group_planted(ray_session):
+    """Hand-computable group TF-IDF: 'common' appears in both sources
+    (df=2), 'rare_a'/'rare_b' in one each (df=1) — rarer terms outrank
+    frequent shared ones; exact integer scores; partition-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.hygiene import salient_terms_by_group
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b"],
+            "text": ["common common rare_a", "common", "common rare_b"],
+        }
+    )
+    for parts in (1, 3):
+        out = (
+            salient_terms_by_group(rd.from_pandas(df).repartition(parts), k=2)
+            .to_pandas()
+            .sort_values(["source", "rnk"])
+            .reset_index(drop=True)
+        )
+        rows = [
+            (r.source, r.term, int(r.tf), int(r.df), int(r.score_x1m), int(r.rnk))
+            for r in out.itertuples()
+        ]
+        assert rows == [
+            ("a", "common", 3, 2, 1_500_000, 1),
+            ("a", "rare_a", 1, 1, 1_000_000, 2),
+            ("b", "rare_b", 1, 1, 1_000_000, 1),
+            ("b", "common", 1, 2, 500_000, 2),
+        ], (parts, rows)
