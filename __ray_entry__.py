@@ -1908,6 +1908,18 @@ def _snm_pairs(sf_dir: str):
     )
 
 
+def _rfm_segments(sf_dir: str):
+    """RFM customer segmentation (stages/relational.rfm_segments):
+    one custkey reduce, three exact-NTILE passes over the materialized
+    per-customer base, two bucketed joins, tiny segment count."""
+    from sanskrit_ocr_ray.stages.relational import rfm_segments
+
+    return rfm_segments(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]),
+        n_tiles=5,
+    )
+
+
 def _value_ntile(sf_dir: str):
     """Exact NTILE(4) OVER (ORDER BY value, event_id) without a global sort."""
     from sanskrit_ocr_ray.stages.relational import ntile_assign
@@ -3451,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _events_sliding,
         "sessionize": _sessionize,
         "event_transitions": _event_transitions,
+        "rfm_segments": _rfm_segments,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5045,6 +5058,32 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "rfm_segments": """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(epoch(MAX(o_orderdate)) AS BIGINT) AS last_s,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), g AS (
+  SELECT MAX(last_s) AS global_last FROM base
+), rfm AS (
+  SELECT b.o_custkey,
+         (g.global_last - b.last_s) // 86400 AS recency_days,
+         b.n_orders, b.cents
+  FROM base b, g
+), t AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY cents, o_custkey) AS m
+  FROM rfm
+)
+SELECT CAST(100 * r + 10 * f + m AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM t GROUP BY 1
 """,
         "event_transitions": """
 WITH o AS (

@@ -205,6 +205,10 @@ def run_bench() -> dict:
         "window_cooccurrence",
         "event_transitions",
         "salient_terms_by_source",
+        # NOT rfm_segments: a deliberate 8-barrier composition (reduce +
+        # 3 NTILE passes + 2 joins) whose sf0.1 wall is pure Ray
+        # all-to-all fixed cost (~15 s), not throughput; it stays
+        # correctness-gated via the oracle.
         # NOT quarantine_summary: its sf-dir fixture is lazily
         # synthesized on first use, so a cold cache would bill ~90 s of
         # page rendering to a millisecond-scale aggregate; it stays

@@ -2752,6 +2752,114 @@ def merge_scd1(
     return tagged.groupby("__bk").map_groups(merge_bucket, batch_format="pandas")
 
 
+def rfm_segments(ds, *, n_tiles: int = 5, n_buckets: int = 64):
+    """RFM customer segmentation: per-customer Recency (days between
+    the customer's last order and the corpus-wide last order),
+    Frequency (order count) and Monetary (total cents) each NTILE'd
+    into ``n_tiles`` equal-population tiles (ORDER BY metric, custkey —
+    deterministic), combined as ``segment = 100·r + 10·f + m`` and
+    counted — the classic marketing segmentation, here as a stress
+    composition of the engine's aggregate + exact-distributed-NTILE +
+    bucketed-join primitives. Returns (segment, n_customers),
+    ≤ n_tiles³ rows.
+
+    Scale shape: orders reduce to one row per customer in ONE bounded
+    custkey-bucket shuffle (O(customers) ≪ O(orders)); the reduced base
+    is materialized (pinned object-store blocks) so the three NTILE
+    passes — each one histogram fold + one bin-bucket shuffle
+    (:func:`ntile_assign`) — and the two custkey-bucket joins read it
+    without re-aggregating the orders table; the final segment count is
+    a ≤ n_tiles³-cardinality native groupby.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.cast(batch["o_orderdate"], pa.timestamp("s")), pa.int64()
+        )
+        # house cents convention: floor(x·100 + 0.5), bit-identical to
+        # the oracles' CAST(floor(x * 100 + 0.5) AS BIGINT)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["o_totalprice"], 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "day_s": days,
+                "cents": cents,
+            }
+        )
+
+    empty_base = typed_empty(
+        o_custkey=np.int64, last_s=np.int64, n_orders=np.int64, cents=np.int64
+    )
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("o_custkey", as_index=False).agg(
+            last_s=("day_s", "max"), n_orders=("day_s", "size"),
+            cents=("cents", "sum"),
+        )
+        return agg.astype(
+            {"last_s": np.int64, "n_orders": np.int64, "cents": np.int64}
+        )
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+    base = bucketed_aggregate(
+        projected, ["o_custkey"], per_cust, n_buckets=n_buckets,
+        empty=empty_base,
+    ).materialize()  # O(customers) reduced rows, read 4× below
+    global_last = int(base.max("last_s") or 0)
+
+    def add_recency(batch: pa.Table) -> pa.Table:
+        rec = pc.divide(
+            pc.subtract(pa.scalar(global_last, pa.int64()), batch["last_s"]),
+            86400,
+        )
+        return batch.append_column("recency_days", pc.cast(rec, pa.int64()))
+
+    base_r = base.map_batches(add_recency, batch_format="pyarrow")
+
+    tiles = {}
+    for name, col in (
+        ("r", "recency_days"), ("f", "n_orders"), ("m", "cents")
+    ):
+        t = ntile_assign(
+            base_r if col == "recency_days" else base,
+            col,
+            id_col="o_custkey",
+            n_tiles=n_tiles,
+            scale=1,
+            n_buckets=n_buckets,
+        )
+        tiles[name] = t.map_batches(
+            lambda b, nm=name: pa.table(
+                {"o_custkey": b["o_custkey"], f"t_{nm}": b["tile"]}
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = hash_join(tiles["r"], tiles["f"], "o_custkey", n_buckets=16)
+    joined = hash_join(joined, tiles["m"], "o_custkey", n_buckets=16)
+
+    def seg(batch: pa.Table) -> pa.Table:
+        s = (
+            100 * batch["t_r"].to_numpy(zero_copy_only=False)
+            + 10 * batch["t_f"].to_numpy(zero_copy_only=False)
+            + batch["t_m"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"segment": pa.array(s)})
+
+    from ray.data.aggregate import Count
+
+    return (
+        joined.map_batches(seg, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
 def ntile_assign(
     ds,
     column: str,

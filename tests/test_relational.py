@@ -1978,3 +1978,47 @@ def test_event_transition_matrix_planted(ray_session):
             ("a", "b"): (2, 1000),  # all transitions out of 'a' go to 'b'
             ("b", "a"): (1, 1000),  # the only transition out of 'b'
         }, (parts, got)
+
+
+def test_rfm_segments_planted(ray_session):
+    """Four hand-placed customers, n_tiles=2: recency/frequency/monetary
+    halves are computable by hand; exact segment codes and counts;
+    partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import rfm_segments
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # cust, day-offset, price
+        (1, 0, 10.0), (1, 1, 10.0),      # freq 2, last d1, cents 2000
+        (2, 5, 100.0),                   # freq 1, last d5, cents 10000
+        (3, 9, 1.0), (3, 9, 1.0),        # freq 2, last d9, cents 200
+        (4, 2, 50.0),                    # freq 1, last d2, cents 5000
+    ]
+    df = pd.DataFrame(
+        {
+            "o_custkey": [r[0] for r in rows],
+            "o_orderdate": [base + pd.Timedelta(days=r[1]) for r in rows],
+            "o_totalprice": [r[2] for r in rows],
+        }
+    )
+    # global last = d9. recency days: c1=8, c2=4, c3=0, c4=7
+    # ntile(2) ORDER BY (recency, cust): c3,c2 | c4,c1 → r: c3=1,c2=1,c4=2,c1=2
+    # ntile(2) ORDER BY (freq, cust):    c2,c4 | c1,c3 → f: c2=1,c4=1,c1=2,c3=2
+    # ntile(2) ORDER BY (cents, cust):   c3,c1 | c4,c2 → m: c3=1,c1=1,c4=2,c2=2
+    want = {
+        1: (2, 2, 1),  # cust1 → 221
+        2: (1, 1, 2),  # cust2 → 112
+        3: (1, 2, 1),  # cust3 → 121
+        4: (2, 1, 2),  # cust4 → 212
+    }
+    segs = sorted(100 * r + 10 * f + m for r, f, m in want.values())
+    for parts in (1, 3):
+        out = (
+            rfm_segments(rd.from_pandas(df).repartition(parts), n_tiles=2)
+            .to_pandas()
+            .sort_values("segment")
+        )
+        assert out.segment.tolist() == segs, (parts, out)
+        assert out.n_customers.tolist() == [1, 1, 1, 1]
