@@ -1908,6 +1908,20 @@ def _snm_pairs(sf_dir: str):
     )
 
 
+def _join_cardinality(sf_dir: str):
+    """Exact |orders ⋈ lineitem| on orderkey without materializing the
+    join (stages/relational.join_cardinality): per-side key counts, one
+    bounded key-bucket shuffle, bigint-safe partial fold."""
+    from sanskrit_ocr_ray.stages.relational import join_cardinality
+
+    return join_cardinality(
+        _tbl(sf_dir, "orders", ["o_orderkey"]),
+        _tbl(sf_dir, "lineitem", ["l_orderkey"]),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
 def _rfm_segments(sf_dir: str):
     """RFM customer segmentation (stages/relational.rfm_segments):
     one custkey reduce, three exact-NTILE passes over the materialized
@@ -3464,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _sessionize,
         "event_transitions": _event_transitions,
         "rfm_segments": _rfm_segments,
+        "join_cardinality": _join_cardinality,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5058,6 +5073,20 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "join_cardinality": """
+WITH lc AS (
+  SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+), rc AS (
+  SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+), p AS (
+  SELECT CAST(lc.c AS HUGEINT) * rc.c AS pairs
+  FROM lc JOIN rc ON rc.k = lc.k
+)
+SELECT CAST(SUM(pairs) AS BIGINT) AS n_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_keys_both,
+       CAST(MAX(pairs) AS BIGINT) AS max_key_pairs
+FROM p
 """,
         "rfm_segments": """
 WITH base AS (

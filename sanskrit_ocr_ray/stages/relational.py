@@ -2752,6 +2752,99 @@ def merge_scd1(
     return tagged.groupby("__bk").map_groups(merge_bucket, batch_format="pandas")
 
 
+def join_cardinality(
+    left_ds,
+    right_ds,
+    key: str,
+    right_key: str | None = None,
+    *,
+    n_buckets: int = 64,
+):
+    """EXACT equi-join output cardinality |L ⋈ R| WITHOUT materializing
+    the join — the query-planning / skew-diagnosis primitive (a planner
+    that knows |orders ⋈ lineitem| per key family picks broadcast vs
+    shuffle vs salt before paying for the wrong one). Returns a one-row
+    DataFrame (n_pairs, n_keys_both, max_key_pairs): total matching
+    pairs Σ_k cL(k)·cR(k), the number of keys present on both sides,
+    and the largest single key's pair count (the skew headline).
+
+    Scale shape: each side reduces to (key, count) partials inside its
+    batches, ONE bounded key-bucket shuffle co-locates both sides'
+    counts (tagged, unioned — no join materialization anywhere), each
+    bucket folds its Σ c_L·c_R / key census in vectorized pandas, and
+    the driver sums B tiny partials. Python bigints fold the final
+    sums — Σ cL·cR overflows int64 exactly where joins explode.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    rk = right_key or key
+
+    def side_counts(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            agg = (
+                pa.table({"k": batch[col]})
+                .group_by(["k"])
+                .aggregate([([], "count_all")])
+            )
+            return pa.table(
+                {
+                    "k": agg["k"],
+                    "c": pc.cast(agg["count_all"], pa.int64()),
+                    "side": pa.array(
+                        np.full(agg.num_rows, side, np.int8), type=pa.int8()
+                    ),
+                }
+            )
+
+        return fn
+
+    both = left_ds.map_batches(side_counts(key, 0), batch_format="pyarrow").union(
+        right_ds.map_batches(side_counts(rk, 1), batch_format="pyarrow")
+    )
+
+    # bigint partials travel as DECIMAL STRINGS (Arrow blocks carry the
+    # shuffled partials, and a mega-hot key's cL·cR can exceed int64)
+    empty = typed_empty(
+        n_pairs=object, n_keys_both=np.int64, max_key_pairs=object
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        piv = df.groupby(["k", "side"], as_index=False)["c"].sum()
+        w = piv.pivot_table(
+            index="k", columns="side", values="c", fill_value=0, aggfunc="sum"
+        )
+        if 0 not in w.columns or 1 not in w.columns:
+            return empty.copy()
+        cl = [int(v) for v in w[0]]
+        cr = [int(v) for v in w[1]]
+        pairs = [a * b for a, b in zip(cl, cr) if a > 0 and b > 0]
+        return pd.DataFrame(
+            {
+                "n_pairs": [str(sum(pairs))],
+                "n_keys_both": [len(pairs)],
+                "max_key_pairs": [str(max(pairs, default=0))],
+            }
+        )
+
+    parts = bucketed_aggregate(
+        both, ["k"], per_bucket, n_buckets=n_buckets, empty=empty
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {"n_pairs": [0], "n_keys_both": [0], "max_key_pairs": [0]}
+        ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "n_pairs": [sum(int(v) for v in parts["n_pairs"])],
+            "n_keys_both": [int(parts["n_keys_both"].sum())],
+            "max_key_pairs": [max(int(v) for v in parts["max_key_pairs"])],
+        }
+    )
+
+
 def rfm_segments(ds, *, n_tiles: int = 5, n_buckets: int = 64):
     """RFM customer segmentation: per-customer Recency (days between
     the customer's last order and the corpus-wide last order),

@@ -2022,3 +2022,23 @@ def test_rfm_segments_planted(ray_session):
         )
         assert out.segment.tolist() == segs, (parts, out)
         assert out.n_customers.tolist() == [1, 1, 1, 1]
+
+
+def test_join_cardinality_planted(ray_session):
+    """Hand-countable: key 1 → 2×3 pairs, key 2 → 1×1, key 3 left-only,
+    key 4 right-only; bigint-safe partials; partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import join_cardinality
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3]})
+    right = pd.DataFrame({"k": [1, 1, 1, 2, 4]})
+    for parts in (1, 3):
+        out = join_cardinality(
+            rd.from_pandas(left).repartition(parts),
+            rd.from_pandas(right).repartition(parts),
+            "k",
+        )
+        assert out.n_pairs.tolist() == [7]       # 2*3 + 1*1
+        assert out.n_keys_both.tolist() == [2]
+        assert out.max_key_pairs.tolist() == [6]
