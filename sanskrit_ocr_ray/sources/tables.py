@@ -319,3 +319,77 @@ def read_table_union(
         parts.append(ds.map_batches(_conform, batch_format="pyarrow"))
     out = parts[0]
     return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
+def read_csv_permissive(path: str, *, columns: list[str] | None = None):
+    """CSV ingestion edge that SKIPS malformed rows instead of failing
+    the read task — the permissive mode a web-scale crawl ingest needs
+    (one truncated line in a 10-GB shard must not kill the wave; pair
+    with :func:`csv_scan_report` to account for what was dropped).
+
+    The skip runs inside Arrow's parser (``invalid_row_handler``) in
+    each read task — no driver-side pre-scan, no Python per row.
+    """
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    parse = pacsv.ParseOptions(invalid_row_handler=lambda row: "skip")
+    convert = (
+        pacsv.ConvertOptions(include_columns=columns)
+        if columns is not None
+        else None
+    )
+    return rd.read_csv(path, parse_options=parse, convert_options=convert)
+
+
+def csv_scan_report(paths: list[str] | str):
+    """Malformed-row accounting for CSV shards: (path, n_rows,
+    n_malformed) per file — the lineage record a permissive ingest
+    writes next to its output (the CSV sibling of the extract
+    manifest's ``n_quarantined``).
+
+    One Ray task per file (``from_items`` + per-row map): each task
+    re-parses its file with a COUNTING ``invalid_row_handler``, so the
+    report needs no second format implementation and no driver-side
+    parsing; the driver folds one row per file.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            paths = [
+                os.path.join(paths, n)
+                for n in sorted(os.listdir(paths))
+                if n.endswith(".csv") or n.endswith(".csv.gz")
+            ]
+        else:
+            paths = [paths]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_p, out_n, out_m = [], [], []
+        for p in batch["path"].to_pylist():
+            bad = {"n": 0}
+
+            def handler(row, bad=bad):
+                bad["n"] += 1
+                return "skip"
+
+            t = pacsv.read_csv(
+                p, parse_options=pacsv.ParseOptions(invalid_row_handler=handler)
+            )
+            out_p.append(p)
+            out_n.append(t.num_rows)
+            out_m.append(bad["n"])
+        return pa.table(
+            {
+                "path": pa.array(out_p, type=pa.string()),
+                "n_rows": pa.array(out_n, type=pa.int64()),
+                "n_malformed": pa.array(out_m, type=pa.int64()),
+            }
+        )
+
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        scan, batch_format="pyarrow", batch_size=1
+    )

@@ -136,3 +136,32 @@ def test_extract_with_boilerplate_strip(ray_session, fixture_dir):
     out = extract_dataset(docs, media, boilerplate_min_docs=9999).to_pandas()
     golden = pq.read_table(os.path.join(fixture_dir, "golden.parquet"))
     assert len(out) == golden.num_rows
+
+
+def test_read_csv_permissive_skips_and_reports(ray_session, tmp_path):
+    """A malformed line (wrong column count) must not kill the read:
+    permissive read returns the good rows; csv_scan_report accounts for
+    the dropped ones per file."""
+    from sanskrit_ocr_ray.sources.tables import (
+        csv_scan_report,
+        read_csv_permissive,
+    )
+
+    good = tmp_path / "good.csv"
+    good.write_text("a,b\n1,x\n2,y\n")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,b\n1,x\n2,y,EXTRA,COLS\n3,z\nonly_one_field_oops,q,r\n")
+
+    ds = read_csv_permissive(str(bad))
+    rows = sorted(r["a"] for r in ds.take_all())
+    assert rows == [1, 3]  # the two malformed lines are skipped
+
+    rep = (
+        csv_scan_report([str(good), str(bad)])
+        .to_pandas()
+        .sort_values("path")
+        .reset_index(drop=True)
+    )
+    by = {os.path.basename(p): (int(n), int(m))
+          for p, n, m in zip(rep["path"], rep["n_rows"], rep["n_malformed"])}
+    assert by == {"good.csv": (2, 0), "bad.csv": (2, 2)}
