@@ -1908,6 +1908,15 @@ def _snm_pairs(sf_dir: str):
     )
 
 
+def _pii_rate_by_source(sf_dir: str):
+    """Per-source PII governance rollup (stages/corpus
+    .pii_stats_by_group): shuffle-free chained-RE2 counting + tiny
+    per-batch group partials."""
+    from sanskrit_ocr_ray.stages.corpus import pii_stats_by_group
+
+    return pii_stats_by_group(_tbl(sf_dir, "documents", ["source", "text"]))
+
+
 def _join_cardinality(sf_dir: str):
     """Exact |orders ⋈ lineitem| on orderkey without materializing the
     join (stages/relational.join_cardinality): per-side key counts, one
@@ -3479,6 +3488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _event_transitions,
         "rfm_segments": _rfm_segments,
         "join_cardinality": _join_cardinality,
+        "pii_rate_by_source": _pii_rate_by_source,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5073,6 +5083,29 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "pii_rate_by_source": r"""
+WITH s1 AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT source, c1,
+         len(regexp_extract_all(t1, 'https?://[^\s]+')) AS c2,
+         regexp_replace(t1, 'https?://[^\s]+', '<URL>', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT source, c1 + c2 + len(regexp_extract_all(t2, '[0-9]{4,}')) AS n
+  FROM s2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n) AS BIGINT) AS n_pii,
+       CAST(1000 * SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT)
+         AS pii_doc_pm
+FROM s3 GROUP BY source
 """,
         "join_cardinality": """
 WITH lc AS (

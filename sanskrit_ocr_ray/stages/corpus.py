@@ -85,6 +85,66 @@ def redact_pii(ds, *, column: str = "text", patterns=PII_PATTERNS):
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def pii_stats_by_group(
+    ds,
+    *,
+    group_col: str = "source",
+    column: str = "text",
+    patterns=PII_PATTERNS,
+):
+    """Governance rollup of :func:`redact_pii`: per ``group_col``
+    (crawl source, feed) report (n_docs, n_docs_with_pii, n_pii,
+    pii_doc_pm) where ``pii_doc_pm = 1000·hit-docs // docs`` — the
+    dashboard that says WHICH feed ships PII, before a corpus release.
+
+    Scale shape: shuffle-free — the chained RE2 count/replace runs on
+    Arrow buffers per batch (exactly redact_pii's order-sensitive
+    counting), each batch folds one tiny (group, …) partial with one
+    Arrow hash-aggregate, and the driver merges O(#blocks · groups)
+    rows. Returns a pandas DataFrame sorted by group.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(pc.fill_null(batch[column], ""), pa.string())
+        total = np.zeros(len(txt), dtype=np.int64)
+        for pat, repl in patterns:
+            total += pc.count_substring_regex(txt, pat).to_numpy(
+                zero_copy_only=False
+            )
+            txt = pc.replace_substring_regex(txt, pat, repl)
+        per = pa.table(
+            {
+                group_col: batch[group_col],
+                "n_docs": pa.array(np.ones(len(total), np.int64)),
+                "n_docs_with_pii": pa.array((total > 0).astype(np.int64)),
+                "n_pii": pa.array(total),
+            }
+        )
+        agg = per.group_by([group_col]).aggregate(
+            [("n_docs", "sum"), ("n_docs_with_pii", "sum"), ("n_pii", "sum")]
+        )
+        return agg.rename_columns(
+            [group_col, "n_docs", "n_docs_with_pii", "n_pii"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return typed_empty(
+            **{group_col: object, "n_docs": np.int64,
+               "n_docs_with_pii": np.int64, "n_pii": np.int64,
+               "pii_doc_pm": np.int64}
+        )
+    out = parts.groupby(group_col, as_index=False)[
+        ["n_docs", "n_docs_with_pii", "n_pii"]
+    ].sum()
+    out["pii_doc_pm"] = (1000 * out["n_docs_with_pii"]) // out["n_docs"]
+    out = out.astype(
+        {"n_docs": np.int64, "n_docs_with_pii": np.int64, "n_pii": np.int64,
+         "pii_doc_pm": np.int64}
+    )
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def stratified_sample(
     ds,
     *,

@@ -423,3 +423,32 @@ def test_window_cooccurrence_planted(ray_session):
         assert got == want, (parts, got)
         # rank order: count desc then (x, y) asc
         assert (out.iloc[0].x, out.iloc[0].y) == ("a", "b")
+
+
+def test_pii_stats_by_group_planted(ray_session):
+    """Planted PII: source 'a' has one doc with an email+number and one
+    clean doc; source 'b' is clean — exact counts and per-mille,
+    partition-invariant. Order sensitivity: digits inside a redacted
+    email are not double-counted."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.corpus import pii_stats_by_group
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b"],
+            "text": [
+                "mail bob12345@example.com and call 5551234",  # 1 email + 1 num
+                "nothing here",
+                "clean too",
+            ],
+        }
+    )
+    for parts in (1, 3):
+        out = pii_stats_by_group(rd.from_pandas(df).repartition(parts))
+        got = {
+            r.source: (int(r.n_docs), int(r.n_docs_with_pii), int(r.n_pii),
+                       int(r.pii_doc_pm))
+            for r in out.itertuples()
+        }
+        assert got == {"a": (2, 1, 2, 500), "b": (1, 0, 0, 0)}, (parts, got)
