@@ -2298,6 +2298,33 @@ def _ngram_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _jaccard_band_hist(sf_dir: str):
+    """Near-dup threshold-tuning curve: histogram of candidate pairs by
+    Jaccard band (jacc_pm // 100) over the ngram_jaccard_pairs surface —
+    the curve a curator reads before committing to a dedup threshold
+    (how many pairs does each cut keep?). Composition: the bounded
+    pair-discovery shuffle of stages/dedup.ngram_jaccard_pairs, then a
+    10-cell banding groupby."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    from sanskrit_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
+
+    def band(batch: _pa.Table) -> _pa.Table:
+        # integer divide (jacc_pm ≥ 0, so trunc == floor)
+        b = _pc.cast(_pc.divide(batch["jacc_pm"], 100), _pa.int64())
+        return _pa.table({"band": b})
+
+    return (
+        pairs.map_batches(band, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n_pairs"))
+    )
+
+
 def _containment_pairs(sf_dir: str):
     """Asymmetric near-dup pairs by max-containment
     |A∩B|/min(|A|,|B|) ≥ 0.15 over distinct 3-gram sets — catches
@@ -3489,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _rfm_segments,
         "join_cardinality": _join_cardinality,
         "pii_rate_by_source": _pii_rate_by_source,
+        "jaccard_band_hist": _jaccard_band_hist,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5083,6 +5111,27 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "jaccard_band_hist": """
+WITH tok AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, unnest(range(1, len(ts) - 1)) AS r(i)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pr AS (
+  SELECT (1000 * i) // (sa.n + sb.n - i) AS jacc_pm
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE 1000 * i >= 20 * (sa.n + sb.n - i)
+)
+SELECT CAST(jacc_pm // 100 AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pr GROUP BY 1
 """,
         "pii_rate_by_source": r"""
 WITH s1 AS (
