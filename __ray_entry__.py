@@ -2298,6 +2298,37 @@ def _ngram_pairs(sf_dir: str):
     return ngram_jaccard_pairs(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _hourly_seasonality(sf_dir: str):
+    """Traffic seasonality profile: (hour-of-day, event_type, n_events,
+    total_cents) — the load-shape / anomaly-baseline aggregate. Hour
+    extraction and the cents quantization are Arrow kernels; the
+    groupby is 24·|types| cells (native Ray aggregate — bounded
+    cardinality, no bucketed shuffle needed)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def prep(batch: _pa.Table) -> _pa.Table:
+        hour = _pc.cast(_pc.hour(batch["ts"]), _pa.int64())
+        cents = _pc.cast(
+            _pc.floor(_pc.add(_pc.multiply(batch["value"], 100.0), 0.5)),
+            _pa.int64(),
+        )
+        return _pa.table(
+            {"hour": hour, "event_type": batch["event_type"], "cents": cents}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"), Sum("cents", alias_name="total_cents")
+        )
+    )
+
+
 def _jaccard_band_hist(sf_dir: str):
     """Near-dup threshold-tuning curve: histogram of candidate pairs by
     Jaccard band (jacc_pm // 100) over the ngram_jaccard_pairs surface —
@@ -3517,6 +3548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_cardinality": _join_cardinality,
         "pii_rate_by_source": _pii_rate_by_source,
         "jaccard_band_hist": _jaccard_band_hist,
+        "hourly_seasonality": _hourly_seasonality,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5111,6 +5143,13 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "hourly_seasonality": """
+SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events GROUP BY 1, 2
 """,
         "jaccard_band_hist": """
 WITH tok AS (
