@@ -192,6 +192,61 @@ def _span_kind_stats(sf_dir: str):
     )
 
 
+def _media_span_positions(sf_dir: str):
+    """Layout analytics over the interleaved-docs payload: WHERE in a
+    document do media spans sit? Each media span's ordinal position
+    per-mille (1000·idx // n_spans, doc-local) bands into deciles →
+    (decile, n_media_spans). Zero-copy Arrow list flatten + parent
+    indices, segment arithmetic per batch, 10-cell groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pcc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    fx = _fixture_for(sf_dir)
+    docs = rd.read_parquet(f"{fx}/docs.parquet").drop_columns(["part"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans = batch["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        parent = pcc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        L = len(parent)
+        empty = pa.table(
+            {
+                "decile": pa.array([], type=pa.int64()),
+                "n_media_spans": pa.array([], type=pa.int64()),
+            }
+        )
+        if L == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        seg_len = np.diff(np.r_[starts, L])
+        idx = np.arange(L, dtype=np.int64) - np.repeat(starts, seg_len)
+        n_spans = np.repeat(seg_len.astype(np.int64), seg_len)
+        is_media = pcc.equal(flat.field("kind"), "media").to_numpy(
+            zero_copy_only=False
+        )
+        if not is_media.any():
+            return empty
+        dec = (1000 * idx[is_media] // n_spans[is_media]) // 100
+        vals, counts = np.unique(dec, return_counts=True)
+        return pa.table(
+            {
+                "decile": pa.array(vals.astype(np.int64)),
+                "n_media_spans": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n_media_spans", alias_name="n_media_spans"))
+    )
+
+
 def _multimodal_features(sf_dir: str):
     """FeatureExtractor actor pool over the fixture's media pages recast as
     generic multimodal payload rows (schema/plumbing test; rows-only)."""
@@ -3368,6 +3423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (non-SQL-expressible: image decode + OCR)
         "extract_e2e": _extract_flat,
         "multimodal_features": _multimodal_features,
+        "media_span_positions": _media_span_positions,
         "quarantine_summary": _quarantine_summary,
         "span_kind_stats": _span_kind_stats,
         "frame_checksums": _frame_checksums,
@@ -3647,6 +3703,16 @@ SELECT query_id, rank, neighbor_id FROM (
 SELECT doc_id, CAST(r.i - 1 AS INTEGER) AS pos,
        seq[r.i].kind AS kind, seq[r.i].text AS text, seq[r.i].media_ref AS media_ref
 FROM read_parquet('{fx}/golden.parquet') g, unnest(range(1, len(g.seq)+1)) AS r(i)
+""",
+        "media_span_positions": f"""
+WITH s AS (
+  SELECT spans[i].kind AS kind, i - 1 AS idx, len(spans) AS n
+  FROM read_parquet('{fx}/docs.parquet'),
+       unnest(range(1, len(spans) + 1)) AS r(i)
+)
+SELECT CAST((1000 * idx // n) // 100 AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_media_spans
+FROM s WHERE kind = 'media' GROUP BY 1
 """,
         "span_kind_stats": f"""
 SELECT s.kind AS kind, CAST(COUNT(*) AS BIGINT) AS n_spans

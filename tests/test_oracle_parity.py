@@ -26,6 +26,7 @@ EXCLUDED = {
     "multimodal_features",
     "quarantine_summary",
     "span_kind_stats",
+    "media_span_positions",
     "compact_docs",
     # tens of seconds each even at sf0.001 (iterative / recursive-CTE
     # oracles); exercised by the driver gate + tools/check_driver.py
