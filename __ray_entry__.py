@@ -414,6 +414,15 @@ def _dedup_exact(sf_dir: str):
     return exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _dup_cluster_size_hist(sf_dir: str):
+    """Exact-dup cluster-size histogram (stages/dedup
+    .dup_cluster_size_hist): one bounded fp-bucket shuffle, per-bucket
+    exact size histograms, tiny driver fold."""
+    from sanskrit_ocr_ray.stages.dedup import dup_cluster_size_hist
+
+    return dup_cluster_size_hist(_tbl(sf_dir, "documents", ["text"]))
+
+
 def _salient_terms_by_source(sf_dir: str):
     """Group-level TF-IDF: top-5 characteristic terms per source
     (stages/hygiene.salient_terms_by_group): two bounded bucket
@@ -3605,6 +3614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_rate_by_source": _pii_rate_by_source,
         "jaccard_band_hist": _jaccard_band_hist,
         "hourly_seasonality": _hourly_seasonality,
+        "dup_cluster_size_hist": _dup_cluster_size_hist,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5209,6 +5219,15 @@ WITH x AS (
 SELECT window_start_s, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
 FROM w GROUP BY window_start_s, event_type
+""",
+        "dup_cluster_size_hist": """
+WITH g AS (
+  SELECT md5(coalesce(text, '')) AS fp, COUNT(*) AS sz
+  FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM g GROUP BY sz
 """,
         "hourly_seasonality": """
 SELECT CAST(hour(ts) AS BIGINT) AS hour, event_type,

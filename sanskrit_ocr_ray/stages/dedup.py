@@ -221,6 +221,61 @@ def dup_rate_by_group(
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def dup_cluster_size_hist(
+    ds,
+    *,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+):
+    """Histogram of exact-duplicate cluster sizes: (cluster_size,
+    n_clusters) over content-identical groups with ≥ 2 members — the
+    shape of the duplication problem (two-copy mirrors vs thousandfold
+    template spam need different dedup strategies). Companion view to
+    :func:`dup_rate_by_group`.
+
+    Scale shape: texts reduce to md5 fingerprints map-side, ONE bounded
+    fp-bucket shuffle co-locates equal contents, each bucket folds its
+    own size histogram (sizes are exact — a fingerprint group lives
+    wholly in one bucket), and the driver sums O(B · distinct sizes)
+    rows. Returns a pandas DataFrame sorted by cluster_size.
+    """
+    from ..util import md5_hex16, typed_empty
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        fps = [md5_hex16(t or "") for t in batch[text_col].to_pylist()]
+        t = pa.table({"fp": pa.array(fps)})
+        return t.append_column("__b", _bucket_of(fps, n_buckets))
+
+    part_empty = typed_empty(cluster_size=np.int64, n_clusters=np.int64)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return part_empty.copy()
+        sizes = df.groupby("fp").size()
+        sizes = sizes[sizes > 1]
+        if sizes.empty:
+            return part_empty.copy()
+        hist = sizes.value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "cluster_size": hist.index.to_numpy(np.int64),
+                "n_clusters": hist.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(fp_rows, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return part_empty.copy()
+    out = parts.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+    out = out.astype({"cluster_size": np.int64, "n_clusters": np.int64})
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # minhash signatures + LSH clustering
 # ---------------------------------------------------------------------------

@@ -414,3 +414,18 @@ def test_dup_rate_by_group_planted(ray_session):
         # 'X' is corpus-wide duplicated (3 copies), so both of b's X-doc
         # and a's two X-docs count as dup members
         assert got == {"a": (3, 2, 666), "b": (2, 1, 500)}, (parts, got)
+
+
+def test_dup_cluster_size_hist_planted(ray_session):
+    """Planted clusters: 'X'×3, 'Y'×2, three uniques → histogram
+    {3: 1, 2: 1}; uniques excluded; partition-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.dedup import dup_cluster_size_hist
+
+    df = pd.DataFrame({"text": ["X", "X", "X", "Y", "Y", "u1", "u2", "u3"]})
+    for parts in (1, 4):
+        out = dup_cluster_size_hist(rd.from_pandas(df).repartition(parts))
+        got = dict(zip(out.cluster_size.tolist(), out.n_clusters.tolist()))
+        assert got == {2: 1, 3: 1}, (parts, got)
