@@ -1995,6 +1995,17 @@ def _join_cardinality(sf_dir: str):
     )
 
 
+def _reorder_gap_quantiles(sf_dir: str):
+    """Re-order latency quantiles (stages/relational
+    .reorder_gap_quantiles): one custkey-bucket shuffle for adjacent
+    gaps + the exact value-histogram quantile fold."""
+    from sanskrit_ocr_ray.stages.relational import reorder_gap_quantiles
+
+    return reorder_gap_quantiles(
+        _tbl(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+    )
+
+
 def _rfm_segments(sf_dir: str):
     """RFM customer segmentation (stages/relational.rfm_segments):
     one custkey reduce, three exact-NTILE passes over the materialized
@@ -3615,6 +3626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_band_hist": _jaccard_band_hist,
         "hourly_seasonality": _hourly_seasonality,
         "dup_cluster_size_hist": _dup_cluster_size_hist,
+        "reorder_gap_quantiles": _reorder_gap_quantiles,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5293,6 +5305,28 @@ SELECT CAST(SUM(pairs) AS BIGINT) AS n_pairs,
        CAST(COUNT(*) AS BIGINT) AS n_keys_both,
        CAST(MAX(pairs) AS BIGINT) AS max_key_pairs
 FROM p
+""",
+        "reorder_gap_quantiles": """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         o_orderkey
+  FROM orders
+), g AS (
+  SELECT day - lag(day) OVER (
+           PARTITION BY o_custkey ORDER BY day, o_orderkey
+         ) AS gap_days
+  FROM o
+), v AS (
+  SELECT gap_days FROM g WHERE gap_days IS NOT NULL
+), s AS (
+  SELECT gap_days, row_number() OVER (ORDER BY gap_days) AS rn,
+         COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT CAST(q.q_pm AS BIGINT) AS q_pm, s.gap_days AS gap_days
+FROM (VALUES (250),(500),(750),(900),(990)) q(q_pm)
+JOIN s ON s.rn = CAST(ceil(q.q_pm * s.n / 1000.0) AS BIGINT)
 """,
         "rfm_segments": """
 WITH base AS (

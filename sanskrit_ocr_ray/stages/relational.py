@@ -2752,6 +2752,64 @@ def merge_scd1(
     return tagged.groupby("__bk").map_groups(merge_bucket, batch_format="pandas")
 
 
+def reorder_gap_quantiles(ds, *, q_pm: list[int] | None = None, n_buckets: int = 64):
+    """Customer re-order latency distribution: exact quantiles of the
+    day gaps between each customer's CONSECUTIVE orders (ordered by
+    (orderdate, orderkey); same-day repeats contribute 0-day gaps) —
+    the retention metric behind "when do buyers come back". Returns
+    (q_pm, gap_days).
+
+    Scale shape: one bounded ``hash(custkey) % B`` shuffle; each bucket
+    sorts ALL its customers once and takes same-customer adjacent
+    diffs vectorized (the sessionize shape); the gap stream then feeds
+    :func:`quantiles_exact` (day gaps are small integers — the
+    documented ≪-row-count distinct-value assumption holds by
+    construction).
+    """
+    from ..util import fast_hash_u64, typed_empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(pc.cast(batch["o_orderdate"], pa.timestamp("s")), pa.int64()),
+                86400,
+            ),
+            pa.int64(),
+        )
+        u = batch["o_custkey"].to_numpy()
+        b = (fast_hash_u64(u) % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "day": day,
+                "__cb": pa.array(b),
+            }
+        )
+
+    empty = typed_empty(gap_days=np.int64)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return empty.copy()
+        g = group.sort_values(
+            ["o_custkey", "day", "o_orderkey"], kind="mergesort"
+        )
+        u = g["o_custkey"].to_numpy()
+        d = g["day"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty.copy()
+        return pd.DataFrame({"gap_days": (d[1:] - d[:-1])[same].astype(np.int64)})
+
+    gaps = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return quantiles_exact(gaps, "gap_days", q_pm=q_pm)
+
+
 def join_cardinality(
     left_ds,
     right_ds,

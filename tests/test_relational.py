@@ -2042,3 +2042,29 @@ def test_join_cardinality_planted(ray_session):
         assert out.n_pairs.tolist() == [7]       # 2*3 + 1*1
         assert out.n_keys_both.tolist() == [2]
         assert out.max_key_pairs.tolist() == [6]
+
+
+def test_reorder_gap_quantiles_planted(ray_session):
+    """Planted gaps: cust 1 orders at days 0,10,10,40 → gaps 10,0,30;
+    cust 2 orders once (no gap). Quantiles over {0,10,30} at the
+    ceil-position definition; partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import reorder_gap_quantiles
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [(1, 1, 0), (1, 2, 10), (1, 3, 10), (1, 4, 40), (2, 5, 7)]
+    df = pd.DataFrame(
+        {
+            "o_custkey": [r[0] for r in rows],
+            "o_orderkey": [r[1] for r in rows],
+            "o_orderdate": [base + pd.Timedelta(days=r[2]) for r in rows],
+        }
+    )
+    # sorted gaps [0, 10, 30]; ceil(q*3/1000): 250→1st(0), 500→2nd(10),
+    # 750→3rd(30), 900→3rd, 990→3rd
+    want = {250: 0, 500: 10, 750: 30, 900: 30, 990: 30}
+    for parts in (1, 3):
+        out = reorder_gap_quantiles(rd.from_pandas(df).repartition(parts))
+        got = dict(zip(out.q_pm.tolist(), out.gap_days.tolist()))
+        assert got == want, (parts, got)
