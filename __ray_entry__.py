@@ -1995,6 +1995,17 @@ def _join_cardinality(sf_dir: str):
     )
 
 
+def _supplier_return_rates(sf_dir: str):
+    """Vendor-reliability scorecard (stages/relational
+    .supplier_return_rates): per-batch Arrow partials, one bounded
+    suppkey-bucket shuffle, integer per-mille return rates."""
+    from sanskrit_ocr_ray.stages.relational import supplier_return_rates
+
+    return supplier_return_rates(
+        _tbl(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
+    )
+
+
 def _reorder_gap_quantiles(sf_dir: str):
     """Re-order latency quantiles (stages/relational
     .reorder_gap_quantiles): one custkey-bucket shuffle for adjacent
@@ -3627,6 +3638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_seasonality": _hourly_seasonality,
         "dup_cluster_size_hist": _dup_cluster_size_hist,
         "reorder_gap_quantiles": _reorder_gap_quantiles,
+        "supplier_return_rates": _supplier_return_rates,
         "session_attribution": _session_attribution,
         "orders_above_avg": _orders_above_avg,
         "top_users_by_value": _top_users,
@@ -5305,6 +5317,15 @@ SELECT CAST(SUM(pairs) AS BIGINT) AS n_pairs,
        CAST(COUNT(*) AS BIGINT) AS n_keys_both,
        CAST(MAX(pairs) AS BIGINT) AS max_key_pairs
 FROM p
+""",
+        "supplier_return_rates": """
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       CAST(1000 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS return_pm
+FROM lineitem GROUP BY l_suppkey
 """,
         "reorder_gap_quantiles": """
 WITH o AS (

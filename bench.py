@@ -211,6 +211,7 @@ def run_bench() -> dict:
         "hourly_seasonality",
         "dup_cluster_size_hist",
         "reorder_gap_quantiles",
+        "supplier_return_rates",
         # NOT rfm_segments: a deliberate 8-barrier composition (reduce +
         # 3 NTILE passes + 2 joins) whose sf0.1 wall is pure Ray
         # all-to-all fixed cost (~15 s), not throughput; it stays

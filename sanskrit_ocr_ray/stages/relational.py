@@ -2752,6 +2752,67 @@ def merge_scd1(
     return tagged.groupby("__bk").map_groups(merge_bucket, batch_format="pandas")
 
 
+def supplier_return_rates(ds, *, min_items: int = 1, n_buckets: int = 64):
+    """Supplier quality scorecard: per supplier the shipped-item count,
+    returned-item count (``l_returnflag = 'R'``) and integer per-mille
+    return rate — the vendor-reliability rollup a marketplace gates
+    suppliers on. Returns (l_suppkey, n_items, n_returned, return_pm)
+    for suppliers with ≥ ``min_items`` items.
+
+    Scale shape: per-batch (supp, n, r) partials collapse with one
+    Arrow hash-aggregate (no row per lineitem in the shuffle), ONE
+    bounded ``hash(supp) % B`` bucket shuffle sums exactly, and each
+    bucket emits its own finished rows — supplier cardinality is
+    unbounded at scale, so no per-key dispatch and no driver census.
+    """
+    from .dedup import bucketed_aggregate
+    from ..util import typed_empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        per = pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "n_items": pa.array(
+                    np.ones(batch.num_rows, np.int64)
+                ),
+                "n_returned": pc.cast(
+                    pc.fill_null(pc.equal(batch["l_returnflag"], "R"), False),
+                    pa.int64(),
+                ),
+            }
+        )
+        agg = per.group_by(["l_suppkey"]).aggregate(
+            [("n_items", "sum"), ("n_returned", "sum")]
+        )
+        return agg.rename_columns(["l_suppkey", "n_items", "n_returned"])
+
+    empty = typed_empty(
+        l_suppkey=np.int64, n_items=np.int64, n_returned=np.int64,
+        return_pm=np.int64,
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        agg = df.groupby("l_suppkey", as_index=False)[
+            ["n_items", "n_returned"]
+        ].sum()
+        agg = agg[agg["n_items"] >= min_items]
+        agg["return_pm"] = (1000 * agg["n_returned"]) // agg["n_items"]
+        return agg.astype(
+            {"l_suppkey": np.int64, "n_items": np.int64,
+             "n_returned": np.int64, "return_pm": np.int64}
+        )
+
+    return bucketed_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        per_bucket,
+        n_buckets=n_buckets,
+        empty=empty,
+    )
+
+
 def reorder_gap_quantiles(ds, *, q_pm: list[int] | None = None, n_buckets: int = 64):
     """Customer re-order latency distribution: exact quantiles of the
     day gaps between each customer's CONSECUTIVE orders (ordered by

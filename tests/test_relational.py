@@ -2068,3 +2068,27 @@ def test_reorder_gap_quantiles_planted(ray_session):
         out = reorder_gap_quantiles(rd.from_pandas(df).repartition(parts))
         got = dict(zip(out.q_pm.tolist(), out.gap_days.tolist()))
         assert got == want, (parts, got)
+
+
+def test_supplier_return_rates_planted(ray_session):
+    """Planted flags: supplier 1 ships 4 items with 1 'R', supplier 2
+    ships 2 with 2 'R' — exact per-mille; partition-invariant."""
+    import ray.data as rd
+
+    from sanskrit_ocr_ray.stages.relational import supplier_return_rates
+
+    df = pd.DataFrame(
+        {
+            "l_suppkey": [1, 1, 1, 1, 2, 2],
+            "l_returnflag": ["N", "R", "A", "N", "R", "R"],
+        }
+    )
+    for parts in (1, 3):
+        out = supplier_return_rates(
+            rd.from_pandas(df).repartition(parts)
+        ).to_pandas()
+        got = {
+            int(r.l_suppkey): (int(r.n_items), int(r.n_returned), int(r.return_pm))
+            for r in out.itertuples()
+        }
+        assert got == {1: (4, 1, 250), 2: (2, 2, 1000)}, (parts, got)
